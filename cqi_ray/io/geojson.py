@@ -1,0 +1,57 @@
+"""GeoJSON LineString reader/writer for dev-scale inputs.
+
+The at-scale sources are Parquet/Lance tables (see cqi_ray.pipelines);
+GeoJSON is the conformance-corpus format (reference reader:
+cycling_quality_index.py:1452, writer :1806).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Optional
+
+from ..params import INPUT_TAG_COLUMNS
+
+
+def read_ways_geojson(path: str, retain: Optional[Iterable[str]] = None) -> list[dict]:
+    """FeatureCollection -> list of row dicts.
+
+    Only LineString features are kept (the reference opens the layer with
+    ``|geometrytype=LineString``) and tag columns are pruned to the engine's
+    input schema (the reference's retain-fields step,
+    cycling_quality_index.py:1455)."""
+    keep = set(retain if retain is not None else INPUT_TAG_COLUMNS)
+    with open(path) as fh:
+        collection = json.load(fh)
+    rows = []
+    for feature in collection.get("features", []):
+        geom = feature.get("geometry") or {}
+        if geom.get("type") != "LineString":
+            continue
+        props = feature.get("properties") or {}
+        row = {k: v for k, v in props.items() if k in keep}
+        row["geometry"] = geom.get("coordinates")
+        rows.append(row)
+    return rows
+
+
+def write_ways_geojson(path: str, rows: list[dict], columns: Iterable[str],
+                       crs: str = "EPSG:4326") -> None:
+    features = []
+    for row in rows:
+        features.append(
+            {
+                "type": "Feature",
+                "properties": {c: row.get(c) for c in columns},
+                "geometry": {"type": "LineString",
+                             "coordinates": [list(map(float, pt)) for pt in row["geometry"]]},
+            }
+        )
+    epsg = crs.split(":")[1]
+    doc = {
+        "type": "FeatureCollection",
+        "crs": {"type": "name", "properties": {"name": f"urn:ogc:def:crs:EPSG::{epsg}"}},
+        "features": features,
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
