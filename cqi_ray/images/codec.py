@@ -1,0 +1,209 @@
+"""Image codecs and pixel metrics without external imaging libraries.
+
+PNG encode/decode are implemented from the public PNG specification
+(RFC 2083: IHDR/IDAT/IEND chunks, zlib streams, scanline filters 0-4) over
+numpy + zlib — no PIL in this environment.  ``raw`` frames are bare
+interleaved RGB8.  JPEG is a clearly marked stub: the container has no
+JPEG codec, so decode raises ``NotImplementedError`` unless the caller
+opts into the deterministic fake used by tests (the Ray-side plumbing —
+schema, batch sizes, actor signatures — is identical either way).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """RGB8 (h, w, 3) -> PNG bytes (color type 2, no interlace)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("png_encode expects RGB8")
+    # filter type 0 per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for row in range(h):
+        ftype = raw[row, 0]
+        line = raw[row, 1:].astype(np.int32)
+        prev = out[row - 1].astype(np.int32) if row else np.zeros(stride, np.int32)
+        if ftype == 0:
+            res = line
+        elif ftype == 2:  # Up
+            res = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            res = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = res[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    res[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    res[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    res[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[row] = res.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB8 (h, w, 3).  Supports 8-bit RGB/RGBA/grayscale,
+    non-interlaced (everything this engine writes, plus common inputs)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * channels)
+    px = _unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 2:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    return px
+
+
+def raw_encode(pixels: np.ndarray) -> bytes:
+    return np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def raw_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int,
+                 allow_fake_jpeg: bool = True) -> np.ndarray:
+    """Decode one payload per the table schema (bytes, fmt, w, h)."""
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "raw":
+        return raw_decode(data, w, h)
+    if fmt == "jpeg":
+        if allow_fake_jpeg and data[:4] == b"FJPG":
+            # deterministic stand-in container (see images.synth): payload is
+            # raw RGB behind a 4-byte magic — lets the pipeline exercise the
+            # "lossy" path without a real JPEG codec in this environment
+            return raw_decode(data[4:], w, h)
+        raise NotImplementedError(
+            "no JPEG codec in this environment; real deployments plug a "
+            "libjpeg-backed decoder into this stage"
+        )
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    x = np.asarray(a, dtype=np.float64)
+    y = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((x - y) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (classic 64-bit DCT pHash, public algorithm)
+# ---------------------------------------------------------------------------
+
+_DCT_N = 32
+_DCT_MAT = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)
+    mat = np.cos(np.pi / n * (k[:, None] + 0.5) * k[None, :])
+    return mat
+
+
+def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
+    """Box-average resize to (size, size) — deterministic, no interpolation lib."""
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h // size).astype(np.int64)
+    xs = (np.arange(size + 1) * w // size).astype(np.int64)
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    out = np.empty((size, size), dtype=np.float64)
+    for i in range(size):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        rows = integral[y1] - integral[y0]
+        for j in range(size):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = (rows[x1] - rows[x0]) / ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: 32x32 grayscale -> 2D DCT-II -> top-left 8x8
+    (minus DC) thresholded at the median."""
+    global _DCT_MAT
+    if _DCT_MAT is None:
+        _DCT_MAT = _dct_matrix(_DCT_N)
+    gray = np.asarray(pixels, dtype=np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _area_resize(gray, _DCT_N)
+    dct = _DCT_MAT.T @ small @ _DCT_MAT
+    block = dct[:8, :8].copy()
+    flat = np.concatenate([block.ravel()[1:]])  # drop DC
+    med = np.median(flat)
+    bits = (block.ravel()[1:] > med).astype(np.uint64)
+    value = np.uint64(0)
+    for bit in bits:
+        value = (value << np.uint64(1)) | bit
+    return int(value.astype(np.int64))  # store as signed int64 column
+
+
+def hamming64(a, b):
+    """Vectorized Hamming distance between int64 hash arrays."""
+    x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(np.uint64)
+    count = np.zeros_like(x, dtype=np.int64)
+    for _ in range(64):
+        count += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return count

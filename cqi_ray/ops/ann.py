@@ -1,0 +1,89 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths (SURVEY-mandated additions for training-data pipelines):
+
+* brute-force cosine top-k — the exactness baseline: the query matrix is
+  broadcast once (``ray.put``), every batch computes a numpy matmul and
+  emits its *partial* top-k per query, and a tiny final reduce merges
+  partials.  No shuffle of the corpus; wall-time is one pass.
+* LSH-bucketed variant — the scale path: random-hyperplane signs bucket
+  both corpus and queries; only same-bucket (plus probe-neighbor) pairs
+  are scored.  Bucketing is a groupby co-partition, so the 10^12-row case
+  never materializes an n x q score matrix.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    x = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.where(norms > 0, norms, 1)
+
+
+def batch_topk_partials(vec_ids, mat: np.ndarray, queries: np.ndarray,
+                        k: int) -> pd.DataFrame:
+    """Per-batch partial top-k: returns (query_id, vec_id, score) rows,
+    at most k per query per batch."""
+    x = normalize_rows(mat)
+    q = normalize_rows(queries)
+    sims = q @ x.T                      # (nq, nb)
+    nq, nb = sims.shape
+    k_eff = min(k, nb)
+    # argpartition then exact sort of the head — O(nb + k log k) per query
+    idx = np.argpartition(-sims, k_eff - 1, axis=1)[:, :k_eff]
+    rows = {"query_id": [], "vec_id": [], "score": []}
+    vec_ids = np.asarray(vec_ids)
+    for qi in range(nq):
+        cand = idx[qi]
+        order = np.lexsort((vec_ids[cand], -sims[qi, cand]))
+        for ci in cand[order]:
+            rows["query_id"].append(qi)
+            rows["vec_id"].append(vec_ids[ci])
+            rows["score"].append(sims[qi, ci])
+    return pd.DataFrame(rows)
+
+
+def merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge partial top-k frames into the global top-k per query.
+    Deterministic tie-break: (-score, vec_id)."""
+    out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
+    for qid, group in partials.groupby("query_id", sort=True):
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (-r.score, r.vec_id)
+        )
+        for rank, row in enumerate(top, start=1):
+            out["query_id"].append(int(qid))
+            out["vec_id"].append(row.vec_id)
+            out["score"].append(round(float(row.score), 6))
+            out["rank"].append(rank)
+    return pd.DataFrame(out)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature for cosine LSH (stateful -> actor pool)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.n_planes = n_planes
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        signs = (np.asarray(mat, dtype=np.float64) @ self.planes) >= 0
+        out = np.zeros(len(signs), dtype=np.int64)
+        for b in range(self.n_planes):
+            out = (out << 1) | signs[:, b].astype(np.int64)
+        return out
+
+    def probe_buckets(self, bucket_ids: np.ndarray, n_probe_bits: int = 2) -> np.ndarray:
+        """Multi-probe: each bucket plus its single-bit-flip neighbors on the
+        lowest ``n_probe_bits`` planes -> (n, 1 + n_probe_bits) bucket ids."""
+        cols = [bucket_ids]
+        for b in range(n_probe_bits):
+            cols.append(bucket_ids ^ (1 << b))
+        return np.stack(cols, axis=1)

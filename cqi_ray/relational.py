@@ -1,0 +1,118 @@
+"""Relational building blocks on Ray Datasets: broadcast joins, bucketed
+hash joins, exact dedup, partial-aggregate helpers.
+
+Ray Data (2.49) has no native join, so the two scale-appropriate shapes
+are implemented explicitly (see /opt/skills/guides/ray_guide.md "Joins"):
+
+* **broadcast_map_join** — small right side: ``ray.put`` once, pandas merge
+  inside ``map_batches``.  No shuffle; every task reads the same object.
+* **bucketed_hash_join** — both sides large: add ``bucket = hash(key) % B``
+  to both, co-partition with one ``groupby(bucket)`` over the union, and
+  merge matching buckets inside ``map_groups``.  B and the optional salt
+  column are the explicit knobs for skew.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _hash_bucket(values, num_buckets: int) -> np.ndarray:
+    """Deterministic string/int hash -> bucket id (stable across workers,
+    unlike Python's seeded hash())."""
+    vals = pd.util.hash_array(np.asarray(values, dtype=object), hash_key="0" * 16)
+    return (vals % np.uint64(num_buckets)).astype(np.int64)
+
+
+def broadcast_map_join(ds: rd.Dataset, right: pd.DataFrame, on: str,
+                       how: str = "left", batch_format: str = "pandas") -> rd.Dataset:
+    """Left join a Dataset against a small in-memory frame (broadcast once)."""
+    ref = ray.put(right)
+
+    class Joiner:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.right, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format=batch_format, concurrency=(1, 8))
+
+
+def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                       right_cols: Iterable[str],
+                       num_buckets: int = 16, how: str = "inner") -> rd.Dataset:
+    """Partitioned hash join: one shuffle (groupby bucket) over the union of
+    both sides, pandas merge per bucket.
+
+    ``right_cols`` is the right side's full column list (including ``on``) —
+    the union block carries left ∪ right columns, so the per-bucket merge
+    needs the split spelled out to reconstruct the two sides."""
+    right_cols = list(right_cols)
+    right_only = [c for c in right_cols if c != on]
+
+    def tag(side: str):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__bucket"] = _hash_bucket(batch[on].to_numpy(), num_buckets)
+            batch["__side"] = side
+            return batch
+        return _tag
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    union = lt.union(rt)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left_cols = [c for c in group.columns
+                     if c not in right_only and c not in ("__side", "__bucket")]
+        lhs = group.loc[group["__side"] == "l", left_cols]
+        rhs = group.loc[group["__side"] == "r",
+                        [c for c in right_cols if c in group.columns]]
+        merged = lhs.merge(rhs, on=on, how=how)
+        for c in right_cols:
+            if c not in merged.columns:
+                merged[c] = None
+        return merged
+
+    return union.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
+    """Keep the first row (min order_col) per key — groupby-shuffle keyed on
+    the content hash/key (SURVEY.md §2.1 S3)."""
+
+    def first_of(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col, kind="mergesort").head(1)
+
+    return ds.groupby(key).map_groups(first_of, batch_format="pandas")
+
+
+def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
+                            sums: dict[str, str], counts: Optional[str] = None
+                            ) -> rd.Dataset:
+    """Pre-aggregate inside map_batches, then a small groupby — the
+    scale-correct aggregation shape (combiner before the shuffle)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agg = {src: "sum" for src in sums}
+        grouped = batch.groupby(keys, as_index=False, sort=False).agg(agg)
+        if counts:
+            sizes = batch.groupby(keys, as_index=False, sort=False).size()
+            grouped[counts] = sizes["size"].to_numpy()
+        return grouped
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(src, alias_name=dst) for src, dst in sums.items()]
+    if counts:
+        aggs.append(Sum(counts, alias_name=counts))
+    return partials.groupby(keys).aggregate(*aggs)

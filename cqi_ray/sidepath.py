@@ -82,39 +82,46 @@ def build_sidepath_stats(rows: list[dict], p: CQIParams) -> dict:
         entry = stats.setdefault(
             way_id, {"checks": 0, "id": {}, "highway": {}, "name": {}, "maxspeed": {}}
         )
-        entry["checks"] += 1
-        if not road_idx:
-            continue
-        d = lines.points_to_segments_distance(point[None, :], seg_a, seg_b)[0]
-        near_rows = sorted(set(seg_row[d <= p.sidepath_buffer_size].tolist()))
-        ids_seen, highways_seen, names_seen = [], [], []
-        maxspeed_seen: dict = {}
-        for ri in near_rows:
-            road = rows[ri]
-            if row.get("layer") != road.get("layer"):
-                continue
-            rid = road.get("id")
-            rhw = road.get("highway")
-            rname = road.get("name")
-            rms = T.to_number(road.get("maxspeed"))
-            if rid not in ids_seen:
-                ids_seen.append(rid)
-            if rhw not in highways_seen:
-                highways_seen.append(rhw)
-            if rhw not in maxspeed_seen or _max_maxspeed(maxspeed_seen[rhw], rms):
-                maxspeed_seen[rhw] = rms
-            if rname not in names_seen:
-                names_seen.append(rname)
-        for rid in ids_seen:
-            entry["id"][rid] = entry["id"].get(rid, 1) + 1
-        for rhw in highways_seen:
-            entry["highway"][rhw] = entry["highway"].get(rhw, 1) + 1
-        for rname in names_seen:
-            entry["name"][rname] = entry["name"].get(rname, 1) + 1
-        for rhw, rms in maxspeed_seen.items():
-            if rhw not in entry["maxspeed"] or _max_maxspeed(entry["maxspeed"][rhw], rms):
-                entry["maxspeed"][rhw] = rms
+        near = []
+        if road_idx:
+            d = lines.points_to_segments_distance(point[None, :], seg_a, seg_b)[0]
+            near_rows = sorted(set(seg_row[d <= p.sidepath_buffer_size].tolist()))
+            for ri in near_rows:
+                road = rows[ri]
+                if row.get("layer") != road.get("layer"):
+                    continue
+                near.append((road.get("id"), road.get("highway"),
+                             road.get("name"), T.to_number(road.get("maxspeed"))))
+        accumulate_point(entry, near)
     return stats
+
+
+def accumulate_point(entry: dict, near_roads: list[tuple]) -> None:
+    """Fold one check point's adjacent roads (ordered!) into a way's
+    counters, preserving the reference's counting quirks: counters seed at
+    ``get(x, 1) + 1`` (first hit counts 2), per-highway max maxspeed
+    (cycling_quality_index.py:1544-1575)."""
+    entry["checks"] += 1
+    ids_seen, highways_seen, names_seen = [], [], []
+    maxspeed_seen: dict = {}
+    for rid, rhw, rname, rms in near_roads:
+        if rid not in ids_seen:
+            ids_seen.append(rid)
+        if rhw not in highways_seen:
+            highways_seen.append(rhw)
+        if rhw not in maxspeed_seen or _max_maxspeed(maxspeed_seen[rhw], rms):
+            maxspeed_seen[rhw] = rms
+        if rname not in names_seen:
+            names_seen.append(rname)
+    for rid in ids_seen:
+        entry["id"][rid] = entry["id"].get(rid, 1) + 1
+    for rhw in highways_seen:
+        entry["highway"][rhw] = entry["highway"].get(rhw, 1) + 1
+    for rname in names_seen:
+        entry["name"][rname] = entry["name"].get(rname, 1) + 1
+    for rhw, rms in maxspeed_seen.items():
+        if rhw not in entry["maxspeed"] or _max_maxspeed(entry["maxspeed"][rhw], rms):
+            entry["maxspeed"][rhw] = rms
 
 
 def _passes_threshold(entry: dict, key: str) -> str:
@@ -122,53 +129,68 @@ def _passes_threshold(entry: dict, key: str) -> str:
     return "yes" if sum(counts.values()) >= (2 / 3) * entry["checks"] else "no"
 
 
+def fold_entry(way_tags: dict, entry: dict, p: CQIParams) -> dict:
+    """Decide sidepath status / adjacent highway class / transferred
+    maxspeed + name for one path way from its adjacency counters.
+    Returns only the keys to set (reference: cycling_quality_index.py:
+    175-224)."""
+    out: dict = {}
+    order = list(p.highway_class_order)
+    is_sidepath = way_tags.get("is_sidepath")
+    if way_tags.get("footway") == "sidewalk":
+        is_sidepath = "yes"
+    if not is_sidepath:
+        is_sidepath = "no"
+        for key in ("id", "highway", "name"):
+            is_sidepath = _passes_threshold(entry, key)
+            if is_sidepath == "yes":
+                break
+    out["proc_sidepath"] = is_sidepath
+    if is_sidepath != "yes":
+        return out
+
+    adjacent_of = way_tags.get("is_sidepath:of")
+    if not adjacent_of and entry["highway"]:
+        best = max(entry["highway"].values())
+        candidates = [k for k, v in entry["highway"].items() if v == best]
+        rank = len(order) - 1
+        for k in candidates:
+            if k in order and order.index(k) < rank:
+                rank = order.index(k)
+        adjacent_of = order[rank]
+    out["proc_highway"] = adjacent_of
+
+    if adjacent_of in entry["maxspeed"]:
+        ms = entry["maxspeed"][adjacent_of]
+        if ms:
+            out["proc_maxspeed"] = T.to_number(ms)
+
+    if entry["name"]:
+        name = max(entry["name"], key=lambda k: entry["name"][k])
+        if name:
+            out["name"] = name
+    return out
+
+
+def road_proc_attrs(row: dict) -> dict:
+    """proc_highway/proc_maxspeed for non-path rows (reference :230-237)."""
+    hw = row.get("highway")
+    maxspeed = T.effective_maxspeed(row.get("maxspeed"), hw)
+    return {"proc_highway": hw, "proc_maxspeed": T.to_number(maxspeed)}
+
+
 def apply_sidepath_stats(rows: list[dict], stats: dict, p: CQIParams) -> None:
     """Fold the adjacency statistics back onto the way rows (reference:
     update_sidepath_attributes, cycling_quality_index.py:227-251)."""
-    order = [h for h in p.highway_class_order]
     for row in rows:
         hw = row.get("highway")
         if hw not in NON_ROAD_HIGHWAYS or hw == "track":
-            maxspeed = T.effective_maxspeed(row.get("maxspeed"), hw)
-            row["proc_highway"] = hw
-            row["proc_maxspeed"] = T.to_number(maxspeed)
+            row.update(road_proc_attrs(row))
             continue
         entry = stats.get(row.get("id"))
         if entry is None:
             continue
-        is_sidepath = row.get("is_sidepath")
-        if row.get("footway") == "sidewalk":
-            is_sidepath = "yes"
-        if not is_sidepath:
-            is_sidepath = "no"
-            for key in ("id", "highway", "name"):
-                is_sidepath = _passes_threshold(entry, key)
-                if is_sidepath == "yes":
-                    break
-        row["proc_sidepath"] = is_sidepath
-        if is_sidepath != "yes":
-            continue
-
-        adjacent_of = row.get("is_sidepath:of")
-        if not adjacent_of and entry["highway"]:
-            best = max(entry["highway"].values())
-            candidates = [k for k, v in entry["highway"].items() if v == best]
-            rank = len(order) - 1
-            for k in candidates:
-                if k in order and order.index(k) < rank:
-                    rank = order.index(k)
-            adjacent_of = order[rank]
-        row["proc_highway"] = adjacent_of
-
-        if adjacent_of in entry["maxspeed"]:
-            ms = entry["maxspeed"][adjacent_of]
-            if ms:
-                row["proc_maxspeed"] = T.to_number(ms)
-
-        if entry["name"]:
-            name = max(entry["name"], key=lambda k: entry["name"][k])
-            if name:
-                row["name"] = name
+        row.update(fold_entry(row, entry, p))
 
 
 def run_sidepath_stage(rows: list[dict], p: CQIParams = DEFAULT_PARAMS) -> dict:
