@@ -1,0 +1,136 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ..., "rows_per_sec": {...}}
+
+``--scaling`` runs the same suite in two fresh processes (num_cpus 8 vs
+32) and prints both plus the scaling efficiency (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume(result) -> int:
+    """Fully execute a Dataset/DataFrame and return its row count."""
+    import pandas as pd
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        total = 0
+        for batch in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            total += batch.num_rows
+        return total
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return len(result)
+
+
+def _warm_cache(sf_dir: str) -> None:
+    for name in os.listdir(sf_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(sf_dir, name), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+
+def run_suite(sf_dir: str) -> dict:
+    from cqi_ray import queries as q
+    from cqi_ray.pipelines import flagship
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def bench(name: str, fn):
+        t0 = time.monotonic()
+        rows[name] = _consume(fn())
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # the headline: end-to-end image->way assignment (decode -> cell encode
+    # -> PIP/kNN) with CQI-scored ways
+    n_ways = 256
+    bench("flagship_assign",
+          lambda: flagship.run_flagship(sf_dir, n_ways=n_ways))
+    bench("cqi_score_synth",
+          lambda: flagship.build_scored_ways(1024))
+    bench("tiles", lambda: q.q_tiles(sf_dir))
+    bench("groupby_agg", lambda: q.q_groupby_agg(sf_dir))
+    bench("join_bucketed", lambda: q.q_join_bucketed(sf_dir))
+    bench("join_broadcast", lambda: q.q_join_broadcast(sf_dir))
+    bench("dedup_exact", lambda: q.q_dedup_exact(sf_dir))
+    bench("dedup_minhash", lambda: q.q_dedup_minhash(sf_dir))
+    bench("ann_topk", lambda: q.q_ann_topk(sf_dir))
+    bench("text_stats", lambda: q.q_text_quality(sf_dir))
+    bench("cell_encode", lambda: q.q_cell_encode(sf_dir))
+    return {"timings": timings, "rows": rows}
+
+
+def main() -> None:
+    import ray
+
+    _warm_cache(SF_DIR)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out = run_suite(SF_DIR)
+    ray.shutdown()
+
+    total = round(sum(out["timings"].values()), 3)
+    n_images = out["rows"].get("flagship_assign", 0)
+    t_flagship = max(out["timings"].get("flagship_assign", 1e-9), 1e-9)
+    doc = {
+        "metric": "headline suite wall time (flagship image->way assignment "
+                  "+ CQI scoring + tiles + relational/dedup/ann ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": out["timings"],
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": round(n_images / t_flagship, 1),
+        "rows": out["rows"],
+    }
+    print(json.dumps(doc))
+
+
+def scaling() -> None:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              env=env, capture_output=True, text=True, check=True)
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    print(json.dumps({
+        "sec_8": t8,
+        "sec_32": t32,
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round((t8 / t32) / 4.0, 3),
+        "images_per_sec_8": results[8]["images_per_sec"],
+        "images_per_sec_32": results[32]["images_per_sec"],
+        "queries_8": results[8]["queries"],
+        "queries_32": results[32]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

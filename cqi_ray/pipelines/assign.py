@@ -1,0 +1,210 @@
+"""Image -> way assignment: the net-new spatial-join core (north rule).
+
+    images(ds)  --actor pool--> decode + validate (+ phash check)
+                --map_batches--> cell encode (vectorized Morton cells)
+    ways(ds)    --flat_map--> way x covered-cell replication
+    union       --groupby(cell)--> PIP against way buffers, kNN fallback
+    assignments --groupby(z,x,y)--> rendered tile pyramid (see tiles.py)
+
+Partitioning: one geographic cell resolution keyed by the kNN search
+radius — a way is replicated into every cell its padded bbox covers, an
+image point lives in exactly one cell, so each candidate (image, way)
+pair meets in exactly one group and the match is O(images + ways) per
+cell.  Hot urban cells are the skew case: `salt` splits the *image* side
+of a group into sub-groups (ways duplicated per salt), bounding group
+size at the cost of way duplication — the classic salted-join tradeoff.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..geo import cells, lines, proj
+from ..images import codec
+
+
+def _geom_from_bytes(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, dtype="<f8").reshape(-1, 2)
+
+
+def _geom_to_bytes(coords) -> bytes:
+    return np.ascontiguousarray(np.asarray(coords, dtype="<f8")).tobytes()
+
+
+class DecodeValidate:
+    """Actor-pool stage: decode the image payload, validate dimensions,
+    recompute the perceptual hash and compare against the stored one.
+
+    Decoding state (DCT matrix for phash) is built once per actor.  Batches
+    should stay small (binary payloads dominate block size)."""
+
+    def __init__(self, check_phash: bool = True, allow_fake_jpeg: bool = True):
+        self.check_phash = check_phash
+        self.allow_fake_jpeg = allow_fake_jpeg
+        codec.phash64(np.zeros((8, 8, 3), dtype=np.uint8))  # warm DCT matrix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ok = np.zeros(len(batch), dtype=bool)
+        phash_match = np.zeros(len(batch), dtype=bool)
+        for i, row in enumerate(batch.itertuples(index=False)):
+            try:
+                px = codec.decode_image(row.bytes, row.fmt, row.w, row.h,
+                                        allow_fake_jpeg=self.allow_fake_jpeg)
+            except (NotImplementedError, ValueError):
+                continue
+            if px.shape[0] != row.h or px.shape[1] != row.w:
+                continue
+            ok[i] = True
+            if self.check_phash:
+                phash_match[i] = codec.phash64(px) == row.phash
+        batch = batch.copy()
+        batch["decode_ok"] = ok
+        batch["phash_ok"] = phash_match
+        return batch
+
+
+def encode_image_cells(batch: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Vectorized cell assignment for image capture points."""
+    batch = batch.copy()
+    batch["cell"] = cells.encode(batch["lon"].to_numpy(),
+                                 batch["lat"].to_numpy(), res)
+    return batch
+
+
+_WAY_CELL_COLS = ["cell", "kind", "way_id", "way_index", "way_stress",
+                  "way_geom"]
+_IMG_CELL_COLS = ["cell", "kind", "image_id", "lon", "lat", "caption"]
+_UNION_COLS = list(dict.fromkeys(_WAY_CELL_COLS + _IMG_CELL_COLS))
+
+ASSIGN_COLS = ["image_id", "way_id", "dist_m", "method", "way_index",
+               "way_stress", "caption", "lon", "lat", "cell"]
+
+
+def make_way_cell_rows(batch: pd.DataFrame, res: int, pad_m: float,
+                       geom_col: str = "geometry_m",
+                       lonlat_geom: bool = False) -> pd.DataFrame:
+    """Replicate each scored way into every cell its padded bbox covers."""
+    out = {c: [] for c in _WAY_CELL_COLS}
+    for row in batch.itertuples(index=False):
+        blob = getattr(row, geom_col)
+        geom_m = _geom_from_bytes(blob)
+        if lonlat_geom:
+            lonlat = geom_m
+            geom_m = proj.project_coords(lonlat)
+        else:
+            lonlat = proj.unproject_coords(geom_m)
+        for cell in cells.cover_polyline(lonlat, res, pad_m=pad_m):
+            out["cell"].append(int(cell))
+            out["kind"].append(1)
+            out["way_id"].append(row.id)
+            out["way_index"].append(
+                None if pd.isna(row.index) else float(row.index))
+            out["way_stress"].append(
+                None if pd.isna(row.stress_level) else float(row.stress_level))
+            out["way_geom"].append(_geom_to_bytes(geom_m))
+    df = pd.DataFrame(out) if out["cell"] else pd.DataFrame(
+        {c: pd.Series(dtype=object) for c in _WAY_CELL_COLS})
+    for c in _IMG_CELL_COLS:
+        if c not in df.columns:
+            df[c] = None
+    return df[_UNION_COLS]
+
+
+def make_image_cell_rows(batch: pd.DataFrame, res: int) -> pd.DataFrame:
+    df = pd.DataFrame(
+        {
+            "cell": cells.encode(batch["lon"].to_numpy(), batch["lat"].to_numpy(), res),
+            "kind": 0,
+            "image_id": batch["image_id"].to_numpy(),
+            "lon": batch["lon"].to_numpy(),
+            "lat": batch["lat"].to_numpy(),
+            "caption": batch["caption"].to_numpy(),
+        }
+    )
+    for c in _WAY_CELL_COLS:
+        if c not in df.columns:
+            df[c] = None
+    return df[_UNION_COLS]
+
+
+def match_cell_group(group: pd.DataFrame, buffer_m: float,
+                     knn_radius_m: float) -> pd.DataFrame:
+    """Assign each image in the cell to a way: PIP against the way buffer
+    first (nearest way whose buffer contains the point), else nearest way
+    within the kNN radius, else unassigned."""
+    imgs = group[group["kind"] == 0]
+    ways = group[group["kind"] == 1]
+    if not len(imgs):
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in ASSIGN_COLS})
+    n = len(imgs)
+    pts_m = proj.project_coords(
+        np.stack([imgs["lon"].to_numpy(), imgs["lat"].to_numpy()], axis=1))
+
+    best_dist = np.full(n, np.inf)
+    best_way = np.full(n, None, dtype=object)
+    best_idx = np.full(n, np.nan)
+    best_stress = np.full(n, np.nan)
+    # distance to each way (segment-exact); ways per cell are few, images many
+    for way in ways.itertuples(index=False):
+        geom = _geom_from_bytes(way.way_geom)
+        if len(geom) < 2:
+            d = np.hypot(*(pts_m - geom[0]).T)
+        else:
+            d = lines.points_to_segments_distance(pts_m, geom[:-1], geom[1:]).min(axis=1)
+        closer = d < best_dist
+        # deterministic tie-break: smaller way_id wins on exact ties
+        tie = (d == best_dist) & (np.array([
+            (way.way_id < w) if w is not None else False for w in best_way]))
+        upd = closer | tie
+        best_dist[upd] = d[upd]
+        best_way[upd] = way.way_id
+        best_idx[upd] = way.way_index if way.way_index is not None else np.nan
+        best_stress[upd] = way.way_stress if way.way_stress is not None else np.nan
+
+    method = np.where(best_dist <= buffer_m, "pip",
+                      np.where(best_dist <= knn_radius_m, "knn", None))
+    assigned = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].to_numpy(),
+            "way_id": np.where(pd.notna(method), best_way, None),
+            "dist_m": np.where(pd.notna(method), np.round(best_dist, 3), np.nan),
+            "method": method,
+            "way_index": np.where(pd.notna(method), best_idx, np.nan),
+            "way_stress": np.where(pd.notna(method), best_stress, np.nan),
+            "caption": imgs["caption"].to_numpy(),
+            "lon": imgs["lon"].to_numpy(),
+            "lat": imgs["lat"].to_numpy(),
+            "cell": imgs["cell"].to_numpy(),
+        }
+    )
+    return assigned[ASSIGN_COLS]
+
+
+def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
+                          buffer_m: float = 15.0, knn_radius_m: float = 150.0,
+                          res: Optional[int] = None, lat_hint: float = 51.0,
+                          decode_concurrency=(1, 8),
+                          metric_geom: bool = True) -> rd.Dataset:
+    """Full image->way assignment pipeline.  ``scored_ways`` needs columns
+    (id, index, stress_level, geometry_m).  Returns ASSIGN_COLS rows."""
+    if res is None:
+        res = cells.res_for_meters(knn_radius_m, lat_hint)
+
+    imgs = images.map_batches(DecodeValidate, batch_format="pandas",
+                              batch_size=256, concurrency=decode_concurrency)
+    imgs = imgs.filter(lambda r: r["decode_ok"])
+    img_cells = imgs.map_batches(lambda b: make_image_cell_rows(b, res),
+                                 batch_format="pandas")
+    way_cells = scored_ways.map_batches(
+        lambda b: make_way_cell_rows(b, res, pad_m=knn_radius_m,
+                                     lonlat_geom=not metric_geom),
+        batch_format="pandas")
+    return img_cells.union(way_cells).groupby("cell").map_groups(
+        lambda g: match_cell_group(g, buffer_m, knn_radius_m),
+        batch_format="pandas")

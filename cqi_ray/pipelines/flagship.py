@@ -1,0 +1,100 @@
+"""Flagship end-to-end pipeline: documents -> synthetic street imagery ->
+decode/validate -> cell encode -> CQI-scored synthetic ways -> PIP/kNN
+assignment -> tile pyramid.
+
+This is the engine's headline composition (north rule: "H3 encode ->
+PIP/kNN join -> tile assignment" over an image+caption table).  All image
+content is synthesized deterministically from the documents table's ids
+(captions = document text), so the pipeline runs on the driver-provided
+parquet without external data, at any scale factor, shard-independently.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..images import codec, synth
+from .assign import assign_images_to_ways
+from .cqi import dataset_from_rows, score_ways_dataset
+from .tiles import render_tiles
+
+EXTENT = (13.40, 51.00, 13.60, 51.10)
+_N_CENTERS = 8
+
+
+def _hash_unit(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniforms in [0,1) from int ids (Knuth multiplicative)."""
+    x = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(salt)) \
+        % np.uint64(2**32)
+    return x.astype(np.float64) / float(2**32)
+
+
+def images_from_documents(batch: pd.DataFrame, size_px: int = 32) -> pd.DataFrame:
+    """One synthetic street-level image row per document row.  Positions are
+    heavy-tailed around urban centers (u^2 bias onto center 0) to exercise
+    the salted/skewed-cell path of the spatial join."""
+    ids = batch["doc_id"].to_numpy(dtype=np.int64)
+    lon0, lat0, lon1, lat1 = EXTENT
+    centers_lon = lon0 + (np.arange(_N_CENTERS) + 0.5) * (lon1 - lon0) / _N_CENTERS
+    centers_lat = lat0 + ((np.arange(_N_CENTERS) * 37) % _N_CENTERS + 0.5) \
+        * (lat1 - lat0) / _N_CENTERS
+    u1 = _hash_unit(ids, 1)
+    u2 = _hash_unit(ids, 2)
+    u3 = _hash_unit(ids, 3)
+    center = np.floor(u1 * u1 * _N_CENTERS).astype(np.int64)  # skew: ~heavy on 0
+    lon = centers_lon[center] + (u2 - 0.5) * 0.01
+    lat = centers_lat[center] + (u3 - 0.5) * 0.006
+
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+            "caption": [], "phash": [], "lon": [], "lat": []}
+    for i, doc_id in enumerate(ids):
+        px = synth._pixels_for(int(doc_id), size_px, size_px)
+        fmt = ("png", "raw", "jpeg")[int(doc_id) % 3]
+        if fmt == "png":
+            blob = codec.png_encode(px)
+        elif fmt == "raw":
+            blob = codec.raw_encode(px)
+        else:
+            blob = b"FJPG" + codec.raw_encode(px)
+        rows["image_id"].append(f"img_{int(doc_id):012d}")
+        rows["bytes"].append(blob)
+        rows["w"].append(size_px)
+        rows["h"].append(size_px)
+        rows["fmt"].append(fmt)
+        rows["caption"].append(batch["text"].iloc[i])
+        rows["phash"].append(codec.phash64(px))
+        rows["lon"].append(float(lon[i]))
+        rows["lat"].append(float(lat[i]))
+    return pd.DataFrame(rows)
+
+
+def build_images(sf_dir: str, limit: Optional[int] = None) -> rd.Dataset:
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    if limit:
+        docs = docs.limit(limit)
+    return docs.map_batches(images_from_documents, batch_format="pandas",
+                            batch_size=512)
+
+
+def build_scored_ways(n_ways: int = 64) -> rd.Dataset:
+    rows = synth.synth_ways_grid(n_ways, extent=EXTENT)
+    return score_ways_dataset(dataset_from_rows(rows))
+
+
+def run_flagship(sf_dir: str, n_ways: int = 64,
+                 image_limit: Optional[int] = None,
+                 with_tiles: bool = False, zooms=(15,)):
+    """Returns the assignments Dataset (and optionally the tiles Dataset)."""
+    scored = build_scored_ways(n_ways)
+    images = build_images(sf_dir, limit=image_limit)
+    assignments = assign_images_to_ways(images, scored)
+    if with_tiles:
+        return assignments, render_tiles(scored, zooms=zooms)
+    return assignments

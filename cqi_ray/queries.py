@@ -1,0 +1,511 @@
+"""Driver-facing query catalog: every operator family exposed as a
+callable ``(sf_dir) -> Dataset | DataFrame | Table`` plus, where the
+semantics are ANSI-SQL-expressible, a DuckDB oracle string with IDENTICAL
+column names (the driver hash-compares values after sorting columns by
+name).
+
+Grouped per SURVEY.md §2 plus the training-data additions (dedup /
+similarity / text analysis).  Non-SQL-expressible pipelines (CQI golden
+scoring, spatial assignment, tiles, MinHash/SimHash) ship without an
+oracle entry — the driver then records the weaker rows-only check and the
+pytest golden suite carries exactness.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .ops.ann import batch_topk_partials, merge_topk
+from .ops.dedup import MinHasher, band_rows, char_shingles, jaccard, simhash64
+from .ops.text import LangId, TextStats, fingerprint_batch
+from .relational import (broadcast_map_join, bucketed_hash_join, exact_dedup,
+                         partial_then_global_sum)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pq(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational core (filters / projections / aggregates / joins / topk)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["l_quantity"], 30),
+                                   pc.equal(t["l_returnflag"], "R"))),
+        batch_format="pyarrow")
+    return ds.select_columns(["l_orderkey", "l_quantity", "l_extendedprice"])
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+"""
+
+
+def q_groupby_agg(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = partial_then_global_sum(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        sums={"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        counts="cnt")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_qty"] = batch["sum_qty"].round(2)
+        batch["sum_price"] = batch["sum_price"].round(2)
+        batch["cnt"] = batch["cnt"].astype("int64")
+        return batch
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+Q_GROUPBY_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_broadcast(sf_dir: str):
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _pq(sf_dir, "customer",
+                   columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    customer = customer.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_map_join(orders, customer, on="o_custkey", how="inner")
+    agg = partial_then_global_sum(joined, keys=["c_mktsegment"],
+                                  sums={"o_totalprice": "total"}, counts="n_orders")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total"] = batch["total"].round(2)
+        batch["n_orders"] = batch["n_orders"].astype("int64")
+        return batch
+
+    return agg.map_batches(_round, batch_format="pandas")
+
+
+Q_JOIN_BROADCAST_SQL = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_bucketed(sf_dir: str):
+    lineitem = _pq(sf_dir, "lineitem", columns=["l_orderkey"])
+    lineitem = lineitem.map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(lineitem, orders, on="o_orderkey",
+                                right_cols=["o_orderkey", "o_orderpriority"],
+                                num_buckets=16, how="inner")
+    counted = joined.groupby("o_orderpriority").count()
+    return counted.map_batches(
+        lambda b: b.rename(columns={"count()": "n_items"}).astype({"n_items": "int64"}),
+        batch_format="pandas")
+
+
+Q_JOIN_BUCKETED_SQL = """
+SELECT o_orderpriority, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_topk(sf_dir: str):
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False]).limit(10)
+
+
+Q_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct(sf_dir: str):
+    events = _pq(sf_dir, "events", columns=["event_type"])
+    return events.groupby("event_type").count().select_columns(["event_type"])
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def q_events_agg(sf_dir: str):
+    events = _pq(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    agg = partial_then_global_sum(events, keys=["user_id", "event_type"],
+                                  sums={"value": "total_value"}, counts="n")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_value"] = batch["total_value"].round(2)
+        batch["n"] = batch["n"].astype("int64")
+        return batch
+
+    return agg.map_batches(_round, batch_format="pandas")
+
+
+Q_EVENTS_AGG_SQL = """
+SELECT user_id, event_type, round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(docs, key="text", order_col="doc_id")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
+                    threshold: float = 0.6):
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+    shingle->sign->band (map_batches, actor pool) -> groupby(band) ->
+    candidate pairs -> verify (second pass against broadcast texts)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    text_by_id = ray.put(dict(zip(*[docs.to_pandas()[c] for c in ("doc_id", "text")])))
+
+    class Signer:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = self.mh.signatures_batch(batch["text"].tolist())
+            return band_rows(sigs, batch["doc_id"].to_numpy(), bands=bands)
+
+    banded = docs.map_batches(Signer, batch_format="pandas", concurrency=(1, 8))
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(text_by_id)  # object-store local after first fetch
+        ids = sorted(set(group["doc_id"].tolist()))
+        rows = {"a": [], "b": []}
+        for i in range(len(ids)):
+            sh_i = char_shingles(texts[ids[i]])
+            for j in range(i + 1, len(ids)):
+                if jaccard(sh_i, char_shingles(texts[ids[j]])) >= threshold:
+                    rows["a"].append(ids[i])
+                    rows["b"].append(ids[j])
+        return pd.DataFrame(rows) if rows["a"] else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        verify_group, batch_format="pandas")
+    # same pair can surface from several bands -> distinct
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _sim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "simhash": simhash64(batch["text"].tolist())})
+
+    return docs.map_batches(_sim, batch_format="pandas")
+
+
+def q_dedup_embedding(sf_dir: str, threshold: float = 0.35):
+    """All-pairs cosine near-dup over the embedding column: each batch is
+    scored against the broadcast normalized corpus (one pass, no shuffle)."""
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((pdf["vec_id"].to_numpy(), mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            sims = bm @ self.mat.T
+            bids = batch["vec_id"].to_numpy()
+            rows = {"a": [], "b": []}
+            for i in range(len(bids)):
+                hits = np.where(sims[i] >= threshold)[0]
+                for j in hits:
+                    if bids[i] < self.ids[j]:
+                        rows["a"].append(int(bids[i]))
+                        rows["b"].append(int(self.ids[j]))
+            return pd.DataFrame(rows) if rows["a"] else pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+
+    return emb.map_batches(PairFinder, batch_format="pandas", concurrency=(1, 8))
+
+
+Q_DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 4):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch partial
+    top-k, tiny driver-side merge."""
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    ref = ray.put(qmat)
+
+    class Partial:
+        def __init__(self):
+            self.q = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy())
+            return batch_topk_partials(batch["vec_id"].to_numpy(), mat, self.q, k)
+
+    partials = emb.map_batches(Partial, batch_format="pandas",
+                               concurrency=(1, 8)).to_pandas()
+    top = merge_topk(partials, k)
+    top["query_id"] = qids[top["query_id"].to_numpy()]
+    return top[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+Q_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(TextStats, batch_format="pandas", concurrency=(1, 8))
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+Q_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(TextStats, batch_format="pandas", concurrency=(1, 8))
+    return out.select_columns(["doc_id", "n_chars", "n_punct"])
+
+
+Q_TEXT_QUALITY_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(fingerprint_batch, batch_format="pandas")
+    return out.select_columns(["doc_id", "content_md5"])
+
+
+Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# spatial kernels with arithmetic oracles
+# ---------------------------------------------------------------------------
+
+_CELL_RES = 17
+_CELL_N = 1 << _CELL_RES
+
+
+def q_cell_encode(sf_dir: str):
+    """Row-major grid-cell encoding of deterministic per-event coordinates
+    (SQL-friendly form of the Morton encoder's (x, y) stage)."""
+    events = _pq(sf_dir, "events", columns=["event_id"])
+
+    def _enc(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(dtype=np.int64)
+        lon = 13.4 + (ids % 1000) * 0.0002
+        lat = 51.0 + ((ids // 1000) % 1000) * 0.0001
+        ix = np.floor((lon + 180.0) / 360.0 * _CELL_N).astype(np.int64)
+        iy = np.floor((lat + 90.0) / 180.0 * _CELL_N).astype(np.int64)
+        return pd.DataFrame({"event_id": ids, "grid_cell": ix * _CELL_N + iy})
+
+    return events.map_batches(_enc, batch_format="pandas")
+
+
+Q_CELL_ENCODE_SQL = f"""
+SELECT event_id,
+       CAST(floor((13.4 + (event_id % 1000) * 0.0002 + 180.0) / 360.0 * {_CELL_N}) AS BIGINT) * {_CELL_N}
+     + CAST(floor((51.0 + ((event_id // 1000) % 1000) * 0.0001 + 90.0) / 180.0 * {_CELL_N}) AS BIGINT)
+       AS grid_cell
+FROM events
+"""
+
+
+def q_knn_assign(sf_dir: str):
+    """kNN (k=1) assignment of synthetic customer points to synthetic
+    nation centers — the SQL-checkable skeleton of the image->way kNN."""
+    customer = _pq(sf_dir, "customer", columns=["c_custkey"])
+    nation = _pq(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    ck = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    cx = (ck * 211) % 1000
+    cy = (ck * 457) % 1000
+    ref = ray.put((ck, cx, cy))
+
+    class Assign:
+        def __init__(self):
+            self.ck, self.cx, self.cy = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+            px = (keys * 37) % 1000
+            py = (keys * 91) % 1000
+            d2 = (px[:, None] - self.cx[None, :]) ** 2 \
+                + (py[:, None] - self.cy[None, :]) ** 2
+            # deterministic: min by (d2, center id); centers pre-sorted by id
+            order = np.argsort(self.ck, kind="stable")
+            d2o = d2[:, order]
+            best = order[np.argmin(d2o, axis=1)]
+            return pd.DataFrame({"c_custkey": keys,
+                                 "nearest_center": self.ck[best].astype("int64")})
+
+    return customer.map_batches(Assign, batch_format="pandas",
+                                concurrency=(1, 8))
+
+
+Q_KNN_ASSIGN_SQL = """
+WITH pts AS (SELECT c_custkey, (c_custkey * 37) % 1000 AS px,
+                    (c_custkey * 91) % 1000 AS py FROM customer),
+ctr AS (SELECT n_nationkey, (n_nationkey * 211) % 1000 AS cx,
+               (n_nationkey * 457) % 1000 AS cy FROM nation),
+d AS (SELECT c_custkey, n_nationkey,
+             (px - cx) * (px - cx) + (py - cy) * (py - cy) AS d2
+      FROM pts CROSS JOIN ctr)
+SELECT c_custkey, n_nationkey AS nearest_center FROM (
+  SELECT c_custkey, n_nationkey,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY d2, n_nationkey) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CQI + spatial pipelines (no SQL oracle: golden pytest carries exactness)
+# ---------------------------------------------------------------------------
+
+def q_cqi_scores(sf_dir: str):
+    """Full CQI scoring of the conformance corpus through the distributed
+    pipeline (exactness enforced by tests/test_golden.py)."""
+    from .io.geojson import read_ways_geojson
+    from .pipelines.cqi import dataset_from_rows, score_ways_dataset
+
+    rows = read_ways_geojson(os.path.join(_REPO, "tests", "data", "test_ways.geojson"))
+    scored = score_ways_dataset(dataset_from_rows(rows))
+    return scored.drop_columns(["geometry_m"])
+
+
+def q_images_assign(sf_dir: str):
+    from .pipelines.flagship import run_flagship
+
+    out = run_flagship(sf_dir)
+    return out.map_batches(
+        lambda b: b[["image_id", "way_id", "method", "dist_m", "caption"]],
+        batch_format="pandas")
+
+
+def q_tiles(sf_dir: str):
+    from .pipelines.flagship import build_scored_ways
+    from .pipelines.tiles import render_tiles
+
+    tiles = render_tiles(build_scored_ways(64), zooms=(14, 15))
+    return tiles.map_batches(lambda b: b[["z", "x", "y", "n_ways"]],
+                             batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "groupby_agg": q_groupby_agg,
+    "join_broadcast": q_join_broadcast,
+    "join_bucketed": q_join_bucketed,
+    "topk": q_topk,
+    "distinct": q_distinct,
+    "events_agg": q_events_agg,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "cell_encode": q_cell_encode,
+    "knn_assign": q_knn_assign,
+    "cqi_scores": q_cqi_scores,
+    "images_assign": q_images_assign,
+    "tiles": q_tiles,
+}
+
+ORACLES = {
+    "filter_project": Q_FILTER_PROJECT_SQL,
+    "groupby_agg": Q_GROUPBY_AGG_SQL,
+    "join_broadcast": Q_JOIN_BROADCAST_SQL,
+    "join_bucketed": Q_JOIN_BUCKETED_SQL,
+    "topk": Q_TOPK_SQL,
+    "distinct": Q_DISTINCT_SQL,
+    "events_agg": Q_EVENTS_AGG_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
+    "ann_topk": Q_ANN_TOPK_SQL,
+    "token_count": Q_TOKEN_COUNT_SQL,
+    "text_quality": Q_TEXT_QUALITY_SQL,
+    "fingerprint": Q_FINGERPRINT_SQL,
+    "cell_encode": Q_CELL_ENCODE_SQL,
+    "knn_assign": Q_KNN_ASSIGN_SQL,
+}

@@ -1,0 +1,115 @@
+"""Image codec / phash / synthetic-table tests incl. the PSNR + caption
+invariants from the north rule."""
+
+import numpy as np
+import pytest
+
+from cqi_ray.images import codec, synth
+
+
+class TestCodec:
+    def test_png_roundtrip_exact(self):
+        px = synth._pixels_for(3, 40, 56)
+        assert np.array_equal(codec.png_decode(codec.png_encode(px)), px)
+
+    def test_png_grayscale_and_rgba(self):
+        import struct
+        import zlib
+
+        # grayscale (color type 0)
+        h, w = 8, 8
+        gray = np.arange(64, dtype=np.uint8).reshape(h, w)
+        raw = np.zeros((h, 1 + w), dtype=np.uint8)
+        raw[:, 1:] = gray
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        data = (codec._PNG_SIG + codec._chunk(b"IHDR", ihdr)
+                + codec._chunk(b"IDAT", zlib.compress(raw.tobytes()))
+                + codec._chunk(b"IEND", b""))
+        out = codec.png_decode(data)
+        assert out.shape == (8, 8, 3)
+        assert np.array_equal(out[:, :, 0], gray)
+
+    def test_raw_roundtrip(self):
+        px = synth._pixels_for(9, 16, 16)
+        assert np.array_equal(codec.raw_decode(codec.raw_encode(px), 16, 16), px)
+
+    def test_jpeg_stub(self):
+        px = synth._pixels_for(1, 8, 8)
+        blob = b"FJPG" + codec.raw_encode(px)
+        assert np.array_equal(codec.decode_image(blob, "jpeg", 8, 8), px)
+        with pytest.raises(NotImplementedError):
+            codec.decode_image(b"\xff\xd8\xff\xe0real", "jpeg", 8, 8,
+                               allow_fake_jpeg=True)
+
+    def test_psnr(self):
+        px = synth._pixels_for(5, 32, 32)
+        assert codec.psnr(px, px) == float("inf")
+        noisy = np.clip(px.astype(int) + 3, 0, 255).astype(np.uint8)
+        val = codec.psnr(px, noisy)
+        assert 35 < val < 45  # +-3 uniform error ~= 38.6 dB
+
+    def test_phash_properties(self):
+        a = synth._pixels_for(10, 64, 64)
+        b = synth._pixels_for(11, 64, 64)
+        ha, hb = codec.phash64(a), codec.phash64(b)
+        assert ha == codec.phash64(a)
+        assert codec.hamming64([ha], [ha])[0] == 0
+        assert codec.hamming64([ha], [hb])[0] > 0
+        # phash is scale-robust: same pattern at 2x resolution hashes close
+        big = np.kron(a, np.ones((2, 2, 1))).astype(np.uint8)
+        assert codec.hamming64([ha], [codec.phash64(big)])[0] <= 6
+
+
+class TestSynthTable:
+    def test_schema_and_determinism(self):
+        t1 = synth.synth_images_table(25, seed=42)
+        t2 = synth.synth_images_table(25, seed=42)
+        assert t1.equals(t2)
+        assert t1.schema.names == ["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash", "lon", "lat"]
+        assert str(t1.schema.field("bytes").type) == "binary"
+        assert str(t1.schema.field("phash").type) == "int64"
+
+    def test_decode_psnr_invariant(self):
+        """Every synthesized payload decodes back to its source pixels with
+        PSNR >= 40 dB (lossless here: infinite)."""
+        t = synth.synth_images_table(12, seed=42)
+        for i in range(t.num_rows):
+            px = codec.decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py(),
+                                    t["w"][i].as_py(), t["h"][i].as_py())
+            src = synth._pixels_for(i, 48, 48)
+            assert codec.psnr(src, px) >= 40
+            assert codec.phash64(px) == t["phash"][i].as_py()
+
+    def test_sharded_generation_is_consistent(self):
+        whole = synth.synth_images_table(20, seed=42).to_pandas()
+        part = synth.synth_images_table(10, seed=42, start_index=10).to_pandas()
+        assert list(part["image_id"]) == list(whole["image_id"][10:])
+        assert list(part["caption"]) == list(whole["caption"][10:])
+        assert [bytes(b) for b in part["bytes"]] == \
+            [bytes(b) for b in whole["bytes"][10:]]
+
+
+class TestDecodeValidateStage:
+    def test_actor_stage(self, ray_session):
+        import ray.data as rd
+        from cqi_ray.pipelines.assign import DecodeValidate
+
+        t = synth.synth_images_table(30, seed=42)
+        out = rd.from_arrow(t).map_batches(
+            DecodeValidate, batch_format="pandas", batch_size=16,
+            concurrency=2).to_pandas()
+        assert out["decode_ok"].all()
+        assert out["phash_ok"].all()
+
+    def test_corrupt_payloads_flagged(self, ray_session):
+        import ray.data as rd
+        from cqi_ray.pipelines.assign import DecodeValidate
+
+        t = synth.synth_images_table(6, seed=42).to_pandas()
+        t.loc[0, "bytes"] = b"not an image"
+        out = rd.from_pandas(t).map_batches(
+            DecodeValidate, batch_format="pandas", concurrency=1).to_pandas()
+        by_id = out.set_index("image_id")["decode_ok"]
+        assert not by_id.loc[t.loc[0, "image_id"]]
+        assert by_id.drop(t.loc[0, "image_id"]).all()

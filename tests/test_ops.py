@@ -1,0 +1,133 @@
+"""Training-data ops: dedup family, ANN, text analysis — verified against
+brute-force / polars / duckdb oracles at small scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cqi_ray.ops import ann, dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs():
+    import pyarrow.parquet as pq
+
+    return pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    return t
+
+
+class TestMinHash:
+    def test_signature_approximates_jaccard(self, docs):
+        mh = dedup.MinHasher(num_perm=256)
+        texts = docs["text"].head(30).tolist()
+        # a doc vs a mutated copy: known-high jaccard
+        base = texts[0]
+        near = base + " extra token"
+        s1, s2 = mh.signatures_batch([base, near])
+        est = float((s1 == s2).mean())
+        true = dedup.jaccard(dedup.char_shingles(base), dedup.char_shingles(near))
+        assert abs(est - true) < 0.15
+
+    def test_lsh_recall_on_planted_dups(self):
+        rng = np.random.default_rng(0)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        base_docs = [" ".join(rng.choice(words, 40)) for _ in range(20)]
+        dups = [d + " tail" for d in base_docs[:5]]
+        all_docs = base_docs + dups
+        mh = dedup.MinHasher(num_perm=64)
+        sigs = mh.signatures_batch(all_docs)
+        banded = dedup.band_rows(sigs, np.arange(len(all_docs)), bands=16)
+        cands = set()
+        for _, grp in banded.groupby(["band_id", "band_hash"]):
+            cands.update(dedup.candidate_pairs_from_bucket(grp["doc_id"]))
+        for i in range(5):
+            assert (i, 20 + i) in cands  # every planted dup pair surfaces
+
+    def test_simhash_similar_docs_close(self):
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = a + " tail"
+        c = "completely different words entirely unrelated content here"
+        ha, hb, hc = dedup.simhash64([a, b, c])
+        from cqi_ray.images.codec import hamming64
+
+        assert hamming64([ha], [hb])[0] < hamming64([ha], [hc])[0]
+
+
+class TestEmbeddingOps:
+    def test_cosine_pairs_match_bruteforce(self, embeddings):
+        mat = np.stack(embeddings["embedding"].head(100).to_numpy())
+        ids = embeddings["vec_id"].head(100).to_numpy()
+        pairs = dedup.cosine_dup_pairs(mat, ids, threshold=0.3)
+        x = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = x @ x.T
+        expected = {(int(ids[i]), int(ids[j]))
+                    for i in range(100) for j in range(i + 1, 100)
+                    if sims[i, j] >= 0.3}
+        assert {(a, b) for a, b, _ in pairs} == expected
+
+    def test_topk_merge_equals_global(self, embeddings):
+        mat = np.stack(embeddings["embedding"].to_numpy()).astype(np.float64)
+        ids = embeddings["vec_id"].to_numpy()
+        q = mat[:3]
+        # partials over two arbitrary shards must merge to the global answer
+        p1 = ann.batch_topk_partials(ids[:200], mat[:200], q, k=4)
+        p2 = ann.batch_topk_partials(ids[200:], mat[200:], q, k=4)
+        merged = ann.merge_topk(pd.concat([p1, p2]), 4)
+        full = ann.merge_topk(ann.batch_topk_partials(ids, mat, q, k=4), 4)
+        assert merged[["query_id", "vec_id", "rank"]].to_dict("records") == \
+            full[["query_id", "vec_id", "rank"]].to_dict("records")
+
+    def test_lsh_buckets_deterministic(self, embeddings):
+        mat = np.stack(embeddings["embedding"].head(50).to_numpy())
+        lsh = ann.HyperplaneLSH(dim=mat.shape[1], n_planes=10)
+        b1 = lsh.bucket(mat)
+        b2 = ann.HyperplaneLSH(dim=mat.shape[1], n_planes=10).bucket(mat)
+        assert np.array_equal(b1, b2)
+        probes = lsh.probe_buckets(b1, n_probe_bits=2)
+        assert probes.shape == (50, 3)
+        assert (probes[:, 0] == b1).all()
+
+
+class TestTextOps:
+    def test_token_count_matches_duckdb(self, docs):
+        import duckdb
+
+        stats = text.TextStats()(docs.copy())
+        con = duckdb.connect()
+        con.register("docs", docs)
+        oracle = con.execute(
+            "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n FROM docs"
+        ).df()
+        assert stats["n_tokens"].tolist() == oracle["n"].tolist()
+
+    def test_quality_scores_bounded(self, docs):
+        stats = text.TextStats()(docs.copy())
+        assert ((stats["quality_score"] >= 0) & (stats["quality_score"] <= 1)).all()
+        assert (stats["n_subword_tokens"] >= stats["n_tokens"]).all()
+
+    def test_langid(self):
+        frame = pd.DataFrame({"text": [
+            "the cat sat on the mat and it was a good day for the dog",
+            "der Hund und die Katze sind nicht auf dem Tisch",
+            "le chat est dans la maison avec le chien et il est content",
+            "xyzzy plugh",
+        ]})
+        out = text.LangId()(frame)
+        assert out["lang_pred"].tolist() == ["en", "de", "fr", "und"]
+
+    def test_fingerprints(self, docs):
+        out = text.fingerprint_batch(docs.head(10).copy())
+        again = text.fingerprint_batch(docs.head(10).copy())
+        assert out["fingerprint"].tolist() == again["fingerprint"].tolist()
+        import hashlib
+
+        assert out["content_md5"].iloc[0] == hashlib.md5(
+            docs["text"].iloc[0].encode()).hexdigest()
