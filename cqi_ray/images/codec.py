@@ -164,20 +164,19 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
-    """Box-average resize to (size, size) — deterministic, no interpolation lib."""
+    """Box-average resize to (size, size) — deterministic, fully vectorized
+    via an integral image (no Python-per-pixel loop)."""
     h, w = gray.shape
     ys = (np.arange(size + 1) * h // size).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
     integral = np.zeros((h + 1, w + 1), dtype=np.float64)
     integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    out = np.empty((size, size), dtype=np.float64)
-    for i in range(size):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        rows = integral[y1] - integral[y0]
-        for j in range(size):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = (rows[x1] - rows[x0]) / ((y1 - y0) * (x1 - x0))
-    return out
+    total = (integral[np.ix_(y1, x1)] - integral[np.ix_(y0, x1)]
+             - integral[np.ix_(y1, x0)] + integral[np.ix_(y0, x0)])
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return total / areas
 
 
 def phash64(pixels: np.ndarray) -> int:

@@ -18,14 +18,11 @@ import pandas as pd
 _MERSENNE = (1 << 61) - 1
 
 
-def _stable_u64(values: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes of strings (blake2b, platform-stable)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64
-        )[0]
-    return out
+def _stable_u64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of strings (pandas' C siphash with a
+    fixed key — platform- and process-stable, vectorized)."""
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, hash_key="cqi.dedup.v1.key", categorize=False)
 
 
 def char_shingles(text: str, k: int = 5) -> set[str]:
@@ -64,28 +61,28 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = sorted(char_shingles(text, self.shingle_k))
-        if not sh:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        hv = _stable_u64(sh).astype(object)  # object to avoid mod overflow
-        hv = np.array([int(x) for x in hv], dtype=object)
-        mins = np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        for j in range(self.num_perm):
-            vals = (int(self.a[j]) * hv + int(self.b[j])) % _MERSENNE
-            mins[j] = np.uint64(min(vals))
-        return mins
+        return self.signatures_batch([text])[0]
 
     def signatures_batch(self, texts) -> np.ndarray:
-        """(n, num_perm) matrix, vectorized over the shingle axis."""
-        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = sorted(char_shingles(t, self.shingle_k))
-            if not sh:
-                out[i] = 0
+        """(n, num_perm) matrix.  All shingles of the batch are hashed in one
+        vectorized call; the permutation min runs as one (num_perm x
+        n_shingles) numpy reduction per doc."""
+        shingle_sets = [char_shingles(t, self.shingle_k) for t in texts]
+        flat = [s for ss in shingle_sets for s in ss]
+        out = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+        if not flat:
+            return out
+        hv_all = _stable_u64(flat)
+        pos = 0
+        for i, ss in enumerate(shingle_sets):
+            n = len(ss)
+            if not n:
                 continue
-            hv = _stable_u64(sh)
+            hv = hv_all[pos:pos + n]
+            pos += n
             # (num_perm, n_shingles) via uint64 wrap-around mul/add, then mod
-            prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+            prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) \
+                % np.uint64(_MERSENNE)
             out[i] = prod.min(axis=1)
         return out
 
@@ -142,3 +139,37 @@ def cosine_dup_pairs(mat: np.ndarray, ids, threshold: float = 0.95) -> list[tupl
     ids = np.asarray(ids)
     return list(zip(ids[iu[0][mask]].tolist(), ids[iu[1][mask]].tolist(),
                     np.round(sims[iu][mask], 6).tolist()))
+
+
+def phash_band_rows(phashes, doc_ids, bands: int = 4) -> pd.DataFrame:
+    """LSH banding for 64-bit perceptual hashes: split into ``bands``
+    16-bit chunks; near-dups (hamming <= bands-1... typically <= 6 with 4
+    bands) collide on at least one unchanged band (pigeonhole)."""
+    h = np.asarray(phashes, dtype=np.int64).astype(np.uint64)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    band_id = np.repeat(np.arange(bands, dtype=np.int32), len(h))
+    chunks = [((h >> np.uint64(b * width)) & mask).astype(np.int64)
+              for b in range(bands)]
+    return pd.DataFrame({
+        "band_id": band_id,
+        "band_hash": np.concatenate(chunks),
+        "doc_id": np.tile(np.asarray(doc_ids), bands),
+    })
+
+
+def phash_dup_pairs_in_bucket(doc_ids, hashes, max_hamming: int = 6):
+    """Verify hamming distance for candidate ids inside one band bucket."""
+    from ..images.codec import hamming64
+
+    ids = np.asarray(doc_ids)
+    h = np.asarray(hashes, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, h = ids[order], h[order]
+    out = []
+    for i in range(len(ids)):
+        d = hamming64(np.full(len(ids) - i - 1, h[i]), h[i + 1:])
+        for j in np.nonzero(d <= max_hamming)[0]:
+            if ids[i] != ids[i + 1 + j]:
+                out.append((ids[i], ids[i + 1 + j], int(d[j])))
+    return out

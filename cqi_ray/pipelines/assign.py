@@ -27,6 +27,7 @@ import ray.data as rd
 
 from ..geo import cells, lines, proj
 from ..images import codec
+from ..relational import grouped_map_buckets
 
 
 def _geom_from_bytes(blob: bytes) -> np.ndarray:
@@ -186,25 +187,78 @@ def match_cell_group(group: pd.DataFrame, buffer_m: float,
     return assigned[ASSIGN_COLS]
 
 
+def estimate_hot_cells(images: rd.Dataset, res: int,
+                       rows_per_group: int = 20_000) -> dict[int, int]:
+    """Cheap pre-pass: per-cell image counts (partial count inside
+    map_batches, tiny global groupby) -> {cell: salt_k} for cells whose
+    group would exceed ``rows_per_group``.  This is the skew detector for
+    salted repartitioning of hot urban cells."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cells.encode(batch["lon"].to_numpy(), batch["lat"].to_numpy(), res)
+        vals, counts = np.unique(c, return_counts=True)
+        return pd.DataFrame({"cell": vals, "n": counts})
+
+    from ray.data.aggregate import Sum
+
+    counts = images.select_columns(["lon", "lat"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas()
+    hot = counts[counts["n"] > rows_per_group]
+    return {int(c): int(-(-n // rows_per_group))
+            for c, n in zip(hot["cell"], hot["n"])}
+
+
+def _salted(df: pd.DataFrame, hot: dict[int, int], is_way_side: bool) -> pd.DataFrame:
+    """Salting: image rows of a hot cell scatter into k sub-groups
+    (salt = stable hash of image_id), way rows replicate into all k.
+    Non-hot cells keep salt 0.  Group key becomes (cell, salt)."""
+    if not hot:
+        df = df.copy()
+        df["salt"] = np.int64(0)
+        return df
+    cellv = df["cell"].to_numpy()
+    k = np.array([hot.get(int(c), 1) for c in cellv], dtype=np.int64)
+    if is_way_side:
+        reps = df.loc[df.index.repeat(k)].reset_index(drop=True)
+        salt = np.concatenate([np.arange(n, dtype=np.int64) for n in k]) \
+            if len(k) else np.array([], dtype=np.int64)
+        reps["salt"] = salt
+        return reps
+    ids = pd.util.hash_array(df["image_id"].to_numpy(dtype=object),
+                             hash_key="0" * 16)
+    df = df.copy()
+    df["salt"] = (ids % k.astype(np.uint64)).astype(np.int64)
+    return df
+
+
 def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
                           buffer_m: float = 15.0, knn_radius_m: float = 150.0,
                           res: Optional[int] = None, lat_hint: float = 51.0,
                           decode_concurrency=(1, 8),
-                          metric_geom: bool = True) -> rd.Dataset:
+                          metric_geom: bool = True,
+                          hot_cells: Optional[dict[int, int]] = None) -> rd.Dataset:
     """Full image->way assignment pipeline.  ``scored_ways`` needs columns
-    (id, index, stress_level, geometry_m).  Returns ASSIGN_COLS rows."""
+    (id, index, stress_level, geometry_m).  Returns ASSIGN_COLS rows.
+
+    ``hot_cells`` ({cell: k} from :func:`estimate_hot_cells`) splits
+    oversized urban cells into k salted sub-groups (images scattered, ways
+    replicated) so no single group exceeds the per-task memory budget."""
     if res is None:
         res = cells.res_for_meters(knn_radius_m, lat_hint)
 
     imgs = images.map_batches(DecodeValidate, batch_format="pandas",
                               batch_size=256, concurrency=decode_concurrency)
-    imgs = imgs.filter(lambda r: r["decode_ok"])
-    img_cells = imgs.map_batches(lambda b: make_image_cell_rows(b, res),
-                                 batch_format="pandas")
+    imgs = imgs.map_batches(lambda b: b[b["decode_ok"]], batch_format="pandas")
+    img_cells = imgs.map_batches(
+        lambda b: _salted(make_image_cell_rows(b, res), hot_cells or {}, False),
+        batch_format="pandas")
     way_cells = scored_ways.map_batches(
-        lambda b: make_way_cell_rows(b, res, pad_m=knn_radius_m,
-                                     lonlat_geom=not metric_geom),
+        lambda b: _salted(make_way_cell_rows(b, res, pad_m=knn_radius_m,
+                                             lonlat_geom=not metric_geom),
+                          hot_cells or {}, True),
         batch_format="pandas")
-    return img_cells.union(way_cells).groupby("cell").map_groups(
+    return grouped_map_buckets(
+        img_cells.union(way_cells), ["cell", "salt"],
         lambda g: match_cell_group(g, buffer_m, knn_radius_m),
-        batch_format="pandas")
+        num_buckets=128)

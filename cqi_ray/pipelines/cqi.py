@@ -33,6 +33,7 @@ from typing import Iterable, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -40,7 +41,7 @@ from ..params import CQIParams, DEFAULT_PARAMS, INPUT_TAG_COLUMNS, OUTPUT_COLUMN
 from .. import offsets, scoring, sidepath
 from .. import tags as T
 from ..geo import lines, proj
-from ..relational import bucketed_hash_join
+from ..relational import bucketed_hash_join, grouped_map_buckets
 
 _CELL_EDGE_FACTOR = 2.0  # cell edge = factor * buffer radius
 
@@ -78,15 +79,31 @@ def ways_rows_to_arrow(rows: list[dict]) -> pa.Table:
     return pa.table(cols)
 
 
-def dataset_from_rows(rows: list[dict]) -> rd.Dataset:
-    return rd.from_arrow(ways_rows_to_arrow(rows))
+def dataset_from_rows(rows: list[dict], rows_per_block: int = 2048) -> rd.Dataset:
+    """Split into multiple Arrow blocks up front so every downstream stage
+    parallelizes (a single from_arrow block would serialize the pipeline)."""
+    table = ways_rows_to_arrow(rows)
+    if table.num_rows <= rows_per_block:
+        return rd.from_arrow(table)
+    chunks = [table.slice(i, rows_per_block)
+              for i in range(0, table.num_rows, rows_per_block)]
+    return rd.from_arrow(chunks)
 
 
 def _project_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    geoms = []
-    for g in batch["geometry"]:
-        arr = geom_from_bytes(g)
-        geoms.append(geom_to_bytes(proj.project_coords(arr)))
+    """Vectorized reprojection: one UTM transform over the concatenation of
+    every geometry in the batch, then re-split."""
+    blobs = batch["geometry"].to_numpy()
+    counts = np.fromiter((len(b) // 16 for b in blobs), dtype=np.int64,
+                         count=len(blobs))
+    if len(blobs):
+        flat = np.frombuffer(b"".join(blobs), dtype="<f8").reshape(-1, 2)
+        projected = proj.project_coords(flat)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        geoms = [np.ascontiguousarray(projected[offsets[i]:offsets[i + 1]]).tobytes()
+                 for i in range(len(blobs))]
+    else:
+        geoms = []
     batch = batch.copy()
     batch["geometry_m"] = geoms
     return batch
@@ -108,6 +125,31 @@ _PAIR_COLS = ["way_id", "point_order", "road_seq", "road_id", "road_highway",
 
 _FOLD_COLS = ("id", "sp_sidepath", "sp_highway", "sp_maxspeed", "sp_name")
 
+_UNION_DTYPES = {
+    "cell": "int64", "kind": "int64", "way_id": object, "layer": object,
+    "px": "float64", "py": "float64", "point_order": "int64",
+    "is_sidepath": object, "footway": object, "is_sidepath_of": object,
+    "road_seq": "int64", "road_id": object, "road_highway": object,
+    "road_name": object, "road_maxspeed": "float64",
+    "ax": "float64", "ay": "float64", "bx": "float64", "by": "float64",
+}
+
+
+def _finalize_union(df: pd.DataFrame) -> pd.DataFrame:
+    """Pin dtypes so point and segment blocks share one schema (numeric
+    columns absent on one side become NaN / -1 sentinels, not object)."""
+    for col, dt in _UNION_DTYPES.items():
+        if col not in df.columns or df[col].isna().all():
+            if dt == "int64":
+                df[col] = np.int64(-1)
+            elif dt == "float64":
+                df[col] = np.nan
+            else:
+                df[col] = None
+        if dt != object:
+            df[col] = pd.to_numeric(df[col], errors="coerce").fillna(-1 if dt == "int64" else np.nan).astype(dt)
+    return df[list(_UNION_DTYPES)]
+
 
 def _cell_of(x: np.ndarray, y: np.ndarray, edge: float) -> np.ndarray:
     ix = np.floor(np.asarray(x) / edge).astype(np.int64)
@@ -119,43 +161,50 @@ def _empty(cols: Iterable[str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
 
+_PT_INPUT = ["geometry_m", "id", "layer", "row_seq", "is_sidepath",
+             "footway", "is_sidepath:of"]
+
+
 def _make_point_rows(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     edge = _CELL_EDGE_FACTOR * p.sidepath_buffer_size
     out = {c: [] for c in _PT_COLS}
-    for _, row in batch.iterrows():
-        geom = geom_from_bytes(row["geometry_m"])
-        pts = list(lines.points_along_line(geom, p.sidepath_buffer_distance))
-        pts.append(lines.last_vertex(geom))
-        phases = [0] * (len(pts) - 1) + [1]
-        for seq, (pt, phase) in enumerate(zip(pts, phases)):
-            out["cell"].append(int(_cell_of(pt[0], pt[1], edge)))
-            out["kind"].append(0)
-            out["way_id"].append(row["id"])
-            out["layer"].append(row["layer"])
-            out["px"].append(float(pt[0]))
-            out["py"].append(float(pt[1]))
+    cols = [batch[c].to_numpy() for c in _PT_INPUT]
+    for blob, wid, layer, seq_no, isp, fw, ispo in zip(*cols):
+        geom = geom_from_bytes(blob)
+        pts = lines.points_along_line(geom, p.sidepath_buffer_distance)
+        pts = np.concatenate([pts, geom[-1:][:]])
+        n = len(pts)
+        cell_ids = _cell_of(pts[:, 0], pts[:, 1], edge)
+        for seq in range(n):
+            phase = 1 if seq == n - 1 else 0
+            out["cell"].append(int(cell_ids[seq]))
+            out["way_id"].append(wid)
+            out["layer"].append(layer)
+            out["px"].append(float(pts[seq, 0]))
+            out["py"].append(float(pts[seq, 1]))
             # global ordering: endpoint pass comes after all along-line
             # passes (reference merges the two point layers in that order)
-            out["point_order"].append(
-                (phase << 48) | (int(row["row_seq"]) << 24) | seq
-            )
-            out["is_sidepath"].append(row["is_sidepath"])
-            out["footway"].append(row["footway"])
-            out["is_sidepath_of"].append(row["is_sidepath:of"])
+            out["point_order"].append((phase << 48) | (int(seq_no) << 24) | seq)
+            out["is_sidepath"].append(isp)
+            out["footway"].append(fw)
+            out["is_sidepath_of"].append(ispo)
+    out["kind"] = np.zeros(len(out["cell"]), dtype=np.int64)
     df = pd.DataFrame(out) if out["cell"] else _empty(_PT_COLS)
-    for c in _SEG_COLS:
-        if c not in df.columns:
-            df[c] = None
-    return df[_UNION_COLS]
+    return _finalize_union(df)
+
+
+_SEG_INPUT = ["geometry_m", "id", "highway", "name", "maxspeed", "layer",
+              "row_seq"]
 
 
 def _make_segment_rows(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     edge = _CELL_EDGE_FACTOR * p.sidepath_buffer_size
     pad = p.sidepath_buffer_size
     out = {c: [] for c in _SEG_COLS}
-    for _, row in batch.iterrows():
-        geom = geom_from_bytes(row["geometry_m"])
-        ms = T.to_number(row["maxspeed"])
+    cols = [batch[c].to_numpy() for c in _SEG_INPUT]
+    for blob, rid, rhw, rname, rms_raw, layer, seq_no in zip(*cols):
+        geom = geom_from_bytes(blob)
+        ms = T.to_number(rms_raw)
         for si in range(len(geom) - 1):
             a, b = geom[si], geom[si + 1]
             x0, x1 = sorted((a[0], b[0]))
@@ -168,93 +217,115 @@ def _make_segment_rows(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
                 for iy in range(iy0, iy1 + 1):
                     cell = (ix << 24) ^ (iy & ((1 << 24) - 1))
                     out["cell"].append(cell)
-                    out["kind"].append(1)
-                    out["road_seq"].append(int(row["row_seq"]))
-                    out["road_id"].append(row["id"])
-                    out["road_highway"].append(row["highway"])
-                    out["road_name"].append(row["name"])
+                    out["road_seq"].append(int(seq_no))
+                    out["road_id"].append(rid)
+                    out["road_highway"].append(rhw)
+                    out["road_name"].append(rname)
                     out["road_maxspeed"].append(ms)
-                    out["layer"].append(row["layer"])
+                    out["layer"].append(layer)
                     out["ax"].append(float(a[0]))
                     out["ay"].append(float(a[1]))
                     out["bx"].append(float(b[0]))
                     out["by"].append(float(b[1]))
+    out["kind"] = np.ones(len(out["cell"]), dtype=np.int64)
     df = pd.DataFrame(out) if out["cell"] else _empty(_SEG_COLS)
-    for c in _PT_COLS:
-        if c not in df.columns:
-            df[c] = None
-    return df[_UNION_COLS]
+    return _finalize_union(df)
+
+
+def _nn(v):
+    """None-normalize: pandas object blocks may carry NaN for missing."""
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    return v
 
 
 def _match_cell(group: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
-    pts = group[group["kind"] == 0]
-    segs = group[group["kind"] == 1]
+    kind = group["kind"].to_numpy()
+    pts_mask = kind == 0
+    npts = int(pts_mask.sum())
+    if npts == 0:
+        return _empty(_PAIR_COLS)
+    pt = {c: group[c].to_numpy()[pts_mask]
+          for c in ("way_id", "layer", "px", "py", "point_order",
+                    "is_sidepath", "footway", "is_sidepath_of")}
+    segs_mask = ~pts_mask
+    nsegs = int(segs_mask.sum())
+    if nsegs:
+        sg = {c: group[c].to_numpy()[segs_mask]
+              for c in ("road_seq", "road_id", "road_highway", "road_name",
+                        "road_maxspeed", "layer", "ax", "ay", "bx", "by")}
+        order = np.argsort(sg["road_seq"].astype(np.int64), kind="stable")
+        for c in sg:
+            sg[c] = sg[c][order]
+        P = np.stack([pt["px"], pt["py"]], axis=1).astype(np.float64)
+        A = np.stack([sg["ax"], sg["ay"]], axis=1).astype(np.float64)
+        B = np.stack([sg["bx"], sg["by"]], axis=1).astype(np.float64)
+        near = lines.points_to_segments_distance(P, A, B) <= p.sidepath_buffer_size
+
     rows = {c: [] for c in _PAIR_COLS}
 
-    def emit(pt, road_seq, rid, rhw, rname, rms):
-        rows["way_id"].append(pt["way_id"])
-        rows["point_order"].append(int(pt["point_order"]))
+    def emit(i, road_seq, rid, rhw, rname, rms):
+        rows["way_id"].append(pt["way_id"][i])
+        rows["point_order"].append(int(pt["point_order"][i]))
         rows["road_seq"].append(road_seq)
         rows["road_id"].append(rid)
         rows["road_highway"].append(rhw)
         rows["road_name"].append(rname)
         rows["road_maxspeed"].append(rms)
-        rows["is_sidepath"].append(pt["is_sidepath"])
-        rows["footway"].append(pt["footway"])
-        rows["is_sidepath_of"].append(pt["is_sidepath_of"])
+        rows["is_sidepath"].append(_nn(pt["is_sidepath"][i]))
+        rows["footway"].append(_nn(pt["footway"][i]))
+        rows["is_sidepath_of"].append(_nn(pt["is_sidepath_of"][i]))
 
-    if len(pts):
-        if len(segs):
-            P = pts[["px", "py"]].to_numpy(dtype=np.float64)
-            A = segs[["ax", "ay"]].to_numpy(dtype=np.float64)
-            B = segs[["bx", "by"]].to_numpy(dtype=np.float64)
-            D = lines.points_to_segments_distance(P, A, B)
-            near = D <= p.sidepath_buffer_size
-        for pi, (_, pt) in enumerate(pts.iterrows()):
-            emit(pt, -1, None, None, None, None)  # presence row: counts a check
-            if not len(segs):
+    for i in range(npts):
+        emit(i, -1, None, None, None, None)  # presence row: counts a check
+        if not nsegs:
+            continue
+        pl = _nn(pt["layer"][i])
+        seen: set = set()
+        for j in np.nonzero(near[i])[0]:
+            rs = int(sg["road_seq"][j])
+            if rs in seen:
                 continue
-            hit = segs[near[pi]]
-            # same-layer filter + per-buffer road de-dup in road order
-            seen = set()
-            for _, sg in hit.sort_values("road_seq").iterrows():
-                if pt["layer"] != sg["layer"] and not (
-                    pd.isna(pt["layer"]) and pd.isna(sg["layer"])
-                ):
-                    continue
-                if sg["road_seq"] in seen:
-                    continue
-                seen.add(sg["road_seq"])
-                emit(pt, int(sg["road_seq"]), sg["road_id"], sg["road_highway"],
-                     sg["road_name"], sg["road_maxspeed"])
+            if _nn(sg["layer"][j]) != pl:
+                continue
+            seen.add(rs)
+            emit(i, rs, _nn(sg["road_id"][j]), _nn(sg["road_highway"][j]),
+                 _nn(sg["road_name"][j]), _nn(sg["road_maxspeed"][j]))
     return pd.DataFrame(rows) if rows["way_id"] else _empty(_PAIR_COLS)
 
 
 def _fold_way(group: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
-    g = group.sort_values(["point_order", "road_seq"], kind="mergesort")
-    first = g.iloc[0]
+    if not len(group):
+        return _empty(_FOLD_COLS)
+    po = group["point_order"].to_numpy().astype(np.int64)
+    rs = group["road_seq"].to_numpy().astype(np.int64)
+    order = np.lexsort((rs, po))
+    cols = {c: group[c].to_numpy()[order]
+            for c in ("way_id", "road_id", "road_highway", "road_name",
+                      "road_maxspeed", "is_sidepath", "footway",
+                      "is_sidepath_of")}
+    po, rs = po[order], rs[order]
     way_tags = {
-        "is_sidepath": None if pd.isna(first["is_sidepath"]) else first["is_sidepath"],
-        "footway": None if pd.isna(first["footway"]) else first["footway"],
-        "is_sidepath:of": None if pd.isna(first["is_sidepath_of"]) else first["is_sidepath_of"],
+        "is_sidepath": _nn(cols["is_sidepath"][0]),
+        "footway": _nn(cols["footway"][0]),
+        "is_sidepath:of": _nn(cols["is_sidepath_of"][0]),
     }
     entry = {"checks": 0, "id": {}, "highway": {}, "name": {}, "maxspeed": {}}
-    for _, sub in g.groupby("point_order", sort=True):
+    starts = np.concatenate([[0], np.nonzero(np.diff(po))[0] + 1, [len(po)]])
+    for s, e in zip(starts[:-1], starts[1:]):
         near = []
-        for _, r in sub.iterrows():
-            if r["road_seq"] < 0:
+        for k in range(s, e):
+            if rs[k] < 0:
                 continue
-            near.append((
-                None if pd.isna(r["road_id"]) else r["road_id"],
-                None if pd.isna(r["road_highway"]) else r["road_highway"],
-                None if pd.isna(r["road_name"]) else r["road_name"],
-                None if pd.isna(r["road_maxspeed"]) else float(r["road_maxspeed"]),
-            ))
+            ms = _nn(cols["road_maxspeed"][k])
+            near.append((_nn(cols["road_id"][k]), _nn(cols["road_highway"][k]),
+                         _nn(cols["road_name"][k]),
+                         None if ms is None else float(ms)))
         sidepath.accumulate_point(entry, near)
     decided = sidepath.fold_entry(way_tags, entry, p)
     return pd.DataFrame(
         {
-            "id": [first["way_id"]],
+            "id": [cols["way_id"][0]],
             "sp_sidepath": [decided.get("proc_sidepath")],
             "sp_highway": [decided.get("proc_highway")],
             "sp_maxspeed": [decided.get("proc_maxspeed")],
@@ -325,9 +396,15 @@ def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
         rec["geometry_m"] = r.get("geometry_m")
         out.append(rec)
     cols = list(OUTPUT_COLUMNS) + ["geometry_m"]
-    if not out:
-        return _empty(cols)
-    return pd.DataFrame(out)[cols]
+    df = pd.DataFrame(out)[cols] if out else _empty(cols)
+    for c in ("index", "index_10", "stress_level", "base_index",
+              "filter_usable", "proc_maxspeed"):
+        df[c] = pd.array(df[c], dtype="Int64")
+    for c in ("offset", "proc_width", "proc_buffer_left", "proc_buffer_right",
+              "fac_width", "fac_surface", "fac_highway", "fac_maxspeed",
+              "fac_1", "fac_2", "fac_3", "fac_4", "data_incompleteness"):
+        df[c] = pd.to_numeric(df[c], errors="coerce").astype("float64")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -340,19 +417,30 @@ def score_ways_dataset(ds: rd.Dataset, p: CQIParams = DEFAULT_PARAMS,
     Dataset (OUTPUT_COLUMNS + geometry_m)."""
     ds = ds.map_batches(_project_batch, batch_format="pandas")
 
-    path_set = set(sidepath.PATH_HIGHWAYS)
-    paths = ds.filter(lambda r: r["highway"] in path_set)
-    roads = ds.filter(
-        lambda r: r["highway"] not in set(sidepath.NON_ROAD_HIGHWAYS))
+    path_vals = pa.array(list(sidepath.PATH_HIGHWAYS), pa.string())
+    nonroad_vals = pa.array(list(sidepath.NON_ROAD_HIGHWAYS), pa.string())
+
+    def _is_path(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(pc.is_in(t["highway"], value_set=path_vals), False))
+
+    def _is_road(t: pa.Table) -> pa.Table:
+        # NULL highway counts as a road (reference expression semantics)
+        return t.filter(pc.invert(pc.fill_null(
+            pc.is_in(t["highway"], value_set=nonroad_vals), False)))
+
+    paths = ds.map_batches(_is_path, batch_format="pyarrow") \
+              .select_columns(list(_PT_INPUT))
+    roads = ds.map_batches(_is_road, batch_format="pyarrow") \
+              .select_columns(list(_SEG_INPUT))
 
     points = paths.map_batches(lambda b: _make_point_rows(b, p),
                                batch_format="pandas")
     segments = roads.map_batches(lambda b: _make_segment_rows(b, p),
                                  batch_format="pandas")
-    pairs = points.union(segments).groupby("cell").map_groups(
-        lambda g: _match_cell(g, p), batch_format="pandas")
-    folded = pairs.groupby("way_id").map_groups(
-        lambda g: _fold_way(g, p), batch_format="pandas")
+    pairs = grouped_map_buckets(points.union(segments), ["cell"],
+                                lambda g: _match_cell(g, p), num_buckets=64)
+    folded = grouped_map_buckets(pairs, ["way_id"],
+                                 lambda g: _fold_way(g, p), num_buckets=64)
 
     joined = bucketed_hash_join(ds, folded, on="id", right_cols=_FOLD_COLS,
                                 num_buckets=num_buckets, how="left")

@@ -98,3 +98,41 @@ def run_flagship(sf_dir: str, n_ways: int = 64,
     if with_tiles:
         return assignments, render_tiles(scored, zooms=zooms)
     return assignments
+
+
+def run_flagship_checkpointed(sf_dir: str, out_dir: str, n_ways: int = 64,
+                              zooms=(15,), version: str = "v1"):
+    """Flagship with per-stage checkpoints + lineage manifests: every stage
+    writes partitioned Parquet; a re-run with unchanged fingerprints reads
+    the completed stages instead of recomputing them (resume semantics —
+    see cqi_ray/state/checkpoint.py).  Returns (scores, assignments, tiles)
+    Datasets backed by the checkpoint files."""
+    import ray.data as rd
+    from ..state.checkpoint import checkpoint_stage
+
+    scores = checkpoint_stage(
+        lambda: build_scored_ways(n_ways),
+        os.path.join(out_dir, "scores"),
+        stage="cqi_scores", fingerprint=f"{version}:ways={n_ways}",
+        metrics={"n_ways": n_ways})
+
+    def _assignments() -> rd.Dataset:
+        out = assign_images_to_ways(build_images(sf_dir), scores)
+        # partition by a bounded key range so a rerun can skip finished parts
+        return out.map_batches(
+            lambda b: b.assign(part=(b["cell"].astype("int64") % 8)),
+            batch_format="pandas")
+
+    assignments = checkpoint_stage(
+        _assignments,
+        os.path.join(out_dir, "assignments"),
+        stage="image_assign",
+        fingerprint=f"{version}:ways={n_ways}:src={sf_dir}",
+        partition_cols=["part"])
+
+    tiles = checkpoint_stage(
+        lambda: render_tiles(scores, zooms=zooms),
+        os.path.join(out_dir, "tiles"),
+        stage="tiles", fingerprint=f"{version}:ways={n_ways}:zooms={zooms}",
+        partition_cols=["z"])
+    return scores, assignments, tiles

@@ -23,6 +23,7 @@ import ray.data as rd
 
 from ..geo import cells, proj
 from ..images import codec
+from ..relational import grouped_map_buckets
 
 # symbol index (= index // 10) -> RGB, from styles/index.qml graduated ranges
 INDEX_COLORS = np.array([
@@ -79,11 +80,16 @@ def render_tile_group(group: pd.DataFrame, tile_size: int = 256,
                       line_px: float = 1.5) -> pd.DataFrame:
     """Rasterize one tile's ways into a PNG (deterministic draw order:
     ascending way_id; higher ids overdraw)."""
+    if not len(group):
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in TILE_COLS})
     z = int(group["z"].iloc[0])
     x = int(group["x"].iloc[0])
     y = int(group["y"].iloc[0])
     img = np.zeros((tile_size, tile_size, 3), dtype=np.uint8)
-    g = group.sort_values("way_id", kind="mergesort")
+    # total order: center + fanned side rows share way_id, so break ties on
+    # (way_index, geometry bytes) for run-to-run determinism
+    g = group.sort_values(["way_id", "way_index", "geom_ll"],
+                          kind="mergesort", na_position="last")
     for row in g.itertuples(index=False):
         lonlat = _geom_from_bytes(row.geom_ll)
         px, py = cells.lonlat_to_tile_pixel(lonlat[:, 0], lonlat[:, 1], z, x, y,
@@ -123,5 +129,6 @@ def render_tiles(scored_ways: rd.Dataset, zooms: Iterable[int] = (14, 15, 16),
     exploded = scored_ways.map_batches(
         lambda b: make_way_tile_rows(b, zooms, metric_geom=metric_geom),
         batch_format="pandas")
-    return exploded.groupby(["z", "x", "y"]).map_groups(
-        lambda g: render_tile_group(g, tile_size), batch_format="pandas")
+    return grouped_map_buckets(
+        exploded, ["z", "x", "y"],
+        lambda g: render_tile_group(g, tile_size), num_buckets=64)

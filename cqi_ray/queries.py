@@ -26,7 +26,7 @@ from .ops.ann import batch_topk_partials, merge_topk
 from .ops.dedup import MinHasher, band_rows, char_shingles, jaccard, simhash64
 from .ops.text import LangId, TextStats, fingerprint_batch
 from .relational import (broadcast_map_join, bucketed_hash_join, exact_dedup,
-                         partial_then_global_sum)
+                         grouped_map_buckets, partial_then_global_sum)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -211,8 +211,8 @@ def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
         return pd.DataFrame(rows) if rows["a"] else pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        verify_group, batch_format="pandas")
+    pairs = grouped_map_buckets(banded, ["band_id", "band_hash"],
+                                verify_group, num_buckets=64)
     # same pair can surface from several bands -> distinct
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
@@ -225,6 +225,101 @@ def q_dedup_simhash(sf_dir: str):
                              "simhash": simhash64(batch["text"].tolist())})
 
     return docs.map_batches(_sim, batch_format="pandas")
+
+
+def q_dedup_ngram(sf_dir: str, n: int = 3, threshold: float = 0.5):
+    """Word-n-gram Jaccard near-dup pairs, bucketed by (lang, length
+    decile) so only plausible pairs are compared — the cheap blocking
+    stage before pairwise verification."""
+    from .ops.dedup import jaccard, word_ngrams
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = batch["lang"].fillna("und") + ":" + (
+            batch["text"].str.len() // 100).astype(str)
+        return batch
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        grams = [word_ngrams(t, n) for t in group["text"]]
+        order = np.argsort(ids, kind="stable")
+        rows = {"a": [], "b": []}
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                oi, oj = order[i], order[j]
+                if jaccard(grams[oi], grams[oj]) >= threshold:
+                    rows["a"].append(int(ids[oi]))
+                    rows["b"].append(int(ids[oj]))
+        return pd.DataFrame(rows) if rows["a"] else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+
+    return grouped_map_buckets(
+        docs.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"], verify, num_buckets=32)
+
+
+def q_dedup_phash(sf_dir: str, max_hamming: int = 10):
+    """Perceptual-hash near-dup pairs over the synthetic image table:
+    16-bit band LSH -> groupby(band) -> hamming verify -> distinct pairs."""
+    from .ops.dedup import phash_band_rows, phash_dup_pairs_in_bucket
+    from .pipelines.flagship import build_images
+
+    images = build_images(sf_dir).select_columns(["image_id", "phash"])
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        df = phash_band_rows(batch["phash"].to_numpy(),
+                             batch["image_id"].to_numpy())
+        df["phash"] = np.tile(batch["phash"].to_numpy(), 4)
+        return df
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = phash_dup_pairs_in_bucket(group["doc_id"].to_numpy(),
+                                          group["phash"].to_numpy(),
+                                          max_hamming=max_hamming)
+        if not pairs:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object)})
+        return pd.DataFrame({"a": [p[0] for p in pairs],
+                             "b": [p[1] for p in pairs]})
+
+    pairs = grouped_map_buckets(
+        images.map_batches(to_bands, batch_format="pandas"),
+        ["band_id", "band_hash"], verify, num_buckets=64)
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def q_audio_features(sf_dir: str):
+    """Audio actor-pool stage over a deterministic synthetic clip table
+    (codec stubbed; plumbing real — see images/multimodal.py)."""
+    import ray.data as rd
+    from .images.multimodal import AudioFeatures, synth_audio_table
+
+    clips = rd.from_pandas(synth_audio_table(64))
+    out = clips.map_batches(AudioFeatures, batch_format="pandas",
+                            batch_size=16, concurrency=(1, 4))
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rms"] = batch["rms"].round(6)
+        batch["duration_sec"] = batch["duration_sec"].round(6)
+        return batch
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling fan-out stage (codec stubbed, plumbing real)."""
+    import ray.data as rd
+    from .images.multimodal import VideoFrameSample, synth_video_table
+
+    vids = rd.from_pandas(synth_video_table(16))
+    frames = vids.map_batches(VideoFrameSample, batch_format="pandas",
+                              batch_size=4, concurrency=(1, 4),
+                              fn_constructor_kwargs={"every_n": 10})
+    return frames.map_batches(
+        lambda b: b[["video_id", "frame_no", "w", "h", "fmt", "caption"]],
+        batch_format="pandas")
 
 
 def q_dedup_embedding(sf_dir: str, threshold: float = 0.35):
@@ -479,7 +574,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_phash": q_dedup_phash,
     "dedup_embedding": q_dedup_embedding,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "ann_topk": q_ann_topk,
     "token_count": q_token_count,
     "text_quality": q_text_quality,

@@ -24,11 +24,64 @@ import ray
 import ray.data as rd
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit mixer (public splitmix64 constants)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _hash_bucket(values, num_buckets: int) -> np.ndarray:
     """Deterministic string/int hash -> bucket id (stable across workers,
-    unlike Python's seeded hash())."""
-    vals = pd.util.hash_array(np.asarray(values, dtype=object), hash_key="0" * 16)
+    unlike Python's seeded hash()).  Integer keys take the fully
+    vectorized splitmix64 path; strings go through pandas' C siphash."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        vals = _splitmix64(arr)
+    else:
+        vals = pd.util.hash_array(arr.astype(object), hash_key="0" * 16)
     return (vals % np.uint64(num_buckets)).astype(np.int64)
+
+
+def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
+                        num_buckets: int = 64) -> rd.Dataset:
+    """groupby(key).map_groups with bounded task count: keys are hashed into
+    ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
+    bucket task runs a local pandas groupby over its keys.  This amortizes
+    Ray's per-group overhead when there are thousands of small groups (cells,
+    tiles, LSH bands) — the difference between O(#groups) tiny tasks and
+    O(num_buckets) well-sized ones."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for col in key_cols:
+            h = _splitmix64(h ^ _splitmix64_any(batch[col].to_numpy()))
+        batch["__gb"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__gb")
+        outs = [fn(g) for _, g in group.groupby(key_cols, sort=True,
+                                                dropna=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return fn(group.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__gb").map_groups(per_bucket, batch_format="pandas")
+
+
+def _splitmix64_any(arr: np.ndarray) -> np.ndarray:
+    a = np.asarray(arr)
+    if a.dtype.kind in ("i", "u"):
+        return _splitmix64(a)
+    if a.dtype.kind == "f":
+        return _splitmix64(a.view(np.uint64) if a.dtype == np.float64
+                           else a.astype(np.float64).view(np.uint64))
+    return pd.util.hash_array(a.astype(object), hash_key="0" * 16)
 
 
 def broadcast_map_join(ds: rd.Dataset, right: pd.DataFrame, on: str,
@@ -86,13 +139,22 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 
 def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
-    """Keep the first row (min order_col) per key — groupby-shuffle keyed on
-    the content hash/key (SURVEY.md §2.1 S3)."""
+    """Keep the first row (min order_col) per key — bucketed shuffle keyed
+    on the content hash/key (SURVEY.md §2.1 S3), vectorized
+    sort+drop_duplicates per bucket (no per-group task overhead)."""
 
-    def first_of(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_col, kind="mergesort").head(1)
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__gb"] = _hash_bucket(batch[key].to_numpy(), 64)
+        return batch
 
-    return ds.groupby(key).map_groups(first_of, batch_format="pandas")
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__gb")
+        return group.sort_values(order_col, kind="mergesort") \
+                    .drop_duplicates(key, keep="first")
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__gb").map_groups(per_bucket, batch_format="pandas")
 
 
 def partial_then_global_sum(ds: rd.Dataset, keys: list[str],

@@ -1,0 +1,114 @@
+"""Multimodal (audio/video) stage plumbing + phash dedup + salted join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cqi_ray.images import multimodal as mm
+
+
+class TestAudioVideo:
+    def test_audio_roundtrip_and_features(self, ray_session):
+        import ray.data as rd
+
+        clips = mm.synth_audio_table(8)
+        out = rd.from_pandas(clips).map_batches(
+            mm.AudioFeatures, batch_format="pandas", batch_size=4,
+            concurrency=1).to_pandas()
+        assert len(out) == 8
+        assert "bytes" not in out.columns
+        # sine amplitude 12000/32768 -> RMS = 0.366/sqrt(2) = 0.259
+        assert ((out["rms"] > 0.2) & (out["rms"] < 0.3)).all()
+        assert (out["duration_sec"] == 0.5).all()
+        assert (out["zero_crossings"] > 10).all()
+
+    def test_video_frame_sampling(self, ray_session):
+        import ray.data as rd
+        from cqi_ray.images import codec
+
+        vids = mm.synth_video_table(3, n_frames=30)
+        frames = rd.from_pandas(vids).map_batches(
+            mm.VideoFrameSample, batch_format="pandas", batch_size=2,
+            concurrency=1, fn_constructor_kwargs={"every_n": 10}).to_pandas()
+        assert len(frames) == 9  # 3 videos x frames {0, 10, 20}
+        px = codec.png_decode(frames["bytes"].iloc[0])
+        assert px.shape == (16, 16, 3)
+
+    def test_real_codec_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            mm.decode_audio(b"RIFFrealwav", 100, 1)
+        with pytest.raises(NotImplementedError):
+            mm.decode_video_frames(b"\x00\x00\x01\xba mpeg", 8, 8, 2)
+
+
+class TestPhashDedup:
+    def test_planted_near_dups_found(self, ray_session):
+        from cqi_ray.images.codec import phash64
+        from cqi_ray.ops.dedup import phash_band_rows, phash_dup_pairs_in_bucket
+        from cqi_ray.images.synth import _pixels_for
+
+        px = [_pixels_for(i, 32, 32) for i in range(10)]
+        # plant a near-dup: tiny brightness shift of image 0
+        near = np.clip(px[0].astype(int) + 2, 0, 255).astype(np.uint8)
+        hashes = [phash64(p) for p in px] + [phash64(near)]
+        ids = [f"im{i}" for i in range(11)]
+        banded = phash_band_rows(hashes, ids)
+        found = set()
+        for _, grp in banded.groupby(["band_id", "band_hash"]):
+            if len(grp) > 1:
+                h_by_id = dict(zip(ids, hashes))
+                pairs = phash_dup_pairs_in_bucket(
+                    grp["doc_id"].to_numpy(),
+                    [h_by_id[d] for d in grp["doc_id"]], max_hamming=8)
+                found.update((a, b) for a, b, _ in pairs)
+        assert ("im0", "im10") in found
+
+
+class TestSaltedAssign:
+    def test_salting_preserves_results(self, ray_session):
+        """Salted hot cells must not change any assignment."""
+        import ray.data as rd
+        from cqi_ray.images.synth import synth_images_table, synth_ways_grid
+        from cqi_ray.pipelines.assign import (assign_images_to_ways,
+                                              estimate_hot_cells)
+        from cqi_ray.pipelines.cqi import dataset_from_rows, score_ways_dataset
+        from cqi_ray.geo import cells
+
+        scored = score_ways_dataset(dataset_from_rows(synth_ways_grid(16)))
+        images = rd.from_arrow(synth_images_table(120, seed=5))
+        res = cells.res_for_meters(3000, 51.0)
+        hot = estimate_hot_cells(images, res, rows_per_group=20)
+        assert hot, "skewed synthetic positions should produce hot cells"
+
+        plain = assign_images_to_ways(images, scored, buffer_m=30,
+                                      knn_radius_m=3000).to_pandas()
+        salted = assign_images_to_ways(images, scored, buffer_m=30,
+                                       knn_radius_m=3000,
+                                       hot_cells=hot).to_pandas()
+        key = lambda df: df.sort_values("image_id")[
+            ["image_id", "way_id", "method"]].fillna("-").to_dict("records")
+        assert key(plain) == key(salted)
+
+
+class TestCheckpointedFlagship:
+    def test_resume_skips_stages(self, ray_session, tmp_path):
+        from cqi_ray.pipelines.flagship import run_flagship_checkpointed
+        from cqi_ray.state.checkpoint import load_manifest
+
+        out = str(tmp_path / "ckpt")
+        s1, a1, t1 = run_flagship_checkpointed(
+            "/root/testdata/sf0.001", out, n_ways=9, zooms=(14,))
+        n_assign = a1.count()
+        man = load_manifest(f"{out}/assignments")
+        assert man["complete"] and man["row_count"] == n_assign
+        assert man["partitions"], "expected per-partition lineage entries"
+        mtimes = {}
+        import os
+        for stage in ("scores", "assignments", "tiles"):
+            mtimes[stage] = os.path.getmtime(f"{out}/{stage}/_manifest.json")
+        s2, a2, t2 = run_flagship_checkpointed(
+            "/root/testdata/sf0.001", out, n_ways=9, zooms=(14,))
+        for stage in ("scores", "assignments", "tiles"):
+            assert os.path.getmtime(f"{out}/{stage}/_manifest.json") == \
+                mtimes[stage], f"{stage} was recomputed"
+        assert a2.count() == n_assign
