@@ -38,12 +38,38 @@ def _geom_to_bytes(coords) -> bytes:
     return np.ascontiguousarray(np.asarray(coords, dtype="<f8")).tobytes()
 
 
-class DecodeValidate:
-    """Actor-pool stage: decode the image payload, validate dimensions,
-    recompute the perceptual hash and compare against the stored one.
+def decode_validate_batch(batch: pd.DataFrame, check_phash: bool = True,
+                          allow_fake_jpeg: bool = True) -> pd.DataFrame:
+    """Decode the image payload, validate dimensions, recompute the
+    perceptual hash and compare against the stored one.
 
-    Decoding state (DCT matrix for phash) is built once per actor.  Batches
-    should stay small (binary payloads dominate block size)."""
+    Runs as stateless tasks: the only shared state (the phash DCT matrix)
+    is a module-level cache that Ray's long-lived worker processes amortize
+    across tasks for free.  Stages with genuinely heavy init (models,
+    codecs with warm-up) use the actor-pool form below."""
+    ok = np.zeros(len(batch), dtype=bool)
+    phash_match = np.zeros(len(batch), dtype=bool)
+    for i, row in enumerate(batch.itertuples(index=False)):
+        try:
+            px = codec.decode_image(row.bytes, row.fmt, row.w, row.h,
+                                    allow_fake_jpeg=allow_fake_jpeg)
+        except (NotImplementedError, ValueError):
+            continue
+        if px.shape[0] != row.h or px.shape[1] != row.w:
+            continue
+        ok[i] = True
+        if check_phash:
+            phash_match[i] = codec.phash64(px) == row.phash
+    batch = batch.copy()
+    batch["decode_ok"] = ok
+    batch["phash_ok"] = phash_match
+    return batch
+
+
+class DecodeValidate:
+    """Actor-pool form of :func:`decode_validate_batch` for deployments
+    where decoder init is expensive (model-backed validators, GPU codecs):
+    state loads once per actor in ``__init__``."""
 
     def __init__(self, check_phash: bool = True, allow_fake_jpeg: bool = True):
         self.check_phash = check_phash
@@ -51,23 +77,8 @@ class DecodeValidate:
         codec.phash64(np.zeros((8, 8, 3), dtype=np.uint8))  # warm DCT matrix
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ok = np.zeros(len(batch), dtype=bool)
-        phash_match = np.zeros(len(batch), dtype=bool)
-        for i, row in enumerate(batch.itertuples(index=False)):
-            try:
-                px = codec.decode_image(row.bytes, row.fmt, row.w, row.h,
-                                        allow_fake_jpeg=self.allow_fake_jpeg)
-            except (NotImplementedError, ValueError):
-                continue
-            if px.shape[0] != row.h or px.shape[1] != row.w:
-                continue
-            ok[i] = True
-            if self.check_phash:
-                phash_match[i] = codec.phash64(px) == row.phash
-        batch = batch.copy()
-        batch["decode_ok"] = ok
-        batch["phash_ok"] = phash_match
-        return batch
+        return decode_validate_batch(batch, self.check_phash,
+                                     self.allow_fake_jpeg)
 
 
 def encode_image_cells(batch: pd.DataFrame, res: int) -> pd.DataFrame:
@@ -136,55 +147,86 @@ def make_image_cell_rows(batch: pd.DataFrame, res: int) -> pd.DataFrame:
 
 def match_cell_group(group: pd.DataFrame, buffer_m: float,
                      knn_radius_m: float) -> pd.DataFrame:
-    """Assign each image in the cell to a way: PIP against the way buffer
-    first (nearest way whose buffer contains the point), else nearest way
-    within the kNN radius, else unassigned."""
-    imgs = group[group["kind"] == 0]
-    ways = group[group["kind"] == 1]
-    if not len(imgs):
+    """Assign each image in one cell group to a way: PIP against the way
+    buffer first, else nearest way within the kNN radius, else unassigned.
+    (Single-group form; the pipeline uses the whole-bucket form below.)"""
+    return match_bucket(group.sort_values(["cell"], kind="mergesort"),
+                        buffer_m, knn_radius_m)
+
+
+def match_bucket(bucket: pd.DataFrame, buffer_m: float,
+                 knn_radius_m: float) -> pd.DataFrame:
+    """Whole-bucket assignment: frame sorted by (cell[, salt]); every
+    (cell, salt) slice is matched with numpy kernels."""
+    if not len(bucket):
         return pd.DataFrame({c: pd.Series(dtype=object) for c in ASSIGN_COLS})
-    n = len(imgs)
-    pts_m = proj.project_coords(
-        np.stack([imgs["lon"].to_numpy(), imgs["lat"].to_numpy()], axis=1))
+    cellv = bucket["cell"].to_numpy().astype(np.int64)
+    saltv = bucket["salt"].to_numpy().astype(np.int64) \
+        if "salt" in bucket.columns else np.zeros(len(bucket), np.int64)
+    change = (np.diff(cellv) != 0) | (np.diff(saltv) != 0)
+    bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(cellv)]])
+    kind = bucket["kind"].to_numpy().astype(np.int64)
+    lon = bucket["lon"].to_numpy()
+    lat = bucket["lat"].to_numpy()
+    img_id = bucket["image_id"].to_numpy()
+    caption = bucket["caption"].to_numpy()
+    way_id = bucket["way_id"].to_numpy()
+    way_index = bucket["way_index"].to_numpy()
+    way_stress = bucket["way_stress"].to_numpy()
+    way_geom = bucket["way_geom"].to_numpy()
 
-    best_dist = np.full(n, np.inf)
-    best_way = np.full(n, None, dtype=object)
-    best_idx = np.full(n, np.nan)
-    best_stress = np.full(n, np.nan)
-    # distance to each way (segment-exact); ways per cell are few, images many
-    for way in ways.itertuples(index=False):
-        geom = _geom_from_bytes(way.way_geom)
-        if len(geom) < 2:
-            d = np.hypot(*(pts_m - geom[0]).T)
-        else:
-            d = lines.points_to_segments_distance(pts_m, geom[:-1], geom[1:]).min(axis=1)
-        closer = d < best_dist
-        # deterministic tie-break: smaller way_id wins on exact ties
-        tie = (d == best_dist) & (np.array([
-            (way.way_id < w) if w is not None else False for w in best_way]))
-        upd = closer | tie
-        best_dist[upd] = d[upd]
-        best_way[upd] = way.way_id
-        best_idx[upd] = way.way_index if way.way_index is not None else np.nan
-        best_stress[upd] = way.way_stress if way.way_stress is not None else np.nan
+    frames = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        kslice = kind[s:e]
+        ii = np.nonzero(kslice == 0)[0] + s
+        if not len(ii):
+            continue
+        wi = np.nonzero(kslice == 1)[0] + s
+        n = len(ii)
+        pts_m = proj.project_coords(
+            np.stack([lon[ii].astype(np.float64), lat[ii].astype(np.float64)], 1))
+        best_dist = np.full(n, np.inf)
+        best_way = np.full(n, None, dtype=object)
+        best_idx = np.full(n, np.nan)
+        best_stress = np.full(n, np.nan)
+        for w in wi:
+            geom = _geom_from_bytes(way_geom[w])
+            if len(geom) < 2:
+                d = np.hypot(*(pts_m - geom[0]).T)
+            else:
+                d = lines.points_to_segments_distance(
+                    pts_m, geom[:-1], geom[1:]).min(axis=1)
+            closer = d < best_dist
+            # deterministic tie-break: smaller way_id wins on exact ties
+            tie = (d == best_dist) & np.array(
+                [(way_id[w] < bw) if bw is not None else False
+                 for bw in best_way])
+            upd = closer | tie
+            best_dist[upd] = d[upd]
+            best_way[upd] = way_id[w]
+            wi_val = way_index[w]
+            ws_val = way_stress[w]
+            best_idx[upd] = np.nan if wi_val is None or pd.isna(wi_val) else float(wi_val)
+            best_stress[upd] = np.nan if ws_val is None or pd.isna(ws_val) else float(ws_val)
 
-    method = np.where(best_dist <= buffer_m, "pip",
-                      np.where(best_dist <= knn_radius_m, "knn", None))
-    assigned = pd.DataFrame(
-        {
-            "image_id": imgs["image_id"].to_numpy(),
-            "way_id": np.where(pd.notna(method), best_way, None),
-            "dist_m": np.where(pd.notna(method), np.round(best_dist, 3), np.nan),
+        method = np.where(best_dist <= buffer_m, "pip",
+                          np.where(best_dist <= knn_radius_m, "knn", None))
+        has = pd.notna(method)
+        frames.append(pd.DataFrame({
+            "image_id": img_id[ii],
+            "way_id": np.where(has, best_way, None),
+            "dist_m": np.where(has, np.round(best_dist, 3), np.nan),
             "method": method,
-            "way_index": np.where(pd.notna(method), best_idx, np.nan),
-            "way_stress": np.where(pd.notna(method), best_stress, np.nan),
-            "caption": imgs["caption"].to_numpy(),
-            "lon": imgs["lon"].to_numpy(),
-            "lat": imgs["lat"].to_numpy(),
-            "cell": imgs["cell"].to_numpy(),
-        }
-    )
-    return assigned[ASSIGN_COLS]
+            "way_index": np.where(has, best_idx, np.nan),
+            "way_stress": np.where(has, best_stress, np.nan),
+            "caption": caption[ii],
+            "lon": lon[ii],
+            "lat": lat[ii],
+            "cell": cellv[ii],
+        })[ASSIGN_COLS])
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in ASSIGN_COLS})
+    return pd.concat(frames, ignore_index=True)
 
 
 def estimate_hot_cells(images: rd.Dataset, res: int,
@@ -235,7 +277,7 @@ def _salted(df: pd.DataFrame, hot: dict[int, int], is_way_side: bool) -> pd.Data
 def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
                           buffer_m: float = 15.0, knn_radius_m: float = 150.0,
                           res: Optional[int] = None, lat_hint: float = 51.0,
-                          decode_concurrency=(1, 8),
+                          decode_concurrency=None,
                           metric_geom: bool = True,
                           hot_cells: Optional[dict[int, int]] = None) -> rd.Dataset:
     """Full image->way assignment pipeline.  ``scored_ways`` needs columns
@@ -247,18 +289,25 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
     if res is None:
         res = cells.res_for_meters(knn_radius_m, lat_hint)
 
-    imgs = images.map_batches(DecodeValidate, batch_format="pandas",
-                              batch_size=256, concurrency=decode_concurrency)
-    imgs = imgs.map_batches(lambda b: b[b["decode_ok"]], batch_format="pandas")
+    if decode_concurrency is None:
+        # stateless-task decode: no actor spin-up, elastic with the executor
+        imgs = images.map_batches(decode_validate_batch, batch_format="pandas",
+                                  batch_size=None)
+    else:
+        imgs = images.map_batches(DecodeValidate, batch_format="pandas",
+                                  batch_size=None,
+                                  concurrency=decode_concurrency)
+    imgs = imgs.map_batches(lambda b: b[b["decode_ok"]], batch_format="pandas",
+                            batch_size=None)
     img_cells = imgs.map_batches(
         lambda b: _salted(make_image_cell_rows(b, res), hot_cells or {}, False),
-        batch_format="pandas")
+        batch_format="pandas", batch_size=None)
     way_cells = scored_ways.map_batches(
         lambda b: _salted(make_way_cell_rows(b, res, pad_m=knn_radius_m,
                                              lonlat_geom=not metric_geom),
                           hot_cells or {}, True),
-        batch_format="pandas")
+        batch_format="pandas", batch_size=None)
     return grouped_map_buckets(
         img_cells.union(way_cells), ["cell", "salt"],
-        lambda g: match_cell_group(g, buffer_m, knn_radius_m),
-        num_buckets=128)
+        lambda g: match_bucket(g, buffer_m, knn_radius_m),
+        num_buckets=128, whole_bucket=True)

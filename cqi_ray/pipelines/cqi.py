@@ -79,7 +79,7 @@ def ways_rows_to_arrow(rows: list[dict]) -> pa.Table:
     return pa.table(cols)
 
 
-def dataset_from_rows(rows: list[dict], rows_per_block: int = 2048) -> rd.Dataset:
+def dataset_from_rows(rows: list[dict], rows_per_block: int = 256) -> rd.Dataset:
     """Split into multiple Arrow blocks up front so every downstream stage
     parallelizes (a single from_arrow block would serialize the pipeline)."""
     table = ways_rows_to_arrow(rows)
@@ -239,99 +239,115 @@ def _nn(v):
     return v
 
 
-def _match_cell(group: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
-    kind = group["kind"].to_numpy()
-    pts_mask = kind == 0
-    npts = int(pts_mask.sum())
-    if npts == 0:
+def _match_bucket(bucket: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
+    """Whole-bucket spatial match: the frame arrives sorted by cell; cells
+    are processed as numpy slices (no per-group pandas frames)."""
+    if not len(bucket):
         return _empty(_PAIR_COLS)
-    pt = {c: group[c].to_numpy()[pts_mask]
-          for c in ("way_id", "layer", "px", "py", "point_order",
-                    "is_sidepath", "footway", "is_sidepath_of")}
-    segs_mask = ~pts_mask
-    nsegs = int(segs_mask.sum())
-    if nsegs:
-        sg = {c: group[c].to_numpy()[segs_mask]
-              for c in ("road_seq", "road_id", "road_highway", "road_name",
-                        "road_maxspeed", "layer", "ax", "ay", "bx", "by")}
-        order = np.argsort(sg["road_seq"].astype(np.int64), kind="stable")
-        for c in sg:
-            sg[c] = sg[c][order]
-        P = np.stack([pt["px"], pt["py"]], axis=1).astype(np.float64)
-        A = np.stack([sg["ax"], sg["ay"]], axis=1).astype(np.float64)
-        B = np.stack([sg["bx"], sg["by"]], axis=1).astype(np.float64)
-        near = lines.points_to_segments_distance(P, A, B) <= p.sidepath_buffer_size
-
+    cols = {c: bucket[c].to_numpy() for c in _UNION_DTYPES}
+    cellv = cols["cell"].astype(np.int64)
+    bounds = np.concatenate([[0], np.nonzero(np.diff(cellv))[0] + 1, [len(cellv)]])
     rows = {c: [] for c in _PAIR_COLS}
 
-    def emit(i, road_seq, rid, rhw, rname, rms):
-        rows["way_id"].append(pt["way_id"][i])
-        rows["point_order"].append(int(pt["point_order"][i]))
-        rows["road_seq"].append(road_seq)
-        rows["road_id"].append(rid)
-        rows["road_highway"].append(rhw)
-        rows["road_name"].append(rname)
-        rows["road_maxspeed"].append(rms)
-        rows["is_sidepath"].append(_nn(pt["is_sidepath"][i]))
-        rows["footway"].append(_nn(pt["footway"][i]))
-        rows["is_sidepath_of"].append(_nn(pt["is_sidepath_of"][i]))
-
-    for i in range(npts):
-        emit(i, -1, None, None, None, None)  # presence row: counts a check
-        if not nsegs:
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        kind = cols["kind"][s:e]
+        pt_idx = np.nonzero(kind == 0)[0] + s
+        if not len(pt_idx):
             continue
-        pl = _nn(pt["layer"][i])
-        seen: set = set()
-        for j in np.nonzero(near[i])[0]:
-            rs = int(sg["road_seq"][j])
-            if rs in seen:
+        sg_idx = np.nonzero(kind == 1)[0] + s
+        if len(sg_idx):
+            sg_idx = sg_idx[np.argsort(cols["road_seq"][sg_idx].astype(np.int64),
+                                       kind="stable")]
+            P = np.stack([cols["px"][pt_idx], cols["py"][pt_idx]], 1).astype(np.float64)
+            A = np.stack([cols["ax"][sg_idx], cols["ay"][sg_idx]], 1).astype(np.float64)
+            B = np.stack([cols["bx"][sg_idx], cols["by"][sg_idx]], 1).astype(np.float64)
+            near = lines.points_to_segments_distance(P, A, B) <= p.sidepath_buffer_size
+        for pi, gi in enumerate(pt_idx):
+            rows["way_id"].append(cols["way_id"][gi])
+            rows["point_order"].append(int(cols["point_order"][gi]))
+            rows["road_seq"].append(-1)
+            rows["road_id"].append(None)
+            rows["road_highway"].append(None)
+            rows["road_name"].append(None)
+            rows["road_maxspeed"].append(None)
+            rows["is_sidepath"].append(_nn(cols["is_sidepath"][gi]))
+            rows["footway"].append(_nn(cols["footway"][gi]))
+            rows["is_sidepath_of"].append(_nn(cols["is_sidepath_of"][gi]))
+            if not len(sg_idx):
                 continue
-            if _nn(sg["layer"][j]) != pl:
-                continue
-            seen.add(rs)
-            emit(i, rs, _nn(sg["road_id"][j]), _nn(sg["road_highway"][j]),
-                 _nn(sg["road_name"][j]), _nn(sg["road_maxspeed"][j]))
+            pl = _nn(cols["layer"][gi])
+            seen: set = set()
+            for sj in np.nonzero(near[pi])[0]:
+                gj = sg_idx[sj]
+                rs = int(cols["road_seq"][gj])
+                if rs in seen or _nn(cols["layer"][gj]) != pl:
+                    continue
+                seen.add(rs)
+                rows["way_id"].append(cols["way_id"][gi])
+                rows["point_order"].append(int(cols["point_order"][gi]))
+                rows["road_seq"].append(rs)
+                rows["road_id"].append(_nn(cols["road_id"][gj]))
+                rows["road_highway"].append(_nn(cols["road_highway"][gj]))
+                rows["road_name"].append(_nn(cols["road_name"][gj]))
+                rows["road_maxspeed"].append(_nn(cols["road_maxspeed"][gj]))
+                rows["is_sidepath"].append(_nn(cols["is_sidepath"][gi]))
+                rows["footway"].append(_nn(cols["footway"][gi]))
+                rows["is_sidepath_of"].append(_nn(cols["is_sidepath_of"][gi]))
     return pd.DataFrame(rows) if rows["way_id"] else _empty(_PAIR_COLS)
 
 
-def _fold_way(group: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
-    if not len(group):
+def _nn(v):
+    """None-normalize: pandas object blocks may carry NaN for missing."""
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    return v
+
+
+def _fold_bucket(bucket: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
+    """Whole-bucket counter fold: frame sorted by way_id; within each way,
+    replay the reference's sequential counting in (point_order, road_seq)
+    order."""
+    if not len(bucket):
         return _empty(_FOLD_COLS)
-    po = group["point_order"].to_numpy().astype(np.int64)
-    rs = group["road_seq"].to_numpy().astype(np.int64)
-    order = np.lexsort((rs, po))
-    cols = {c: group[c].to_numpy()[order]
-            for c in ("way_id", "road_id", "road_highway", "road_name",
-                      "road_maxspeed", "is_sidepath", "footway",
-                      "is_sidepath_of")}
-    po, rs = po[order], rs[order]
-    way_tags = {
-        "is_sidepath": _nn(cols["is_sidepath"][0]),
-        "footway": _nn(cols["footway"][0]),
-        "is_sidepath:of": _nn(cols["is_sidepath_of"][0]),
-    }
-    entry = {"checks": 0, "id": {}, "highway": {}, "name": {}, "maxspeed": {}}
-    starts = np.concatenate([[0], np.nonzero(np.diff(po))[0] + 1, [len(po)]])
-    for s, e in zip(starts[:-1], starts[1:]):
-        near = []
-        for k in range(s, e):
-            if rs[k] < 0:
-                continue
-            ms = _nn(cols["road_maxspeed"][k])
-            near.append((_nn(cols["road_id"][k]), _nn(cols["road_highway"][k]),
-                         _nn(cols["road_name"][k]),
-                         None if ms is None else float(ms)))
-        sidepath.accumulate_point(entry, near)
-    decided = sidepath.fold_entry(way_tags, entry, p)
-    return pd.DataFrame(
-        {
-            "id": [cols["way_id"][0]],
-            "sp_sidepath": [decided.get("proc_sidepath")],
-            "sp_highway": [decided.get("proc_highway")],
-            "sp_maxspeed": [decided.get("proc_maxspeed")],
-            "sp_name": [decided.get("name")],
+    wid = bucket["way_id"].to_numpy()
+    po = bucket["point_order"].to_numpy().astype(np.int64)
+    rs = bucket["road_seq"].to_numpy().astype(np.int64)
+    cols = {c: bucket[c].to_numpy()
+            for c in ("road_id", "road_highway", "road_name", "road_maxspeed",
+                      "is_sidepath", "footway", "is_sidepath_of")}
+    # ways are contiguous (bucket pre-sorted by way_id)
+    way_bounds = np.concatenate(
+        [[0], np.nonzero(wid[1:] != wid[:-1])[0] + 1, [len(wid)]])
+    out = {c: [] for c in _FOLD_COLS}
+    for s, e in zip(way_bounds[:-1], way_bounds[1:]):
+        order = s + np.lexsort((rs[s:e], po[s:e]))
+        way_tags = {
+            "is_sidepath": _nn(cols["is_sidepath"][order[0]]),
+            "footway": _nn(cols["footway"][order[0]]),
+            "is_sidepath:of": _nn(cols["is_sidepath_of"][order[0]]),
         }
-    )
+        entry = {"checks": 0, "id": {}, "highway": {}, "name": {}, "maxspeed": {}}
+        po_sorted = po[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(po_sorted))[0] + 1, [len(order)]])
+        for ps, pe in zip(starts[:-1], starts[1:]):
+            near = []
+            for k in order[ps:pe]:
+                if rs[k] < 0:
+                    continue
+                ms = _nn(cols["road_maxspeed"][k])
+                near.append((_nn(cols["road_id"][k]),
+                             _nn(cols["road_highway"][k]),
+                             _nn(cols["road_name"][k]),
+                             None if ms is None else float(ms)))
+            sidepath.accumulate_point(entry, near)
+        decided = sidepath.fold_entry(way_tags, entry, p)
+        out["id"].append(wid[s])
+        out["sp_sidepath"].append(decided.get("proc_sidepath"))
+        out["sp_highway"].append(decided.get("proc_highway"))
+        out["sp_maxspeed"].append(decided.get("proc_maxspeed"))
+        out["sp_name"].append(decided.get("name"))
+    return pd.DataFrame(out)
 
 
 def _apply_sidepath(batch: pd.DataFrame) -> pd.DataFrame:
@@ -415,7 +431,7 @@ def score_ways_dataset(ds: rd.Dataset, p: CQIParams = DEFAULT_PARAMS,
                        num_buckets: int = 8) -> rd.Dataset:
     """ways Dataset (full input schema + geometry + row_seq) -> scores
     Dataset (OUTPUT_COLUMNS + geometry_m)."""
-    ds = ds.map_batches(_project_batch, batch_format="pandas")
+    ds = ds.map_batches(_project_batch, batch_format="pandas", batch_size=None)
 
     path_vals = pa.array(list(sidepath.PATH_HIGHWAYS), pa.string())
     nonroad_vals = pa.array(list(sidepath.NON_ROAD_HIGHWAYS), pa.string())
@@ -428,24 +444,26 @@ def score_ways_dataset(ds: rd.Dataset, p: CQIParams = DEFAULT_PARAMS,
         return t.filter(pc.invert(pc.fill_null(
             pc.is_in(t["highway"], value_set=nonroad_vals), False)))
 
-    paths = ds.map_batches(_is_path, batch_format="pyarrow") \
+    paths = ds.map_batches(_is_path, batch_format="pyarrow", batch_size=None) \
               .select_columns(list(_PT_INPUT))
-    roads = ds.map_batches(_is_road, batch_format="pyarrow") \
+    roads = ds.map_batches(_is_road, batch_format="pyarrow", batch_size=None) \
               .select_columns(list(_SEG_INPUT))
 
     points = paths.map_batches(lambda b: _make_point_rows(b, p),
-                               batch_format="pandas")
+                               batch_format="pandas", batch_size=None)
     segments = roads.map_batches(lambda b: _make_segment_rows(b, p),
-                                 batch_format="pandas")
+                                 batch_format="pandas", batch_size=None)
     pairs = grouped_map_buckets(points.union(segments), ["cell"],
-                                lambda g: _match_cell(g, p), num_buckets=64)
+                                lambda g: _match_bucket(g, p),
+                                num_buckets=64, whole_bucket=True)
     folded = grouped_map_buckets(pairs, ["way_id"],
-                                 lambda g: _fold_way(g, p), num_buckets=64)
+                                 lambda g: _fold_bucket(g, p),
+                                 num_buckets=64, whole_bucket=True)
 
     joined = bucketed_hash_join(ds, folded, on="id", right_cols=_FOLD_COLS,
                                 num_buckets=num_buckets, how="left")
-    withproc = joined.map_batches(_apply_sidepath, batch_format="pandas")
+    withproc = joined.map_batches(_apply_sidepath, batch_format="pandas", batch_size=None)
     fanned = withproc.map_batches(lambda b: _fanout_batch(b, p),
-                                  batch_format="pandas")
+                                  batch_format="pandas", batch_size=None)
     return fanned.map_batches(lambda b: _score_batch(b, p),
-                              batch_format="pandas")
+                              batch_format="pandas", batch_size=None)

@@ -35,11 +35,17 @@ def _hash_unit(ids: np.ndarray, salt: int) -> np.ndarray:
     return x.astype(np.float64) / float(2**32)
 
 
-def images_from_documents(batch: pd.DataFrame, size_px: int = 32) -> pd.DataFrame:
-    """One synthetic street-level image row per document row.  Positions are
-    heavy-tailed around urban centers (u^2 bias onto center 0) to exercise
-    the salted/skewed-cell path of the spatial join."""
-    ids = batch["doc_id"].to_numpy(dtype=np.int64)
+def images_from_documents(batch: pd.DataFrame, size_px: int = 32,
+                          per_doc: int = 1) -> pd.DataFrame:
+    """``per_doc`` synthetic street-level image rows per document row.
+    Positions are heavy-tailed around urban centers (u^2 bias onto center
+    0) to exercise the salted/skewed-cell path of the spatial join.
+    Generation is keyed purely by (doc_id, replica) so it is deterministic
+    and shard-independent at any fan-out."""
+    base_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+    ids = (np.repeat(base_ids, per_doc) * per_doc
+           + np.tile(np.arange(per_doc, dtype=np.int64), len(base_ids)))
+    texts = np.repeat(batch["text"].to_numpy(), per_doc)
     lon0, lat0, lon1, lat1 = EXTENT
     centers_lon = lon0 + (np.arange(_N_CENTERS) + 0.5) * (lon1 - lon0) / _N_CENTERS
     centers_lat = lat0 + ((np.arange(_N_CENTERS) * 37) % _N_CENTERS + 0.5) \
@@ -53,34 +59,39 @@ def images_from_documents(batch: pd.DataFrame, size_px: int = 32) -> pd.DataFram
 
     rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
             "caption": [], "phash": [], "lon": [], "lat": []}
-    for i, doc_id in enumerate(ids):
-        px = synth._pixels_for(int(doc_id), size_px, size_px)
-        fmt = ("png", "raw", "jpeg")[int(doc_id) % 3]
+    for i, img_id in enumerate(ids):
+        px = synth._pixels_for(int(img_id), size_px, size_px)
+        fmt = ("png", "raw", "jpeg")[int(img_id) % 3]
         if fmt == "png":
             blob = codec.png_encode(px)
         elif fmt == "raw":
             blob = codec.raw_encode(px)
         else:
             blob = b"FJPG" + codec.raw_encode(px)
-        rows["image_id"].append(f"img_{int(doc_id):012d}")
+        rows["image_id"].append(f"img_{int(img_id):012d}")
         rows["bytes"].append(blob)
         rows["w"].append(size_px)
         rows["h"].append(size_px)
         rows["fmt"].append(fmt)
-        rows["caption"].append(batch["text"].iloc[i])
+        rows["caption"].append(texts[i])
         rows["phash"].append(codec.phash64(px))
         rows["lon"].append(float(lon[i]))
         rows["lat"].append(float(lat[i]))
     return pd.DataFrame(rows)
 
 
-def build_images(sf_dir: str, limit: Optional[int] = None) -> rd.Dataset:
+def build_images(sf_dir: str, limit: Optional[int] = None,
+                 per_doc: int = 1, size_px: int = 32) -> rd.Dataset:
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     if limit:
         docs = docs.limit(limit)
-    return docs.map_batches(images_from_documents, batch_format="pandas",
-                            batch_size=512)
+    # small text table fans out into heavy image synthesis: spread it over
+    # a fixed block count so generation/decoding parallelizes fully and the
+    # work layout is identical at every cluster size (scaling comparability)
+    return docs.repartition(128).map_batches(
+        lambda b: images_from_documents(b, size_px=size_px, per_doc=per_doc),
+        batch_format="pandas", batch_size=None)
 
 
 def build_scored_ways(n_ways: int = 64) -> rd.Dataset:
@@ -90,10 +101,12 @@ def build_scored_ways(n_ways: int = 64) -> rd.Dataset:
 
 def run_flagship(sf_dir: str, n_ways: int = 64,
                  image_limit: Optional[int] = None,
+                 images_per_doc: int = 1, size_px: int = 32,
                  with_tiles: bool = False, zooms=(15,)):
     """Returns the assignments Dataset (and optionally the tiles Dataset)."""
     scored = build_scored_ways(n_ways)
-    images = build_images(sf_dir, limit=image_limit)
+    images = build_images(sf_dir, limit=image_limit, per_doc=images_per_doc,
+                          size_px=size_px)
     assignments = assign_images_to_ways(images, scored)
     if with_tiles:
         return assignments, render_tiles(scored, zooms=zooms)

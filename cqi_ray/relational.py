@@ -45,13 +45,19 @@ def _hash_bucket(values, num_buckets: int) -> np.ndarray:
 
 
 def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
-                        num_buckets: int = 64) -> rd.Dataset:
+                        num_buckets: int = 64,
+                        whole_bucket: bool = False) -> rd.Dataset:
     """groupby(key).map_groups with bounded task count: keys are hashed into
     ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
     bucket task runs a local pandas groupby over its keys.  This amortizes
     Ray's per-group overhead when there are thousands of small groups (cells,
     tiles, LSH bands) — the difference between O(#groups) tiny tasks and
-    O(num_buckets) well-sized ones."""
+    O(num_buckets) well-sized ones.
+
+    With ``whole_bucket=True`` the callable receives the entire bucket
+    frame, pre-sorted by ``key_cols``, and must handle group boundaries
+    itself (numpy slice loops — no per-group pandas frames at all).  Use
+    for hot kernels with very many small groups."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -63,6 +69,9 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         group = group.drop(columns="__gb")
+        if whole_bucket:
+            return fn(group.sort_values(key_cols, kind="mergesort",
+                                        na_position="last"))
         outs = [fn(g) for _, g in group.groupby(key_cols, sort=True,
                                                 dropna=False)]
         outs = [o for o in outs if len(o)]
@@ -70,8 +79,11 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
             return fn(group.head(0))
         return pd.concat(outs, ignore_index=True)
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("__gb").map_groups(per_bucket, batch_format="pandas")
+    # spread the shuffle's reduce side over one partition per bucket —
+    # groupby output parallelism follows the input block count
+    tagged = ds.map_batches(add_bucket, batch_format="pandas",
+                            batch_size=None).repartition(num_buckets)
+    return tagged.groupby("__gb").map_groups(per_bucket, batch_format="pandas")
 
 
 def _splitmix64_any(arr: np.ndarray) -> np.ndarray:
