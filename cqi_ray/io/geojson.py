@@ -35,6 +35,38 @@ def read_ways_geojson(path: str, retain: Optional[Iterable[str]] = None) -> list
     return rows
 
 
+def scores_dataset_to_geojson(scores, path: str) -> int:
+    """Scores Dataset (OUTPUT_COLUMNS + geometry_m binary) -> one GeoJSON
+    file in EPSG:4326 (the reference's output step,
+    cycling_quality_index.py:1802-1806).  Streams batches; only the final
+    feature list is held (GeoJSON is a dev/QA sink — the scale sink is
+    partitioned parquet/lance)."""
+    import numpy as np
+
+    from ..geo import proj
+    from ..params import OUTPUT_COLUMNS
+
+    rows = []
+    for batch in scores.iter_batches(batch_size=4096, batch_format="pandas"):
+        for rec in batch.to_dict("records"):
+            geom_m = np.frombuffer(rec.pop("geometry_m"), dtype="<f8").reshape(-1, 2)
+            rec["geometry"] = proj.unproject_coords(geom_m).tolist()
+            rows.append(rec)
+    clean = []
+    for rec in rows:
+        props = {}
+        for c in OUTPUT_COLUMNS:
+            v = rec.get(c)
+            if isinstance(v, float) and v != v:
+                v = None
+            if hasattr(v, "item"):
+                v = v.item()
+            props[c] = v
+        clean.append({**props, "geometry": rec["geometry"]})
+    write_ways_geojson(path, clean, OUTPUT_COLUMNS)
+    return len(clean)
+
+
 def write_ways_geojson(path: str, rows: list[dict], columns: Iterable[str],
                        crs: str = "EPSG:4326") -> None:
     features = []

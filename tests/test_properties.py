@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the foundational kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cqi_ray import tags as T
+from cqi_ray.geo import cells, lines, proj
+from cqi_ray.params import DEFAULT_PARAMS as P
+
+
+lon_st = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False)
+lat_st = st.floats(min_value=-84.0, max_value=84.0, allow_nan=False)
+# UTM zone 33 validity band (the engine's processing CRS)
+z33_lon = st.floats(min_value=9.0, max_value=21.0, allow_nan=False)
+z33_lat = st.floats(min_value=40.0, max_value=70.0, allow_nan=False)
+
+
+class TestProjectionProperties:
+    @given(z33_lon, z33_lat)
+    @settings(max_examples=200, deadline=None)
+    def test_utm_roundtrip(self, lon, lat):
+        x, y = proj.lonlat_to_utm(np.array([lon]), np.array([lat]))
+        lon2, lat2 = proj.utm_to_lonlat(x, y)
+        assert abs(lon2[0] - lon) < 1e-9
+        assert abs(lat2[0] - lat) < 1e-9
+
+    @given(z33_lon, z33_lat, st.floats(min_value=1, max_value=500))
+    @settings(max_examples=100, deadline=None)
+    def test_metric_distance_locally_consistent(self, lon, lat, metres):
+        # moving `metres` east in UTM then inverting lands ~metres away
+        x, y = proj.lonlat_to_utm(np.array([lon]), np.array([lat]))
+        lon2, lat2 = proj.utm_to_lonlat(x + metres, y)
+        x2, y2 = proj.lonlat_to_utm(lon2, lat2)
+        assert abs(float(np.hypot(x2 - x, y2 - y)) - metres) < 1e-6
+
+
+class TestCellProperties:
+    @given(lon_st, lat_st, st.integers(min_value=0, max_value=cells.MAX_RES))
+    @settings(max_examples=300, deadline=None)
+    def test_encode_decode_bounds(self, lon, lat, res):
+        c = cells.encode(np.array([lon]), np.array([lat]), res)
+        assert cells.resolution(c)[0] == res
+        lon0, lat0, lon1, lat1 = cells.cell_bounds(c)
+        # float reconstruction of bounds can be 1 ulp off the integer floor
+        assert lon0[0] - 1e-9 <= lon <= lon1[0] + 1e-9
+        assert lat0[0] - 1e-9 <= lat <= lat1[0] + 1e-9
+
+    @given(lon_st, lat_st, st.integers(min_value=1, max_value=cells.MAX_RES))
+    @settings(max_examples=200, deadline=None)
+    def test_parent_is_prefix(self, lon, lat, res):
+        c = cells.encode(np.array([lon]), np.array([lat]), res)
+        p = cells.parent(c)
+        assert p[0] == cells.encode(np.array([lon]), np.array([lat]), res - 1)[0]
+
+
+class TestTagProperties:
+    @given(st.floats(allow_nan=True, allow_infinity=True) | st.text(max_size=8)
+           | st.none() | st.integers())
+    @settings(max_examples=200, deadline=None)
+    def test_to_number_never_raises(self, value):
+        out = T.to_number(value)
+        assert out is None or isinstance(out, float)
+
+    @given(st.lists(st.sampled_from(list(P.surface_rank_order) + ["junk", ""]),
+                    max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def test_weakest_surface_member_or_none(self, values):
+        out = T.weakest_surface(values, P.surface_rank_order)
+        assert out is None or out in values
+
+    @given(st.text(alphabet="ab;|,1.5 ", max_size=30), st.sampled_from([";", "|"]))
+    @settings(max_examples=200, deadline=None)
+    def test_split_values_rejoin(self, s, deli):
+        parts = T.split_values(s, deli)
+        assert deli.join(parts) == s
+
+
+class TestLineProperties:
+    @given(st.lists(st.tuples(st.floats(-1e5, 1e5), st.floats(-1e5, 1e5)),
+                    min_size=2, max_size=6),
+           st.floats(min_value=1, max_value=500))
+    @settings(max_examples=200, deadline=None)
+    def test_sampling_points_lie_near_line(self, pts, spacing):
+        line = np.asarray(pts, dtype=np.float64)
+        samples = lines.points_along_line(line, spacing)
+        assert len(samples) >= 1
+        for s in samples:
+            assert lines.point_to_polyline_distance(s, line) < 1e-6
+
+    @given(st.lists(st.tuples(st.floats(-1e4, 1e4), st.floats(-1e4, 1e4)),
+                    min_size=2, max_size=5))
+    @settings(max_examples=200, deadline=None)
+    def test_distance_nonnegative_and_zero_on_vertex(self, pts):
+        line = np.asarray(pts, dtype=np.float64)
+        assert lines.point_to_polyline_distance(line[0], line) < 1e-9
+        d = lines.points_to_segments_distance(line, line[:-1], line[1:])
+        assert (d >= 0).all()
+
+
+class TestScoringTotality:
+    """The scorer must never raise, whatever tag soup arrives."""
+
+    @given(st.dictionaries(
+        st.sampled_from(["highway", "bicycle", "cycleway", "cycleway:right",
+                         "width", "maxspeed", "surface", "smoothness", "lit",
+                         "oneway", "lanes", "cycleway:width", "parking:left",
+                         "traffic_sign", "segregated", "footway", "lane_markings"]),
+        st.one_of(st.none(), st.text(max_size=10),
+                  st.sampled_from(["yes", "no", "lane", "track", "3", "-1",
+                                   "asphalt", "50", "walk", "none", "2.5 m"])),
+        max_size=10))
+    @settings(max_examples=300, deadline=None)
+    def test_score_row_total(self, tag_soup):
+        from cqi_ray import scoring
+        from cqi_ray.params import INPUT_TAG_COLUMNS
+
+        row = {c: None for c in INPUT_TAG_COLUMNS}
+        row.update(tag_soup)
+        row.update({"id": "x", "side": None, "type": None,
+                    "proc_sidepath": None, "proc_highway": None,
+                    "proc_maxspeed": None})
+        wt = scoring.classify_way_type(row)
+        if wt == scoring.DROP:
+            return
+        row["way_type"] = wt
+        out = scoring.score_row(dict(row))
+        assert out["filter_usable"] in (0, 1)
+        if out["index"] is not None:
+            assert 0 <= out["index"] <= 100
+        if out["stress_level"] is not None:
+            assert 1 <= out["stress_level"] <= 4
