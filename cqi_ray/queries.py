@@ -114,10 +114,19 @@ def q_join_bucketed(sf_dir: str):
     joined = bucketed_hash_join(lineitem, orders, on="o_orderkey",
                                 right_cols=["o_orderkey", "o_orderpriority"],
                                 num_buckets=16, how="inner")
-    counted = joined.groupby("o_orderpriority").count()
-    return counted.map_batches(
-        lambda b: b.rename(columns={"count()": "n_items"}).astype({"n_items": "int64"}),
-        batch_format="pandas")
+
+    # partial count per block before the tiny global groupby — a global
+    # groupby over the joined pandas blocks would re-sort all rows
+    def partial_count(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False, sort=False) \
+                .size().rename(columns={"size": "n_items"})
+
+    from ray.data.aggregate import Sum
+
+    counted = joined.map_batches(partial_count, batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(Sum("n_items", alias_name="n_items"))
+    return counted.map_batches(lambda b: b.astype({"n_items": "int64"}),
+                               batch_format="pandas")
 
 
 Q_JOIN_BUCKETED_SQL = """
@@ -166,6 +175,94 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def q_window_tumbling(sf_dir: str, window_sec: int = 3600):
+    """Tumbling event-time window aggregate: events are a partitioned log
+    (key = user_id); window id = floor(epoch/size).  Partial-aggregated
+    inside map_batches before the small groupby (no raw-event shuffle)."""
+    events = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("int64") // 1_000_000  # us -> sec
+        batch = batch[["user_id", "value"]].copy()
+        batch["window_id"] = (epoch // window_sec).astype("int64")
+        return batch
+
+    agg = partial_then_global_sum(
+        events.map_batches(add_window, batch_format="pandas"),
+        keys=["user_id", "window_id"], sums={"value": "total_value"},
+        counts="n")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_value"] = batch["total_value"].round(2)
+        batch["n"] = batch["n"].astype("int64")
+        return batch
+
+    return agg.map_batches(_round, batch_format="pandas")
+
+
+Q_WINDOW_TUMBLING_SQL = """
+SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+
+def q_sessionize(sf_dir: str, gap_sec: int = 1800):
+    """Gap-based sessionization: per user, sort by ts and split where the
+    inter-event gap exceeds ``gap_sec``.  groupby(user) is the partitioning
+    assumption (per-key event-time order inside the group); output is one
+    row per session."""
+    events = _pq(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("user_id", "session_seq", "n_events",
+                                  "duration_sec")})
+        out = {"user_id": [], "session_seq": [], "n_events": [],
+               "duration_sec": []}
+        uid = bucket["user_id"].to_numpy()
+        epoch = bucket["ts"].astype("int64").to_numpy() // 1_000_000
+        order = np.lexsort((bucket["event_id"].to_numpy(), epoch, uid))
+        uid, epoch = uid[order], epoch[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [len(uid)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            t = epoch[s:e]
+            breaks = np.concatenate([[0], np.nonzero(np.diff(t) > gap_sec)[0] + 1,
+                                     [len(t)]])
+            for seq, (ss, se) in enumerate(zip(breaks[:-1], breaks[1:])):
+                out["user_id"].append(int(uid[s]))
+                out["session_seq"].append(seq)
+                out["n_events"].append(int(se - ss))
+                out["duration_sec"].append(int(t[se - 1] - t[ss]))
+        return pd.DataFrame(out)
+
+    return grouped_map_buckets(events, ["user_id"], sessions,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+ordered AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM ev),
+tagged AS (
+  SELECT user_id, t,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       CAST(max(t) - min(t) AS BIGINT) AS duration_sec
+FROM tagged GROUP BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -198,21 +295,47 @@ def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
 
     banded = docs.map_batches(Signer, batch_format="pandas", concurrency=(1, 8))
 
-    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket verify: one broadcast fetch, numpy slicing over the
+        pre-sorted (band_id, band_hash) runs, shingle sets cached per doc —
+        never one task (or one ray.get) per band bucket."""
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
         texts = ray.get(text_by_id)  # object-store local after first fetch
-        ids = sorted(set(group["doc_id"].tolist()))
+        band = bucket["band_id"].to_numpy()
+        bh = bucket["band_hash"].to_numpy()
+        docs_arr = bucket["doc_id"].to_numpy()
+        change = (np.diff(band) != 0) | (np.diff(bh) != 0)
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
+        shingle_cache: dict = {}
+
+        def sh(doc):
+            if doc not in shingle_cache:
+                shingle_cache[doc] = char_shingles(texts[doc])
+            return shingle_cache[doc]
+
         rows = {"a": [], "b": []}
-        for i in range(len(ids)):
-            sh_i = char_shingles(texts[ids[i]])
-            for j in range(i + 1, len(ids)):
-                if jaccard(sh_i, char_shingles(texts[ids[j]])) >= threshold:
-                    rows["a"].append(ids[i])
-                    rows["b"].append(ids[j])
-        return pd.DataFrame(rows) if rows["a"] else pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        seen_pairs: set = set()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ids = sorted(set(docs_arr[s:e].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pair = (ids[i], ids[j])
+                    if pair in seen_pairs:
+                        continue
+                    seen_pairs.add(pair)
+                    if jaccard(sh(ids[i]), sh(ids[j])) >= threshold:
+                        rows["a"].append(ids[i])
+                        rows["b"].append(ids[j])
+        return pd.DataFrame(rows) if rows["a"] else empty
 
     pairs = grouped_map_buckets(banded, ["band_id", "band_hash"],
-                                verify_group, num_buckets=64)
+                                verify_bucket, num_buckets=64,
+                                whole_bucket=True)
     # same pair can surface from several bands -> distinct
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
@@ -274,19 +397,31 @@ def q_dedup_phash(sf_dir: str, max_hamming: int = 10):
         df["phash"] = np.tile(batch["phash"].to_numpy(), 4)
         return df
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        pairs = phash_dup_pairs_in_bucket(group["doc_id"].to_numpy(),
-                                          group["phash"].to_numpy(),
-                                          max_hamming=max_hamming)
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series(dtype=object),
-                                 "b": pd.Series(dtype=object)})
-        return pd.DataFrame({"a": [p[0] for p in pairs],
-                             "b": [p[1] for p in pairs]})
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=object)})
+        if not len(bucket):
+            return empty
+        band = bucket["band_id"].to_numpy()
+        bh = bucket["band_hash"].to_numpy()
+        ids = bucket["doc_id"].to_numpy()
+        hashes = bucket["phash"].to_numpy()
+        change = (np.diff(band) != 0) | (np.diff(bh) != 0)
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
+        rows = {"a": [], "b": []}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            for a, b, _ in phash_dup_pairs_in_bucket(
+                    ids[s:e], hashes[s:e], max_hamming=max_hamming):
+                rows["a"].append(a)
+                rows["b"].append(b)
+        return pd.DataFrame(rows) if rows["a"] else empty
 
     pairs = grouped_map_buckets(
         images.map_batches(to_bands, batch_format="pandas"),
-        ["band_id", "band_hash"], verify, num_buckets=64)
+        ["band_id", "band_hash"], verify_bucket, num_buckets=64,
+        whole_bucket=True)
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -571,6 +706,8 @@ QUERIES = {
     "topk": q_topk,
     "distinct": q_distinct,
     "events_agg": q_events_agg,
+    "window_tumbling": q_window_tumbling,
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -599,6 +736,8 @@ ORACLES = {
     "topk": Q_TOPK_SQL,
     "distinct": Q_DISTINCT_SQL,
     "events_agg": Q_EVENTS_AGG_SQL,
+    "window_tumbling": Q_WINDOW_TUMBLING_SQL,
+    "sessionize": Q_SESSIONIZE_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "ann_topk": Q_ANN_TOPK_SQL,

@@ -133,7 +133,10 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     lt = left.map_batches(tag("l"), batch_format="pandas")
     rt = right.map_batches(tag("r"), batch_format="pandas")
-    union = lt.union(rt)
+    # coalesce before the all-to-all: the sort-based shuffle materializes
+    # O(blocks x partitions) fragments, so shuffling 128 tiny blocks into
+    # 128 partitions costs far more scheduling than the data moves warrant
+    union = lt.union(rt).repartition(num_buckets)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         left_cols = [c for c in group.columns
