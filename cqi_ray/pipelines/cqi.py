@@ -90,10 +90,12 @@ def dataset_from_rows(rows: list[dict], rows_per_block: int = 256) -> rd.Dataset
     return rd.from_arrow(chunks)
 
 
-def _project_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _project_batch(batch: pa.Table) -> pa.Table:
     """Vectorized reprojection: one UTM transform over the concatenation of
-    every geometry in the batch, then re-split."""
-    blobs = batch["geometry"].to_numpy()
+    every geometry in the batch, then re-split.  Arrow in/out — appending a
+    column to a 190-column Arrow table is zero-copy, where the pandas
+    equivalent copies every column."""
+    blobs = batch["geometry"].to_pylist()
     counts = np.fromiter((len(b) // 16 for b in blobs), dtype=np.int64,
                          count=len(blobs))
     if len(blobs):
@@ -104,9 +106,7 @@ def _project_batch(batch: pd.DataFrame) -> pd.DataFrame:
                  for i in range(len(blobs))]
     else:
         geoms = []
-    batch = batch.copy()
-    batch["geometry_m"] = geoms
-    return batch
+    return batch.append_column("geometry_m", pa.array(geoms, pa.binary()))
 
 
 # ---------------------------------------------------------------------------
@@ -350,30 +350,49 @@ def _fold_bucket(bucket: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _sparse_records(batch: pd.DataFrame) -> list[dict]:
+    """Batch -> row dicts holding ONLY non-null cells.  The rule kernels
+    read tags with ``row.get(key)`` (missing == None), and a typical OSM row
+    has ~10 of ~190 tag columns set, so sparse dicts cut per-row dict
+    construction ~20x versus to_dict('records')."""
+    n = len(batch)
+    records = [dict() for _ in range(n)]
+    for col in batch.columns:
+        arr = batch[col].to_numpy()
+        if arr.dtype.kind == "f":
+            idx = np.nonzero(~np.isnan(arr))[0]
+            for i in idx:
+                records[i][col] = float(arr[i])
+            continue
+        if arr.dtype.kind in ("i", "u", "b"):
+            for i in range(n):
+                records[i][col] = arr[i].item()
+            continue
+        for i in range(n):
+            v = arr[i]
+            if v is None or v is pd.NA or (isinstance(v, float) and v != v):
+                continue
+            records[i][col] = v
+    return records
+
+
 def _apply_sidepath(batch: pd.DataFrame) -> pd.DataFrame:
-    records = batch.to_dict("records")
+    records = _sparse_records(batch)
     for r in records:
-        for k in ("sp_sidepath", "sp_highway", "sp_maxspeed", "sp_name"):
-            if k in r and (r[k] is None or (isinstance(r[k], float) and pd.isna(r[k]))):
-                r[k] = None
         hw = r.get("highway")
         if hw not in sidepath.NON_ROAD_HIGHWAYS or hw == "track":
             r.update(sidepath.road_proc_attrs(r))
-        elif "sp_sidepath" in r and r["sp_sidepath"] is not None:
+        elif r.get("sp_sidepath") is not None:
             r["proc_sidepath"] = r["sp_sidepath"]
-            if r["sp_highway"] is not None or r["sp_sidepath"] == "yes":
+            if r["sp_sidepath"] == "yes":
                 # fold_entry only sets proc_highway for 'yes' rows
-                if r["sp_sidepath"] == "yes":
-                    r["proc_highway"] = r["sp_highway"]
-            if r["sp_maxspeed"] is not None:
+                r["proc_highway"] = r.get("sp_highway")
+            if r.get("sp_maxspeed") is not None:
                 r["proc_maxspeed"] = float(r["sp_maxspeed"])
-            if r["sp_name"] is not None:
+            if r.get("sp_name") is not None:
                 r["name"] = r["sp_name"]
         for k in ("sp_sidepath", "sp_highway", "sp_maxspeed", "sp_name"):
             r.pop(k, None)
-        r.setdefault("proc_sidepath", None)
-        r.setdefault("proc_highway", None)
-        r.setdefault("proc_maxspeed", None)
     return pd.DataFrame(records)
 
 
@@ -383,24 +402,21 @@ def _apply_sidepath(batch: pd.DataFrame) -> pd.DataFrame:
 
 def _fanout_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     out = []
-    for r in batch.to_dict("records"):
-        r = {k: (None if isinstance(v, float) and pd.isna(v) else v)
-             for k, v in r.items()}
-        r.setdefault("side", None)
-        r.setdefault("type", None)
+    for r in _sparse_records(batch):
         r["geometry_m"] = geom_from_bytes(r["geometry_m"])
         for row in offsets.fan_out(r, p):
             row = dict(row)
             row["geometry_m"] = geom_to_bytes(row["geometry_m"])
             out.append(row)
-    return pd.DataFrame(out) if out else batch.head(0)
+    if not out:
+        return batch.head(0)
+    df = pd.DataFrame(out)
+    return df
 
 
 def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     out = []
-    for r in batch.to_dict("records"):
-        r = {k: (None if isinstance(v, float) and pd.isna(v) else v)
-             for k, v in r.items()}
+    for r in _sparse_records(batch):
         way_type = scoring.classify_way_type(r, p)
         if way_type == scoring.DROP:
             continue
@@ -428,10 +444,14 @@ def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def score_ways_dataset(ds: rd.Dataset, p: CQIParams = DEFAULT_PARAMS,
-                       num_buckets: int = 8) -> rd.Dataset:
+                       num_buckets: int = 8,
+                       sidepath_join: str = "broadcast") -> rd.Dataset:
     """ways Dataset (full input schema + geometry + row_seq) -> scores
     Dataset (OUTPUT_COLUMNS + geometry_m)."""
-    ds = ds.map_batches(_project_batch, batch_format="pandas", batch_size=None)
+    # project ONCE and pin: three consumers (join left side, paths branch,
+    # roads branch) would otherwise re-execute the projection lineage each
+    ds = ds.map_batches(_project_batch, batch_format="pyarrow",
+                        batch_size=None).materialize()
 
     path_vals = pa.array(list(sidepath.PATH_HIGHWAYS), pa.string())
     nonroad_vals = pa.array(list(sidepath.NON_ROAD_HIGHWAYS), pa.string())
@@ -460,8 +480,27 @@ def score_ways_dataset(ds: rd.Dataset, p: CQIParams = DEFAULT_PARAMS,
                                  lambda g: _fold_bucket(g, p),
                                  num_buckets=64, whole_bucket=True)
 
-    joined = bucketed_hash_join(ds, folded, on="id", right_cols=_FOLD_COLS,
-                                num_buckets=num_buckets, how="left")
+    if sidepath_join == "broadcast":
+        # the fold side is one tiny row per *path* way (5 narrow fields) —
+        # broadcast it and look up per batch instead of shuffling the
+        # ~190-column ways table through a hash join.  Use
+        # sidepath_join="bucketed" when the path count itself is huge.
+        import ray as _ray
+
+        fold_ref = _ray.put(folded.to_pandas().set_index("id"))
+
+        def _attach_fold(batch: pd.DataFrame) -> pd.DataFrame:
+            fold = _ray.get(fold_ref)
+            sub = fold.reindex(batch["id"].to_numpy())
+            for col in _FOLD_COLS[1:]:
+                batch[col] = sub[col].to_numpy()
+            return batch
+
+        joined = ds.map_batches(_attach_fold, batch_format="pandas",
+                                batch_size=None)
+    else:
+        joined = bucketed_hash_join(ds, folded, on="id", right_cols=_FOLD_COLS,
+                                    num_buckets=num_buckets, how="left")
     withproc = joined.map_batches(_apply_sidepath, batch_format="pandas", batch_size=None)
     fanned = withproc.map_batches(lambda b: _fanout_batch(b, p),
                                   batch_format="pandas", batch_size=None)
