@@ -29,9 +29,9 @@ class _RaySession:
         if self.owned:
             ray.init(address="local", num_cpus=cpus, include_dashboard=False,
                      ignore_reinit_error=True, logging_level="ERROR")
-        from ray.data import DataContext
+        from .runtime import tune_data_context
 
-        DataContext.get_current().enable_progress_bars = False
+        tune_data_context()
 
     def shutdown(self):
         if self.owned:

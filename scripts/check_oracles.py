@@ -53,8 +53,8 @@ def main():
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    from cqi_ray.runtime import tune_data_context
+    tune_data_context()
 
     import __ray_entry__ as e
 

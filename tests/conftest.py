@@ -19,6 +19,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from cqi_ray.runtime import tune_data_context
+
+    tune_data_context(quiet=True)
     yield ray
     ray.shutdown()
 
