@@ -415,9 +415,15 @@ def _fanout_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
 
 
 def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
+    from ..vector import classify_way_type_batch
+
+    # classification is vectorized (mask rules over the whole batch,
+    # differentially tested equal to the row-wise tree); only the branchy
+    # attribute derivation remains per-row
+    way_types = classify_way_type_batch(batch, p)
     out = []
-    for r in _sparse_records(batch):
-        way_type = scoring.classify_way_type(r, p)
+    for i, r in enumerate(_sparse_records(batch)):
+        way_type = way_types[i]
         if way_type == scoring.DROP:
             continue
         r["way_type"] = way_type

@@ -1,0 +1,203 @@
+"""Vectorized way-type classification: the batch form of
+``scoring.classify_way_type``.
+
+The 16-way decision tree (reference: cycling_quality_index.py:367-476)
+is evaluated as a sequence of boolean-mask rules over numpy object
+arrays — one O(n) comparison per condition instead of a Python function
+call per row.  Exactness is enforced by a differential test against the
+row-wise implementation over the golden corpus, large synthetic ways and
+randomized tag soup (tests/test_vector.py); the distributed scorer uses
+this form to pre-classify and drop rows before the (row-wise, branchy)
+attribute derivation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import scoring
+from .params import CQIParams, DEFAULT_PARAMS
+
+DROP = scoring.DROP
+
+
+def _col(df: pd.DataFrame, name: str, n: int) -> np.ndarray:
+    if name in df.columns:
+        arr = df[name].to_numpy(dtype=object, copy=False)
+        # normalize pandas NaN to None so equality semantics match dicts
+        mask = pd.isna(arr)
+        if mask.any():
+            arr = arr.copy()
+            arr[mask] = None
+        return arr
+    return np.full(n, None, dtype=object)
+
+
+def _truthy(a: np.ndarray) -> np.ndarray:
+    return (a != None) & (a != "")  # noqa: E711  (elementwise object compare)
+
+
+def _isin(a: np.ndarray, values) -> np.ndarray:
+    out = np.zeros(len(a), dtype=bool)
+    for v in values:
+        out |= a == v
+    return out
+
+
+def _coalesce_truthy(*arrays: np.ndarray) -> np.ndarray:
+    out = arrays[0].copy()
+    for nxt in arrays[1:]:
+        need = ~_truthy(out)
+        out[need] = nxt[need]
+    return out
+
+
+def _contains(a: np.ndarray, needle: str) -> np.ndarray:
+    return pd.Series(a).str.contains(needle, regex=False, na=False).to_numpy()
+
+
+def classify_way_type_batch(df: pd.DataFrame,
+                            p: CQIParams = DEFAULT_PARAMS) -> np.ndarray:
+    """Return an object array of way types / ``scoring.DROP`` / None,
+    exactly matching ``scoring.classify_way_type`` row for row."""
+    n = len(df)
+    c = lambda name: _col(df, name, n)
+
+    highway = c("highway")
+    bicycle = c("bicycle")
+    side = c("side")
+    foot = c("foot")
+    segregated = c("segregated")
+    is_sidepath = c("is_sidepath")
+    lane_markings = c("lane_markings")
+
+    result = np.full(n, None, dtype=object)
+    undecided = np.ones(n, dtype=bool)
+
+    def decide(mask: np.ndarray, value) -> None:
+        nonlocal undecided
+        hit = undecided & mask
+        result[hit] = value
+        undecided &= ~hit
+
+    # --- filters (delete_if_no_access / delete_informal_paths) ---
+    bike_access = _coalesce_truthy(bicycle, c("vehicle"), c("access"))
+    decide(_truthy(bike_access)
+           & ~_isin(bike_access, scoring.ALLOWED_BICYCLE_ACCESS), DROP)
+    decide((highway == "path") & (c("informal") == "yes") & (bicycle == None),  # noqa: E711
+           DROP)
+
+    has_side = _truthy(side)
+    decide((c("bicycle_road") == "yes") & ~has_side, "bicycle road")
+
+    link_any = np.zeros(n, dtype=bool)
+    crossing_any = np.zeros(n, dtype=bool)
+    for key in scoring.LINK_OR_CROSSING_KEYS:
+        link_any |= c(key) == "link"
+        crossing_any |= c(key) == "crossing"
+    decide(link_any, "link")
+    decide(crossing_any, "crossing")
+
+    decide(_isin(highway, scoring.FOOTWAY_FAMILY), "shared footway")
+
+    is_path = highway == "path"
+    decide(is_path & (foot == "designated") & (bicycle != "designated"),
+           "shared footway")
+    decide(is_path & (segregated == "yes"), "segregated path")
+    decide(is_path, "shared path")
+
+    # --- separation-by-mode (tags.separation_for_mode, vectorized) ---
+    sep_left = c("separation:left")
+    sep_right = c("separation:right")
+    mode_left = c("traffic_mode:left")
+    mode_right = c("traffic_mode:right")
+
+    sep_foot = np.full(n, None, dtype=object)
+    m = mode_left == "foot"
+    sep_foot[m] = sep_left[m]
+    m = ~_truthy(mode_right) | (mode_right == "foot")
+    sep_foot[m] = sep_right[m]
+
+    sep_motor = np.full(n, None, dtype=object)
+    m = _isin(mode_right, ("motor_vehicle", "parking", "psv"))
+    sep_motor[m] = sep_right[m]
+    m = ~_truthy(mode_left) | _isin(mode_left, ("motor_vehicle", "parking", "psv"))
+    sep_motor[m] = sep_left[m]
+
+    motor_sep_set = ~(sep_motor == None) & ~_isin(sep_motor, ("no", "none"))  # noqa: E711
+    motor_sep_kerbish = motor_sep_set & (
+        _contains(sep_motor, "kerb") | _contains(sep_motor, "tree_row"))
+
+    # --- highway == cycleway ---
+    is_cw = highway == "cycleway"
+    decide(is_cw & _isin(foot, ("yes", "designated", "permissive")), "shared path")
+    decide(is_cw & (sep_foot == "no"), "segregated path")
+    sp_unknown = ~_isin(is_sidepath, ("yes", "no"))
+    decide(is_cw & sp_unknown & (c("proc_sidepath") == "yes"), "cycle track")
+    decide(is_cw & sp_unknown, "cycle path")
+    sp_yes = is_sidepath == "yes"
+    decide(is_cw & sp_yes & motor_sep_kerbish, "cycle track")
+    decide(is_cw & sp_yes & motor_sep_set, "cycle lane (protected)")
+    decide(is_cw & sp_yes, "cycle track")
+    decide(is_cw, "cycle path")
+
+    decide(_isin(highway, ("service", "track")), "track or service")
+
+    # --- center rows end here ---
+    big_road = _isin(highway, ("motorway", "trunk", "primary", "secondary"))
+    decide(~has_side & ((lane_markings == "yes")
+                        | ((lane_markings != "yes") & big_road)),
+           "shared traffic lane")
+    decide(~has_side, "shared road")
+
+    # --- fanned-out side rows only below ---
+    decide(c("type") == "sidewalk", "shared footway")
+
+    is_left = side == "left"
+
+    def side_aware(base: str, sub: str = "") -> np.ndarray:
+        suffix = f":{sub}" if sub else ""
+        a = c(f"{base}{suffix}")
+        b = c(f"{base}:both{suffix}")
+        left = c(f"{base}:left{suffix}")
+        right = c(f"{base}:right{suffix}")
+        sided = np.where(is_left, left, right)
+        return np.stack([a, b, sided])
+
+    def side_any(stacked: np.ndarray, values) -> np.ndarray:
+        out = np.zeros(n, dtype=bool)
+        for row in stacked:
+            out |= _isin(row, values)
+        return out
+
+    cw_family = side_aware("cycleway")
+    lane_mask = side_any(cw_family, ("lane",))
+    central = _contains(c("cycleway:lanes"), "no|lane|no")
+    decide(lane_mask & central, "cycle lane (central)")
+    decide(lane_mask & motor_sep_set, "cycle lane (protected)")
+    decide(lane_mask & side_any(side_aware("cycleway", "lane"), ("exclusive",)),
+           "cycle lane (exclusive)")
+    decide(lane_mask, "cycle lane (advisory)")
+
+    track_mask = side_any(cw_family, ("track",))
+    decide(track_mask & side_any(side_aware("cycleway", "foot"),
+                                 ("yes", "designated", "permissive")),
+           "shared path")
+    seg_family = side_aware("cycleway", "segregated")
+    decide(track_mask & side_any(seg_family, ("yes",)), "segregated path")
+    decide(track_mask & side_any(seg_family, ("no",)), "shared path")
+    decide(track_mask & (sep_foot == "no"), "segregated path")
+    decide(track_mask & motor_sep_kerbish, "cycle track")
+    decide(track_mask & motor_sep_set, "cycle lane (protected)")
+    decide(track_mask, "cycle track")
+
+    decide(side_any(cw_family, ("share_busway",)), "shared bus lane")
+    decide(side_any(side_aware("sidewalk", "bicycle"), ("yes",)),
+           "shared footway")
+
+    decide((lane_markings == "yes")
+           | ((lane_markings != "yes") & _isin(highway, ("primary", "secondary"))),
+           "shared traffic lane")
+    decide(np.ones(n, dtype=bool), "shared road")
+    return result

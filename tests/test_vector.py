@@ -1,0 +1,86 @@
+"""Differential tests: the vectorized classifier must match the row-wise
+rule engine on every row — golden corpus (post-sidepath, post-fanout),
+large synthetic ways, and randomized tag soup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cqi_ray import scoring
+from cqi_ray.params import INPUT_TAG_COLUMNS
+from cqi_ray.vector import classify_way_type_batch
+
+
+def _rowwise(df: pd.DataFrame):
+    out = []
+    for rec in df.to_dict("records"):
+        rec = {k: (None if isinstance(v, float) and pd.isna(v) else v)
+               for k, v in rec.items()}
+        out.append(scoring.classify_way_type(rec))
+    return out
+
+
+def _diff(df: pd.DataFrame):
+    got = classify_way_type_batch(df).tolist()
+    want = _rowwise(df)
+    bad = [(i, want[i], got[i]) for i in range(len(df)) if got[i] != want[i]]
+    return bad
+
+
+class TestDifferential:
+    def test_corpus_post_fanout(self, corpus_rows):
+        from cqi_ray import offsets, sidepath
+        from cqi_ray.pipeline import normalize_rows
+
+        rows = normalize_rows([dict(r) for r in corpus_rows])
+        sidepath.run_sidepath_stage(rows)
+        fanned = []
+        for r in rows:
+            fanned.extend(offsets.fan_out(r))
+        df = pd.DataFrame([{k: v for k, v in r.items()
+                            if k not in ("geometry", "geometry_m")}
+                           for r in fanned])
+        bad = _diff(df)
+        assert not bad, bad[:5]
+
+    def test_synthetic_ways(self):
+        from cqi_ray.images.synth import synth_ways_grid
+        from cqi_ray.pipeline import normalize_rows
+
+        rows = normalize_rows(synth_ways_grid(2000))
+        df = pd.DataFrame([{k: v for k, v in r.items()
+                            if k not in ("geometry", "geometry_m")}
+                           for r in rows])
+        bad = _diff(df)
+        assert not bad, bad[:5]
+
+    def test_random_tag_soup(self):
+        rng = np.random.default_rng(42)
+        values = [None, "yes", "no", "designated", "permissive", "lane",
+                  "track", "share_busway", "exclusive", "link", "crossing",
+                  "sidewalk", "path", "cycleway", "footway", "residential",
+                  "primary", "secondary", "service", "motorway", "steps",
+                  "use_sidepath", "optional_sidepath", "private", "kerb",
+                  "kerb;fence", "none", "", "no|lane|no", "foot",
+                  "motor_vehicle", "parking", "informal"]
+        hot_cols = [c for c in INPUT_TAG_COLUMNS
+                    if any(s in c for s in ("cycleway", "sidewalk", "separation",
+                                            "traffic_mode", "highway", "bicycle",
+                                            "foot", "segregated", "informal",
+                                            "lane_markings", "is_sidepath",
+                                            "access", "vehicle"))]
+        n = 4000
+        data = {}
+        for col in hot_cols:
+            mask = rng.random(n) < 0.25
+            vals = np.full(n, None, dtype=object)
+            vals[mask] = rng.choice(values, size=int(mask.sum()))
+            data[col] = vals
+        data["side"] = rng.choice([None, "left", "right"], size=n,
+                                  p=[0.6, 0.2, 0.2])
+        data["type"] = rng.choice([None, "cycleway", "sidewalk"], size=n,
+                                  p=[0.6, 0.2, 0.2])
+        data["proc_sidepath"] = rng.choice([None, "yes", "no"], size=n)
+        df = pd.DataFrame(data)
+        bad = _diff(df)
+        assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
