@@ -53,6 +53,13 @@ def utm_zone_central_meridian(zone: int) -> float:
     return float(zone * 6 - 183)
 
 
+def utm_zone_for(lon: float) -> int:
+    """Standard UTM zone for a longitude (1..60).  At global scale each
+    geometry projects in its own zone: partition by zone (it is a coarse
+    prefix of the cell key) and project per partition."""
+    return int(np.clip((np.floor((lon + 180.0) / 6.0) + 1), 1, 60))
+
+
 def lonlat_to_utm(lon, lat, zone: int = 33):
     """Vectorized forward projection.  lon/lat in degrees -> (easting, northing)."""
     lon = np.asarray(lon, dtype=np.float64)

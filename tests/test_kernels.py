@@ -104,3 +104,18 @@ class TestLines:
         assert np.allclose(left, [[0, 2], [10, 2]])
         right = lines.offset_polyline(line, -2.0)
         assert np.allclose(right, [[0, -2], [10, -2]])
+
+
+class TestUTMZones:
+    def test_zone_selection(self):
+        assert proj.utm_zone_for(13.5) == 33
+        assert proj.utm_zone_for(-0.1) == 30
+        assert proj.utm_zone_for(179.9) == 60
+        assert proj.utm_zone_for(-179.9) == 1
+
+    def test_roundtrip_other_zones(self):
+        for lon, lat in [(-74.0, 40.7), (139.7, 35.7), (2.35, 48.85)]:
+            z = proj.utm_zone_for(lon)
+            x, y = proj.lonlat_to_utm(np.array([lon]), np.array([lat]), zone=z)
+            lon2, lat2 = proj.utm_to_lonlat(x, y, zone=z)
+            assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
