@@ -425,6 +425,76 @@ def q_dedup_phash(sf_dir: str, max_hamming: int = 10):
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
+def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10):
+    """Scale-sane perceptual-hash dedup: one row per image with its
+    duplicate-cluster representative, instead of the O(group²) pair list.
+
+    exact collapse (groupby phash -> min image_id rep)
+      -> band-LSH over DISTINCT hashes only
+      -> near-dup pairs among representatives (bounded: distinct hashes)
+      -> driver-side union-find over the tiny rep-pair set
+      -> broadcast cluster map, per-batch lookup.
+    """
+    from .ops.dedup import phash_band_rows, phash_dup_pairs_in_bucket
+    from .pipelines.flagship import build_images
+
+    images = build_images(sf_dir).select_columns(["image_id", "phash"])
+
+    # exact collapse: representative id per distinct hash
+    def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("phash", as_index=False, sort=False) \
+                    .agg(rep=("image_id", "min"))
+
+    from ray.data.aggregate import Min
+
+    reps = images.map_batches(partial_min, batch_format="pandas") \
+        .groupby("phash").aggregate(Min("rep", alias_name="rep")).to_pandas()
+
+    # near-dup pairs among the (small) distinct-hash set, via band LSH
+    banded = phash_band_rows(reps["phash"].to_numpy(), reps["rep"].to_numpy())
+    banded["phash"] = np.tile(reps["phash"].to_numpy(), 4)
+    banded = banded.sort_values(["band_id", "band_hash"], kind="mergesort")
+    band = banded["band_id"].to_numpy()
+    bh = banded["band_hash"].to_numpy()
+    change = (np.diff(band) != 0) | (np.diff(bh) != 0)
+    bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
+    pairs = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s >= 2:
+            pairs.extend((a, b) for a, b, _ in phash_dup_pairs_in_bucket(
+                banded["doc_id"].to_numpy()[s:e],
+                banded["phash"].to_numpy()[s:e], max_hamming=max_hamming))
+
+    # union-find over representative pairs (tiny)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    cluster_of_hash = {
+        int(h): find(r) for h, r in zip(reps["phash"], reps["rep"])
+    }
+    ref = ray.put(cluster_of_hash)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        return pd.DataFrame({
+            "image_id": batch["image_id"],
+            "cluster_rep": [table[int(h)] for h in batch["phash"]],
+        })
+
+    return images.map_batches(assign, batch_format="pandas")
+
+
 def q_audio_features(sf_dir: str):
     """Audio actor-pool stage over a deterministic synthetic clip table
     (codec stubbed; plumbing real — see images/multimodal.py)."""
@@ -769,6 +839,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_phash": q_dedup_phash,
+    "dedup_phash_clusters": q_dedup_phash_clusters,
     "dedup_embedding": q_dedup_embedding,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

