@@ -87,3 +87,45 @@ class HyperplaneLSH:
         for b in range(n_probe_bits):
             cols.append(bucket_ids ^ (1 << b))
         return np.stack(cols, axis=1)
+
+
+def kmeans_fit(mat: np.ndarray, k: int, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (fixed seed/iters, no early-exit
+    randomness): the coarse quantizer for IVF.  Rows are L2-normalized;
+    empty clusters keep their previous centroid."""
+    x = normalize_rows(mat)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+class IVFIndex:
+    """IVF-Flat coarse index: centroids broadcast once; corpus rows bucket
+    to their nearest centroid (one groupby co-partition); queries probe the
+    ``nprobe`` nearest lists and score exactly within them."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = normalize_rows(centroids)
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        sims = normalize_rows(mat) @ self.centroids.T
+        return np.argmax(sims, axis=1).astype(np.int64)
+
+    def probe(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        """(nq, nprobe) list ids, nearest first (deterministic ties by id)."""
+        sims = normalize_rows(queries) @ self.centroids.T
+        nprobe = min(nprobe, sims.shape[1])
+        order = np.lexsort((np.broadcast_to(np.arange(sims.shape[1]),
+                                            sims.shape), -sims), axis=1)
+        return order[:, :nprobe].astype(np.int64)

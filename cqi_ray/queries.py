@@ -662,6 +662,64 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 4,
     return top[["query_id", "vec_id", "rank"]].astype("int64")
 
 
+def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
+              nlist: int = 16, nprobe: int = 4):
+    """IVF-Flat ANN — the second scale path: a deterministic spherical
+    k-means coarse quantizer (trained on a driver-side sample, broadcast
+    once) buckets the corpus; each query scores exactly within its
+    ``nprobe`` nearest lists.  With nprobe == nlist this is EXACTLY the
+    brute-force top-k (tested)."""
+    from .ops.ann import IVFIndex, batch_topk_partials, kmeans_fit, merge_topk
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # train the coarse quantizer on a bounded sample (deterministic: first
+    # rows by vec_id order); at 10^12 rows this is a take() not a to_pandas
+    sample = emb.sort("vec_id").limit(2048).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    index = IVFIndex(kmeans_fit(smat, nlist))
+
+    qdf = sample[sample["vec_id"] < n_queries].sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    probes = index.probe(qmat, nprobe)           # (nq, nprobe)
+    lists_to_queries: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for lid in probes[qi]:
+            lists_to_queries.setdefault(int(lid), []).append(qi)
+    ref = ray.put((index.centroids, qmat, lists_to_queries))
+
+    class ListScore:
+        def __init__(self):
+            cents, self.qmat, self.l2q = ray.get(ref)
+            self.index = IVFIndex(cents)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy())
+            lists = self.index.assign(mat)
+            frames = []
+            for lid in np.unique(lists):
+                qis = self.l2q.get(int(lid))
+                if not qis:
+                    continue
+                mask = lists == lid
+                part = batch_topk_partials(
+                    batch["vec_id"].to_numpy()[mask], mat[mask],
+                    self.qmat[qis], k)
+                part["query_id"] = np.asarray(qis)[part["query_id"].to_numpy()]
+                frames.append(part)
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "vec_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+    partials = emb.map_batches(ListScore, batch_format="pandas",
+                               concurrency=(1, 8)).to_pandas()
+    top = merge_topk(partials, k)
+    top["query_id"] = qids[top["query_id"].to_numpy()]
+    return top[["query_id", "vec_id", "rank"]].astype("int64")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -845,6 +903,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

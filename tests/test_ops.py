@@ -151,3 +151,31 @@ class TestLSHANN:
         overlap = len(set(map(tuple, a[["query_id", "vec_id"]].to_numpy()))
                       & set(map(tuple, bf[["query_id", "vec_id"]].to_numpy())))
         assert overlap >= len(a["query_id"].unique())  # at least the self-hits
+
+
+class TestIVF:
+    def test_ivf_full_probe_equals_bruteforce(self, ray_session):
+        """nprobe == nlist scans every list -> must equal the exact top-k."""
+        from cqi_ray.queries import q_ann_ivf, q_ann_topk
+
+        ivf = q_ann_ivf("/root/testdata/sf0.001", nlist=8, nprobe=8)
+        bf = q_ann_topk("/root/testdata/sf0.001")
+        assert ivf.to_dict("records") == bf.to_dict("records")
+
+    def test_ivf_partial_probe_properties(self, ray_session):
+        from cqi_ray.queries import q_ann_ivf
+
+        a = q_ann_ivf("/root/testdata/sf0.001", nlist=16, nprobe=4)
+        b = q_ann_ivf("/root/testdata/sf0.001", nlist=16, nprobe=4)
+        assert a.to_dict("records") == b.to_dict("records")
+        for qid, grp in a.groupby("query_id"):
+            assert grp[grp["rank"] == 1]["vec_id"].iloc[0] == qid
+
+    def test_kmeans_deterministic(self, embeddings):
+        mat = np.stack(embeddings["embedding"].head(200).to_numpy())
+        c1 = ann.kmeans_fit(mat, 8)
+        c2 = ann.kmeans_fit(mat, 8)
+        assert np.array_equal(c1, c2)
+        idx = ann.IVFIndex(c1)
+        assign = idx.assign(mat)
+        assert assign.min() >= 0 and assign.max() < 8
