@@ -44,9 +44,7 @@ def _init_ray(cpus):
 
 def cmd_score(args) -> int:
     ray = _init_ray(args.cpus)
-    from .io.geojson import read_ways_geojson, write_ways_geojson
     from .io.merge import merge_way_sources
-    from .params import OUTPUT_COLUMNS
     from .pipelines.cqi import dataset_from_rows, score_ways_dataset
 
     rows = merge_way_sources(args.input)

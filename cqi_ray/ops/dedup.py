@@ -10,8 +10,6 @@ salting on ``hash(doc_id) % k`` before verification.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 

@@ -17,7 +17,7 @@ size at the cost of way duplication — the classic salted-join tradeoff.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -28,7 +28,7 @@ reproduced no matter how blocks were scheduled.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 import pandas as pd

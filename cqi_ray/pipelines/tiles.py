@@ -14,7 +14,7 @@ a full pyramid is needed.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 import pandas as pd

@@ -23,8 +23,6 @@ pairs with a cell-partitioned spatial join instead of the O(P·R) scan.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
-
 import numpy as np
 
 from .params import CQIParams, DEFAULT_PARAMS
