@@ -776,16 +776,19 @@ def _lts(row: dict, way_type, proc_oneway, proc_width, proc_maxspeed,
 # Full per-row pipeline step (stages 4+5 of the reference main loop)
 # ---------------------------------------------------------------------------
 
-def score_row(row: dict, p: CQIParams = DEFAULT_PARAMS) -> dict:
+def score_row(row: dict, p: CQIParams = DEFAULT_PARAMS,
+              proc_oneway: Optional[str] = None) -> dict:
     """Derive all ``proc_*`` attributes, the index factors, the final index
     and the traffic-stress level for one classified row.  Mutates and
-    returns ``row``."""
+    returns ``row``.  ``proc_oneway`` may be precomputed by the vectorized
+    batch kernel (cqi_ray.vector.derive_oneway_batch)."""
     way_type = row.get("way_type")
     data_missing: list[str] = []
     data_bonus: list[str] = []
     data_malus: list[str] = []
 
-    proc_oneway = derive_oneway(row, p)
+    if proc_oneway is None:
+        proc_oneway = derive_oneway(row, p)
     row["proc_oneway"] = proc_oneway
 
     proc_width, m = derive_width(row, proc_oneway, p)

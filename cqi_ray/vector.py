@@ -201,3 +201,59 @@ def classify_way_type_batch(df: pd.DataFrame,
            "shared traffic lane")
     decide(np.ones(n, dtype=bool), "shared road")
     return result
+
+
+def derive_oneway_batch(df: pd.DataFrame, way_types: np.ndarray,
+                        p: CQIParams = DEFAULT_PARAMS) -> np.ndarray:
+    """Vectorized ``scoring.derive_oneway`` (reference:
+    cycling_quality_index.py:479-525): the oneway cascade as mask rules."""
+    n = len(df)
+    c = lambda name: _col(df, name, n)
+    wt = np.asarray(way_types, dtype=object)
+    oneway = c("oneway")
+    ob = c("oneway:bicycle")
+    cw = c("cycleway:oneway")
+    side = c("side")
+
+    res = np.full(n, None, dtype=object)
+    und = np.ones(n, dtype=bool)
+
+    def decide(mask, value):
+        nonlocal und
+        hit = und & mask
+        if isinstance(value, np.ndarray):
+            res[hit] = value[hit]
+        else:
+            res[hit] = value
+        und &= ~hit
+
+    ov_oneway = _isin(oneway, scoring.ONEWAY_VALUES)
+    cyc = _isin(wt, scoring.CYCLE_ONEWAY_TYPES)
+    decide(cyc & ov_oneway, oneway)
+    decide(cyc & _isin(cw, scoring.ONEWAY_VALUES), cw)
+    decide(cyc & _isin(wt, ("cycle track", "shared path", "shared footway"))
+           & _truthy(side), p.default_oneway_cycle_track)
+    decide(cyc & _isin(wt, ("cycle lane (advisory)", "cycle lane (exclusive)",
+                            "cycle lane (protected)", "cycle lane (central)")),
+           p.default_oneway_cycle_lane)
+    decide(cyc & _isin(ob, scoring.ONEWAY_VALUES), ob)
+    decide(cyc, "no")
+
+    decide(wt == "shared bus lane", "yes")
+
+    shared = _isin(wt, ("shared road", "shared traffic lane", "bicycle road",
+                        "track or service"))
+    same = ~_truthy(ob) | (oneway == ob)
+    decide(shared & same & ov_oneway, oneway)
+    decide(shared & same, "no")
+    suffixed = np.full(n, None, dtype=object)
+    m = ov_oneway
+    suffixed[m] = np.array([f"{o}_motor_vehicles" for o in oneway[m]],
+                           dtype=object)
+    ob_no = ob == "no"
+    decide(shared & ob_no & ov_oneway, suffixed)
+    decide(shared & ob_no, "no")
+    decide(shared, "yes")
+
+    res[~_truthy(res)] = "unknown"
+    return res

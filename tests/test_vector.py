@@ -84,3 +84,50 @@ class TestDifferential:
         df = pd.DataFrame(data)
         bad = _diff(df)
         assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+class TestOnewayDifferential:
+    def _diff_oneway(self, df):
+        from cqi_ray.vector import classify_way_type_batch, derive_oneway_batch
+
+        wts = classify_way_type_batch(df)
+        got = derive_oneway_batch(df, wts).tolist()
+        want = []
+        for i, rec in enumerate(df.to_dict("records")):
+            rec = {k: (None if isinstance(v, float) and pd.isna(v) else v)
+                   for k, v in rec.items()}
+            rec["way_type"] = None if wts[i] == scoring.DROP else wts[i]
+            want.append(scoring.derive_oneway(rec, scoring.DEFAULT_PARAMS))
+        return [(i, want[i], got[i]) for i in range(len(df))
+                if got[i] != want[i]]
+
+    def test_corpus(self, corpus_rows):
+        from cqi_ray import offsets, sidepath
+        from cqi_ray.pipeline import normalize_rows
+
+        rows = normalize_rows([dict(r) for r in corpus_rows])
+        sidepath.run_sidepath_stage(rows)
+        fanned = []
+        for r in rows:
+            fanned.extend(offsets.fan_out(r))
+        df = pd.DataFrame([{k: v for k, v in r.items()
+                            if k not in ("geometry", "geometry_m")}
+                           for r in fanned])
+        assert not self._diff_oneway(df)
+
+    def test_random(self):
+        rng = np.random.default_rng(7)
+        n = 3000
+        vals = [None, "yes", "no", "-1", "alternating", "reversible",
+                "maybe", ""]
+        df = pd.DataFrame({
+            "oneway": rng.choice(vals, n),
+            "oneway:bicycle": rng.choice(vals, n),
+            "cycleway:oneway": rng.choice(vals, n),
+            "side": rng.choice([None, "left", "right"], n),
+            "highway": rng.choice(["residential", "cycleway", "path",
+                                   "footway", "service", "primary"], n),
+            "cycleway:right": rng.choice([None, "lane", "track"], n),
+            "type": rng.choice([None, "cycleway", "sidewalk"], n),
+        })
+        assert not self._diff_oneway(df)
