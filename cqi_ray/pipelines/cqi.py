@@ -415,20 +415,26 @@ def _fanout_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
 
 
 def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
-    from ..vector import classify_way_type_batch, derive_oneway_batch
+    from ..vector import (classify_way_type_batch, derive_oneway_batch,
+                          derive_surface_smoothness_batch)
 
-    # classification + oneway derivation are vectorized (mask rules over
-    # the whole batch, differentially tested equal to the row-wise forms);
-    # the remaining branchy attribute derivation is per-row
+    # classification, oneway and surface/smoothness derivation are
+    # vectorized (mask rules over the whole batch, differentially tested
+    # equal to the row-wise forms); the remaining branchy derivation
+    # (width, traffic modes, mandatory, index math) is per-row
     way_types = classify_way_type_batch(batch, p)
     oneways = derive_oneway_batch(batch, way_types, p)
+    surf, surf_miss, smooth, smooth_miss = \
+        derive_surface_smoothness_batch(batch, way_types, p)
     out = []
     for i, r in enumerate(_sparse_records(batch)):
         way_type = way_types[i]
         if way_type == scoring.DROP:
             continue
         r["way_type"] = way_type
-        scoring.score_row(r, p, proc_oneway=oneways[i])
+        scoring.score_row(r, p, proc_oneway=oneways[i],
+                          surface=(surf[i], bool(surf_miss[i])),
+                          smoothness=(smooth[i], bool(smooth_miss[i])))
         rec = {c: r.get(c) for c in OUTPUT_COLUMNS}
         if rec.get("proc_maxspeed") is not None:
             rec["proc_maxspeed"] = int(rec["proc_maxspeed"])

@@ -777,11 +777,14 @@ def _lts(row: dict, way_type, proc_oneway, proc_width, proc_maxspeed,
 # ---------------------------------------------------------------------------
 
 def score_row(row: dict, p: CQIParams = DEFAULT_PARAMS,
-              proc_oneway: Optional[str] = None) -> dict:
+              proc_oneway: Optional[str] = None,
+              surface: Optional[tuple] = None,
+              smoothness: Optional[tuple] = None) -> dict:
     """Derive all ``proc_*`` attributes, the index factors, the final index
     and the traffic-stress level for one classified row.  Mutates and
-    returns ``row``.  ``proc_oneway`` may be precomputed by the vectorized
-    batch kernel (cqi_ray.vector.derive_oneway_batch)."""
+    returns ``row``.  ``proc_oneway`` / ``surface`` / ``smoothness`` may be
+    precomputed by the vectorized batch kernels in :mod:`cqi_ray.vector`
+    (``surface``/``smoothness`` as ``(value, missing_flag)`` pairs)."""
     way_type = row.get("way_type")
     data_missing: list[str] = []
     data_bonus: list[str] = []
@@ -795,12 +798,22 @@ def score_row(row: dict, p: CQIParams = DEFAULT_PARAMS,
     data_missing.extend(m)
     row["proc_width"] = proc_width
 
-    proc_surface, m = derive_surface(row, p)
-    data_missing.extend(m)
+    if surface is None:
+        proc_surface, m = derive_surface(row, p)
+        data_missing.extend(m)
+    else:
+        proc_surface, missing_flag = surface
+        if missing_flag:
+            data_missing.append("surface")
     row["proc_surface"] = proc_surface
 
-    proc_smoothness, m = derive_smoothness(row, p)
-    data_missing.extend(m)
+    if smoothness is None:
+        proc_smoothness, m = derive_smoothness(row, p)
+        data_missing.extend(m)
+    else:
+        proc_smoothness, missing_flag = smoothness
+        if missing_flag:
+            data_missing.append("smoothness")
     row["proc_smoothness"] = proc_smoothness
 
     mode_left, mode_right = derive_traffic_modes(row, p)

@@ -257,3 +257,83 @@ def derive_oneway_batch(df: pd.DataFrame, way_types: np.ndarray,
 
     res[~_truthy(res)] = "unknown"
     return res
+
+
+def derive_surface_smoothness_batch(df: pd.DataFrame, way_types: np.ndarray,
+                                    p: CQIParams = DEFAULT_PARAMS):
+    """Vectorized ``scoring.derive_surface`` + ``derive_smoothness``
+    (reference: cycling_quality_index.py:900-973).  Returns
+    (proc_surface, surface_missing, proc_smoothness, smoothness_missing)
+    arrays.  Rows needing the weakest-of-';'-list reduction (rare) fall
+    back to the scalar kernel."""
+    n = len(df)
+    c = lambda name: _col(df, name, n)
+    wt = np.asarray(way_types, dtype=object)
+
+    surface = c("surface")
+    surface_bicycle = c("surface:bicycle")
+    cw_surface = c("cycleway:surface")
+    highway = c("highway")
+    tracktype = c("tracktype")
+
+    # --- surface ---
+    proc = np.full(n, None, dtype=object)
+    from_bicycle = np.zeros(n, dtype=bool)
+    sb_valid = _isin(surface_bicycle, tuple(p.surface_factor))
+    proc[sb_valid] = surface_bicycle[sb_valid]
+    sb_list = ~sb_valid & _truthy(surface_bicycle) & _contains(surface_bicycle, ";")
+    for i in np.nonzero(sb_list)[0]:
+        from . import tags as T
+
+        proc[i] = T.weakest_surface(T.split_values(surface_bicycle[i], ";"),
+                                    p.surface_rank_order)
+    from_bicycle = _truthy(proc)
+
+    seg = wt == "segregated path"
+    base = np.where(seg & _truthy(cw_surface), cw_surface, surface)
+    need = ~from_bicycle
+    missing_surface = need & ~_truthy(base)
+
+    track_srv = wt == "track or service"
+    default = np.full(n, None, dtype=object)
+    tt_map = dict(p.surface_tracktype_default)
+    hw_map = dict(p.surface_highway_default)
+    default[track_srv] = [tt_map.get(t, tt_map["grade3"])
+                          for t in tracktype[track_srv]]
+    default[~track_srv] = [hw_map.get(h, hw_map["path"])
+                           for h in highway[~track_srv]]
+
+    out_surface = proc.copy()
+    use_base = need & _truthy(base)
+    out_surface[use_base] = base[use_base]
+    out_surface[missing_surface] = default[missing_surface]
+
+    # weakest-of-list + validity (only on non-bicycle-derived rows)
+    listy = need & _contains(out_surface, ";")
+    for i in np.nonzero(listy)[0]:
+        from . import tags as T
+
+        out_surface[i] = T.weakest_surface(
+            T.split_values(out_surface[i], ";"), p.surface_rank_order)
+    invalid = need & ~_isin(out_surface, tuple(p.surface_factor))
+    out_surface[invalid] = None
+
+    # golden quirk: inherited-but-unknown cycleway surface on track side rows
+    cw_missing_flag = c("_cycleway_surface_missing")
+    missing_surface = missing_surface | (need & ~missing_surface
+                                         & (cw_missing_flag == True))  # noqa: E712
+
+    # --- smoothness ---
+    smoothness = c("smoothness")
+    sm_bicycle = c("smoothness:bicycle")
+    cw_smoothness = c("cycleway:smoothness")
+    out_smooth = np.full(n, None, dtype=object)
+    smb_valid = _isin(sm_bicycle, tuple(p.smoothness_factor))
+    out_smooth[smb_valid] = sm_bicycle[smb_valid]
+    rest = ~smb_valid
+    base_sm = np.where(seg & _truthy(cw_smoothness), cw_smoothness, smoothness)
+    out_smooth[rest] = base_sm[rest]
+    missing_smooth = rest & ~_truthy(base_sm) & ~from_bicycle
+    bad_sm = ~_isin(out_smooth, tuple(p.smoothness_factor))
+    out_smooth[bad_sm] = None
+    return out_surface, missing_surface, out_smooth, missing_smooth

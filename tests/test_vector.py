@@ -131,3 +131,64 @@ class TestOnewayDifferential:
             "type": rng.choice([None, "cycleway", "sidewalk"], n),
         })
         assert not self._diff_oneway(df)
+
+
+class TestSurfaceSmoothnessDifferential:
+    def _diff(self, df):
+        from cqi_ray.vector import (classify_way_type_batch,
+                                    derive_surface_smoothness_batch)
+
+        wts = classify_way_type_batch(df)
+        s, sm_miss, sm, smo_miss = derive_surface_smoothness_batch(df, wts)
+        bad = []
+        for i, rec in enumerate(df.to_dict("records")):
+            rec = {k: (None if isinstance(v, float) and pd.isna(v) else v)
+                   for k, v in rec.items()}
+            rec["way_type"] = None if wts[i] == scoring.DROP else wts[i]
+            ws, wm = scoring.derive_surface(rec, scoring.DEFAULT_PARAMS)
+            wsm, wsmm = scoring.derive_smoothness(rec, scoring.DEFAULT_PARAMS)
+            got = (s[i], bool(sm_miss[i]), sm[i], bool(smo_miss[i]))
+            want = (ws, "surface" in wm, wsm, "smoothness" in wsmm)
+            if got != want:
+                bad.append((i, want, got))
+        return bad
+
+    def test_corpus(self, corpus_rows):
+        from cqi_ray import offsets, sidepath
+        from cqi_ray.pipeline import normalize_rows
+
+        rows = normalize_rows([dict(r) for r in corpus_rows])
+        sidepath.run_sidepath_stage(rows)
+        fanned = []
+        for r in rows:
+            fanned.extend(offsets.fan_out(r))
+        df = pd.DataFrame([{k: v for k, v in r.items()
+                            if k not in ("geometry", "geometry_m")}
+                           for r in fanned])
+        bad = self._diff(df)
+        assert not bad, bad[:5]
+
+    def test_random(self):
+        rng = np.random.default_rng(11)
+        n = 3000
+        surf_vals = [None, "asphalt", "sett", "asphalt;sand", "junk",
+                     "paving_stones", "", "sand;junk", "concrete:plates"]
+        smooth_vals = [None, "good", "excellent", "bad", "weird", "",
+                       "impassable"]
+        df = pd.DataFrame({
+            "surface": rng.choice(surf_vals, n),
+            "surface:bicycle": rng.choice(surf_vals, n),
+            "cycleway:surface": rng.choice(surf_vals, n),
+            "smoothness": rng.choice(smooth_vals, n),
+            "smoothness:bicycle": rng.choice(smooth_vals, n),
+            "cycleway:smoothness": rng.choice(smooth_vals, n),
+            "highway": rng.choice(["residential", "path", "cycleway", "track",
+                                   "footway", "service", None], n),
+            "tracktype": rng.choice([None, "grade1", "grade3", "grade5"], n),
+            "segregated": rng.choice([None, "yes", "no"], n),
+            "side": rng.choice([None, "left", "right"], n),
+            "type": rng.choice([None, "cycleway", "sidewalk"], n),
+            "cycleway:right": rng.choice([None, "lane", "track"], n),
+        })
+        bad = self._diff(df)
+        assert not bad, f"{len(bad)}: {bad[:5]}"
