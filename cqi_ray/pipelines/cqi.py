@@ -416,25 +416,36 @@ def _fanout_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
 
 def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     from ..vector import (classify_way_type_batch, derive_oneway_batch,
-                          derive_surface_smoothness_batch)
+                          derive_separation_buffer_batch,
+                          derive_surface_smoothness_batch,
+                          derive_traffic_modes_batch)
 
-    # classification, oneway and surface/smoothness derivation are
-    # vectorized (mask rules over the whole batch, differentially tested
-    # equal to the row-wise forms); the remaining branchy derivation
-    # (width, traffic modes, mandatory, index math) is per-row
+    # classification, oneway, surface/smoothness, traffic modes and
+    # separation/buffer are vectorized (mask rules over the whole batch,
+    # differentially tested equal to the row-wise forms); the remaining
+    # branchy derivation (width, mandatory, index math) is per-row
     way_types = classify_way_type_batch(batch, p)
     oneways = derive_oneway_batch(batch, way_types, p)
     surf, surf_miss, smooth, smooth_miss = \
         derive_surface_smoothness_batch(batch, way_types, p)
+    ml, mr = derive_traffic_modes_batch(batch, way_types, p)
+    sl, sr, bl, br = derive_separation_buffer_batch(batch, ml, mr, p)
+
+    def _nanv(v):
+        return None if isinstance(v, float) and v != v else v
+
     out = []
     for i, r in enumerate(_sparse_records(batch)):
         way_type = way_types[i]
         if way_type == scoring.DROP:
             continue
         r["way_type"] = way_type
-        scoring.score_row(r, p, proc_oneway=oneways[i],
-                          surface=(surf[i], bool(surf_miss[i])),
-                          smoothness=(smooth[i], bool(smooth_miss[i])))
+        scoring.score_row(
+            r, p, proc_oneway=oneways[i],
+            surface=(surf[i], bool(surf_miss[i])),
+            smoothness=(smooth[i], bool(smooth_miss[i])),
+            modes=(ml[i], mr[i]),
+            sep_buf=(sl[i], sr[i], _nanv(bl[i]), _nanv(br[i])))
         rec = {c: r.get(c) for c in OUTPUT_COLUMNS}
         if rec.get("proc_maxspeed") is not None:
             rec["proc_maxspeed"] = int(rec["proc_maxspeed"])

@@ -779,7 +779,9 @@ def _lts(row: dict, way_type, proc_oneway, proc_width, proc_maxspeed,
 def score_row(row: dict, p: CQIParams = DEFAULT_PARAMS,
               proc_oneway: Optional[str] = None,
               surface: Optional[tuple] = None,
-              smoothness: Optional[tuple] = None) -> dict:
+              smoothness: Optional[tuple] = None,
+              modes: Optional[tuple] = None,
+              sep_buf: Optional[tuple] = None) -> dict:
     """Derive all ``proc_*`` attributes, the index factors, the final index
     and the traffic-stress level for one classified row.  Mutates and
     returns ``row``.  ``proc_oneway`` / ``surface`` / ``smoothness`` may be
@@ -816,15 +818,20 @@ def score_row(row: dict, p: CQIParams = DEFAULT_PARAMS,
             data_missing.append("smoothness")
     row["proc_smoothness"] = proc_smoothness
 
-    mode_left, mode_right = derive_traffic_modes(row, p)
+    if modes is None:
+        mode_left, mode_right = derive_traffic_modes(row, p)
+    else:
+        mode_left, mode_right = modes
     row["proc_traffic_mode_left"] = mode_left
     row["proc_traffic_mode_right"] = mode_right
 
-    sep_left, sep_right = derive_separation(row, mode_left, mode_right, p)
+    if sep_buf is None:
+        sep_left, sep_right = derive_separation(row, mode_left, mode_right, p)
+        buf_left, buf_right = derive_buffer(row, mode_left, mode_right, p)
+    else:
+        sep_left, sep_right, buf_left, buf_right = sep_buf
     row["proc_separation_left"] = sep_left
     row["proc_separation_right"] = sep_right
-
-    buf_left, buf_right = derive_buffer(row, mode_left, mode_right, p)
     row["proc_buffer_left"] = buf_left
     row["proc_buffer_right"] = buf_right
 

@@ -337,3 +337,139 @@ def derive_surface_smoothness_batch(df: pd.DataFrame, way_types: np.ndarray,
     bad_sm = ~_isin(out_smooth, tuple(p.smoothness_factor))
     out_smooth[bad_sm] = None
     return out_surface, missing_surface, out_smooth, missing_smooth
+
+
+def _fill_lr(both: np.ndarray, left: np.ndarray, right: np.ndarray):
+    """Vectorized tags.fill_left_right ('X:both' fills missing sides)."""
+    has_both = _truthy(both)
+    left = left.copy()
+    right = right.copy()
+    m = has_both & ~_truthy(left)
+    left[m] = both[m]
+    m = has_both & ~_truthy(right)
+    right[m] = both[m]
+    return left, right
+
+
+def derive_traffic_modes_batch(df: pd.DataFrame, way_types: np.ndarray,
+                               p: CQIParams = DEFAULT_PARAMS):
+    """Vectorized ``scoring.derive_traffic_modes`` (reference:
+    cycling_quality_index.py:976-1090).  Returns (mode_left, mode_right)."""
+    n = len(df)
+    c = lambda name: _col(df, name, n)
+    wt = np.asarray(way_types, dtype=object)
+
+    ml, mr = _fill_lr(c("traffic_mode:both"), c("traffic_mode:left"),
+                      c("traffic_mode:right"))
+    pl, pr = _fill_lr(c("parking:both"), c("parking:left"), c("parking:right"))
+    side = c("side")
+    sp_yes = c("proc_sidepath") == "yes"
+
+    central = wt == "cycle lane (central)"
+
+    lane_group = _isin(wt, ("cycle lane (advisory)", "cycle lane (exclusive)",
+                            "cycle lane (protected)", "cycle lane (central)"))
+    sidepath_types = _isin(wt, ("cycle track", "shared path",
+                                "segregated path", "shared footway"))
+    park_allowed = (((side == "right") & _truthy(pr) & (pr != "no"))
+                    | ((side == "left") & _truthy(pl) & (pl != "no")))
+
+    # left default (uses the ORIGINAL right mode, as the scalar does)
+    left_need = ~_truthy(ml)
+    left_def = np.full(n, None, dtype=object)
+    und = np.ones(n, dtype=bool)
+
+    def set_def(target, mask, value):
+        nonlocal und
+        hit = und & mask
+        target[hit] = value
+        und &= ~hit
+
+    set_def(left_def, wt == "cycle path", "no")
+    sp_side = sidepath_types & sp_yes
+    set_def(left_def, sp_side & park_allowed & (mr != "parking"), "parking")
+    set_def(left_def, sp_side, "motor_vehicle")
+    set_def(left_def, lane_group | _isin(wt, ("shared road",
+                                              "shared traffic lane",
+                                              "shared bus lane", "crossing")),
+            "motor_vehicle")
+    out_left = ml.copy()
+    # a default only replaces the tag when one exists: the scalar keeps a
+    # falsy-but-present '' when no branch matches
+    m = left_need & (left_def != None)  # noqa: E711
+    out_left[m] = left_def[m]
+    out_left[central] = "motor_vehicle"  # central overrides tags entirely
+
+    # right default (uses the FINAL left mode)
+    right_need = ~_truthy(mr)
+    right_def = np.full(n, None, dtype=object)
+    und = np.ones(n, dtype=bool)
+    set_def(right_def, wt == "cycle path", "no")
+    set_def(right_def, wt == "crossing", "motor_vehicle")
+    lane_nc = lane_group & ~central
+    set_def(right_def, lane_nc & park_allowed & (out_left != "parking"),
+            "parking")
+    set_def(right_def, lane_nc, "foot")
+    set_def(right_def, sp_side, "foot")
+    out_right = mr.copy()
+    m = right_need & (right_def != None)  # noqa: E711
+    out_right[m] = right_def[m]
+    out_right[central] = "motor_vehicle"
+    return out_left, out_right
+
+
+def derive_separation_buffer_batch(df: pd.DataFrame, mode_left: np.ndarray,
+                                   mode_right: np.ndarray,
+                                   p: CQIParams = DEFAULT_PARAMS):
+    """Vectorized ``derive_separation`` + ``derive_buffer`` (reference:
+    cycling_quality_index.py:1010-1056).  Returns
+    (sep_left, sep_right, buf_left, buf_right)."""
+    n = len(df)
+    c = lambda name: _col(df, name, n)
+    motorish_l = _isin(mode_left, ("motor_vehicle", "psv", "parking"))
+    motor_r = mode_right == "motor_vehicle"
+
+    sep = c("separation")
+    sl, sr = _fill_lr(c("separation:both"), c("separation:left"),
+                      c("separation:right"))
+    has = _truthy(sep)
+    if p.right_hand_traffic:
+        m = has & motorish_l & ~_truthy(sl)
+        sl[m] = sep[m]
+        m = has & ~motorish_l & motor_r & ~_truthy(sr)
+        sr[m] = sep[m]
+    else:  # pragma: no cover - parameterized variant
+        motorish_r = _isin(mode_right, ("motor_vehicle", "psv", "parking"))
+        motor_l = mode_left == "motor_vehicle"
+        m = has & motorish_r & ~_truthy(sr)
+        sr[m] = sep[m]
+        m = has & ~motorish_r & motor_l & ~_truthy(sl)
+        sl[m] = sep[m]
+    sl[~_truthy(sl)] = "no"
+    sr[~_truthy(sr)] = "no"
+
+    def num(name):
+        # match python float() exactly (incl. '1_000', 'inf') by mapping the
+        # few distinct strings through the scalar parser
+        from . import tags as T
+
+        vals = _col(df, name, n)
+        lut = {v: T.to_number(v) for v in set(vals.tolist())}
+        return np.array([np.nan if lut[v] is None else lut[v] for v in vals],
+                        dtype=np.float64)
+
+    buf = num("buffer")
+    bl, br = num("buffer:left"), num("buffer:right")
+    bb = num("buffer:both")
+    has_bb = ~np.isnan(bb) & (bb != 0)
+    m = has_bb & (np.isnan(bl) | (bl == 0))
+    bl[m] = bb[m]
+    m = has_bb & (np.isnan(br) | (br == 0))
+    br[m] = bb[m]
+    has_buf = ~np.isnan(buf) & (buf != 0)
+    if p.right_hand_traffic:
+        m = has_buf & motorish_l & (np.isnan(bl) | (bl == 0))
+        bl[m] = buf[m]
+        m = has_buf & ~motorish_l & motor_r & (np.isnan(br) | (br == 0))
+        br[m] = buf[m]
+    return sl, sr, bl, br

@@ -192,3 +192,87 @@ class TestSurfaceSmoothnessDifferential:
         })
         bad = self._diff(df)
         assert not bad, f"{len(bad)}: {bad[:5]}"
+
+
+def _nanNone(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:
+        return None
+    return v
+
+
+class TestModesSepBufferDifferential:
+    def _diff(self, df):
+        from cqi_ray.vector import (classify_way_type_batch,
+                                    derive_separation_buffer_batch,
+                                    derive_traffic_modes_batch)
+
+        wts = classify_way_type_batch(df)
+        ml, mr = derive_traffic_modes_batch(df, wts)
+        sl, sr, bl, br = derive_separation_buffer_batch(df, ml, mr)
+        bad = []
+        for i, rec in enumerate(df.to_dict("records")):
+            rec = {k: (None if isinstance(v, float) and pd.isna(v) else v)
+                   for k, v in rec.items()}
+            rec["way_type"] = None if wts[i] == scoring.DROP else wts[i]
+            wml, wmr = scoring.derive_traffic_modes(rec, scoring.DEFAULT_PARAMS)
+            wsl, wsr = scoring.derive_separation(rec, wml, wmr,
+                                                 scoring.DEFAULT_PARAMS)
+            wbl, wbr = scoring.derive_buffer(rec, wml, wmr,
+                                             scoring.DEFAULT_PARAMS)
+            got = tuple(_nanNone(x) for x in (ml[i], mr[i], sl[i], sr[i],
+                                              bl[i], br[i]))
+            want = (wml, wmr, wsl, wsr, wbl, wbr)
+            want = tuple(_nanNone(x) for x in want)
+            if got != want:
+                bad.append((i, rec.get("side"), wts[i], want, got))
+        return bad
+
+    def test_corpus(self, corpus_rows):
+        from cqi_ray import offsets, sidepath
+        from cqi_ray.pipeline import normalize_rows
+
+        rows = normalize_rows([dict(r) for r in corpus_rows])
+        sidepath.run_sidepath_stage(rows)
+        fanned = []
+        for r in rows:
+            fanned.extend(offsets.fan_out(r))
+        df = pd.DataFrame([{k: v for k, v in r.items()
+                            if k not in ("geometry", "geometry_m")}
+                           for r in fanned])
+        bad = self._diff(df)
+        assert not bad, bad[:5]
+
+    def test_random(self):
+        rng = np.random.default_rng(23)
+        n = 4000
+        modes = [None, "motor_vehicle", "foot", "parking", "psv", "no", ""]
+        seps = [None, "kerb", "no", "none", "fence", "bollard", ""]
+        bufs = [None, "0", "0.5", "1.5", "no", "junk", "2", "1_000", ""]
+        parks = [None, "lane", "no", "half_on_kerb", "street_side", ""]
+        df = pd.DataFrame({
+            "traffic_mode:left": rng.choice(modes, n),
+            "traffic_mode:right": rng.choice(modes, n),
+            "traffic_mode:both": rng.choice(modes, n),
+            "separation": rng.choice(seps, n),
+            "separation:left": rng.choice(seps, n),
+            "separation:right": rng.choice(seps, n),
+            "separation:both": rng.choice(seps, n),
+            "buffer": rng.choice(bufs, n),
+            "buffer:left": rng.choice(bufs, n),
+            "buffer:right": rng.choice(bufs, n),
+            "buffer:both": rng.choice(bufs, n),
+            "parking:left": rng.choice(parks, n),
+            "parking:right": rng.choice(parks, n),
+            "parking:both": rng.choice(parks, n),
+            "highway": rng.choice(["residential", "cycleway", "path",
+                                   "footway", "primary", "service"], n),
+            "side": rng.choice([None, "left", "right"], n),
+            "type": rng.choice([None, "cycleway", "sidewalk"], n),
+            "proc_sidepath": rng.choice([None, "yes", "no"], n),
+            "cycleway:right": rng.choice([None, "lane", "track"], n),
+            "cycleway:lanes": rng.choice([None, "no|lane|no"], n),
+        })
+        bad = self._diff(df)
+        assert not bad, f"{len(bad)}: {bad[:5]}"
