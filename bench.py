@@ -67,7 +67,12 @@ def run_suite(sf_dir: str) -> dict:
           lambda: flagship.run_flagship(sf_dir, n_ways=n_ways))
     bench("cqi_score_synth",
           lambda: flagship.build_scored_ways(1024))
-    bench("tiles", lambda: q.q_tiles(sf_dir))
+    # tile render over CQI-scored ways (heavier than the oracle-checked
+    # q_tiles grid: offsets + reprojection + PNG rasterization)
+    from cqi_ray.pipelines.tiles import render_tiles
+
+    bench("tiles", lambda: render_tiles(flagship.build_scored_ways(64),
+                                        zooms=(14, 15)))
     bench("groupby_agg", lambda: q.q_groupby_agg(sf_dir))
     bench("join_bucketed", lambda: q.q_join_bucketed(sf_dir))
     bench("join_broadcast", lambda: q.q_join_broadcast(sf_dir))

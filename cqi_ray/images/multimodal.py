@@ -99,12 +99,18 @@ class VideoFrameSample:
 
 def synth_audio_table(n: int, seed: int = 42, sample_rate: int = 8000,
                       n_samples: int = 4000) -> pd.DataFrame:
+    """Deterministic synthetic clips: an INTEGER triangle wave (period
+    sr/freq, amplitude ±12000) — exactly reproducible in ANSI SQL, which
+    is what makes the audio-feature pipeline DuckDB-oracle-checkable
+    (float sin would leave the pcm samples 1-ulp platform-dependent)."""
     rows = {"clip_id": [], "bytes": [], "sample_rate": [], "n_samples": [],
             "channels": [], "fmt": [], "caption": []}
-    t = np.arange(n_samples) / sample_rate
+    idx = np.arange(n_samples, dtype=np.int64)
     for i in range(n):
         freq = 110 * (1 + (i * 7 + seed) % 16)
-        wave = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")[:, None]
+        phase = (idx * freq) % sample_rate
+        wave = (np.abs(phase - sample_rate // 2) * (48000 // sample_rate)
+                - 12000).astype("<i2")[:, None]
         rows["clip_id"].append(f"clip_{i:08d}")
         rows["bytes"].append(fake_audio_bytes(wave))
         rows["sample_rate"].append(sample_rate)

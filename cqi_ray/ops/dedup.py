@@ -23,6 +23,20 @@ def _stable_u64(values) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key="cqi.dedup.v1.key", categorize=False)
 
 
+def md5_lower64(values) -> np.ndarray:
+    """64-bit hash of each string: little-endian uint64 of md5 bytes 8..16
+    — bit-identical to DuckDB's ``md5_number_lower``, which makes every
+    operator built on it SQL-oracle-checkable.  hashlib's md5 runs at C
+    speed; callers hash *unique* tokens once per batch where possible."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.md5(str(v).encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
 def char_shingles(text: str, k: int = 5) -> set[str]:
     t = " ".join(str(text or "").lower().split())
     if len(t) < k:
@@ -107,21 +121,37 @@ def candidate_pairs_from_bucket(doc_ids) -> list[tuple]:
     return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
 
 
-def simhash64(texts, seed: int = 42) -> np.ndarray:
-    """64-bit SimHash over word tokens (token-hash bit voting)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash over word tokens (token-hash bit voting, duplicates
+    counted).  Token hash is ``md5_lower64`` so the whole operator is
+    expressible in ANSI SQL (DuckDB ``md5_number_lower``) and driver-oracle
+    checked; unique tokens are hashed once per batch (tiny vocab => tiny
+    hash cost).  Bit b is set iff the +1/-1 vote sum over token
+    occurrences is strictly positive."""
+    # hash each distinct token once across the batch
+    vocab: dict[str, int] = {}
+    tokenized = []
+    for t in texts:
         words = str(t or "").lower().split()
+        tokenized.append(words)
+        for w in words:
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    hv_vocab = md5_lower64(list(vocab.keys())) if vocab else np.empty(0, np.uint64)
+    bit_vocab = ((hv_vocab[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                 & np.uint64(1)).astype(np.int64)  # (V, 64)
+    vote_vocab = 2 * bit_vocab - 1
+    out = np.empty(len(texts), dtype=np.int64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i, words in enumerate(tokenized):
         if not words:
             out[i] = 0
             continue
-        hv = _stable_u64(words)
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        value = np.uint64(0)
-        for b in range(63, -1, -1):
-            value = (value << np.uint64(1)) | np.uint64(votes[b] > 0)
-        out[i] = value.astype(np.int64)
+        idx = np.fromiter((vocab[w] for w in words), dtype=np.int64,
+                          count=len(words))
+        votes = vote_vocab[idx].sum(axis=0)
+        out[i] = ((votes > 0).astype(np.uint64) * weights).sum().astype(np.uint64) \
+            .astype(np.int64)
     return out
 
 
@@ -141,8 +171,12 @@ def cosine_dup_pairs(mat: np.ndarray, ids, threshold: float = 0.95) -> list[tupl
 
 def phash_band_rows(phashes, doc_ids, bands: int = 4) -> pd.DataFrame:
     """LSH banding for 64-bit perceptual hashes: split into ``bands``
-    16-bit chunks; near-dups (hamming <= bands-1... typically <= 6 with 4
-    bands) collide on at least one unchanged band (pigeonhole)."""
+    equal chunks.  By pigeonhole, a pair with hamming distance <= bands-1
+    collides on at least one unchanged band (4 bands => guaranteed recall
+    only for hamming <= 3); verifying with a larger ``max_hamming`` gives
+    APPROXIMATE recall — pairs whose differing bits touch every band are
+    missed.  For a guarantee at hamming <= H, use ``hash_band_rows`` with
+    bands = H + 1."""
     h = np.asarray(phashes, dtype=np.int64).astype(np.uint64)
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
@@ -154,6 +188,68 @@ def phash_band_rows(phashes, doc_ids, bands: int = 4) -> pd.DataFrame:
         "band_hash": np.concatenate(chunks),
         "doc_id": np.tile(np.asarray(doc_ids), bands),
     })
+
+
+def hash_band_rows(hashes: np.ndarray, doc_ids, bands: int) -> pd.DataFrame:
+    """Generalized 64-bit-hash banding with uneven widths: the first
+    ``64 % bands`` bands get one extra bit, so all 64 bits are covered by
+    exactly one band.  Pigeonhole guarantee: pairs at hamming distance
+    <= bands-1 share at least one band (use bands = max_hamming + 1 for
+    exact recall at the verify threshold)."""
+    h = np.asarray(hashes).astype(np.uint64)
+    widths = [64 // bands + (1 if b < 64 % bands else 0) for b in range(bands)]
+    band_id = np.repeat(np.arange(bands, dtype=np.int32), len(h))
+    chunks, shift = [], 0
+    for b, w in enumerate(widths):
+        mask = np.uint64((1 << w) - 1)
+        chunks.append(((h >> np.uint64(shift)) & mask).astype(np.int64))
+        shift += w
+    return pd.DataFrame({
+        "band_id": band_id,
+        "band_hash": np.concatenate(chunks),
+        "doc_id": np.tile(np.asarray(doc_ids), bands),
+    })
+
+
+# Planted near-duplicate masks for the metadata-phash dedup operator:
+# nested bit sets => within a group of 4 ids the pairwise hamming
+# distances are 3/6/9/3/6/3, all <= 10; across groups the base hashes are
+# independent md5s (P[hamming <= 10] ~ 1e-8).
+PLANTED_MASKS = np.array([
+    0,
+    (1 << 1) | (1 << 22) | (1 << 43),
+    (1 << 1) | (1 << 22) | (1 << 43) | (1 << 5) | (1 << 29) | (1 << 51),
+    (1 << 1) | (1 << 22) | (1 << 43) | (1 << 5) | (1 << 29) | (1 << 51)
+    | (1 << 9) | (1 << 33) | (1 << 60),
+], dtype=np.uint64)
+
+
+def planted_phash64(doc_ids, group: int = 4) -> np.ndarray:
+    """Deterministic 64-bit perceptual-hash METADATA column with planted
+    near-duplicates: ids in the same ``group`` share an md5 base hash and
+    differ by nested bit-flip masks.  Matches the SQL expression
+    ``xor(md5_number_lower(CAST(doc_id // 4 AS VARCHAR)), mask[doc_id % 4])``
+    exactly, which is what makes the LSH pair/cluster pipelines
+    DuckDB-oracle-checkable (the pixel-DCT pHash stays in the image
+    pipelines, where bytes exist)."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    base = md5_lower64([str(i) for i in (ids // group)])
+    return base ^ PLANTED_MASKS[ids % group]
+
+
+def hamming64_u(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of xor over uint64 arrays."""
+    return _popcount64(np.asarray(a).astype(np.uint64)
+                       ^ np.asarray(b).astype(np.uint64))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def phash_dup_pairs_in_bucket(doc_ids, hashes, max_hamming: int = 6):

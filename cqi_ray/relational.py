@@ -116,13 +116,22 @@ def broadcast_map_join(ds: rd.Dataset, right: pd.DataFrame, on: str,
 
 def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                        right_cols: Iterable[str],
-                       num_buckets: int = 16, how: str = "inner") -> rd.Dataset:
+                       num_buckets: int = 16, how: str = "inner",
+                       restore_dtypes: Optional[dict] = None) -> rd.Dataset:
     """Partitioned hash join: one shuffle (groupby bucket) over the union of
     both sides, pandas merge per bucket.
 
     ``right_cols`` is the right side's full column list (including ``on``) —
     the union block carries left ∪ right columns, so the per-bucket merge
-    needs the split spelled out to reconstruct the two sides."""
+    needs the split spelled out to reconstruct the two sides.
+
+    ``restore_dtypes``: {col: dtype} applied to the merged output.  The
+    union shuffle fills each side's missing columns with NaN, which
+    silently upcasts the OTHER side's int columns to float64 — a float key
+    then hashes differently from an int key in any downstream join.
+    Callers chaining joins should pin their left side's integer columns
+    here (cheap metadata; avoids a schema fetch that would execute the
+    upstream pipeline)."""
     right_cols = list(right_cols)
     right_only = [c for c in right_cols if c != on]
 
@@ -151,6 +160,13 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         for c in right_cols:
             if c not in merged.columns:
                 merged[c] = None
+        if restore_dtypes:
+            for c, t in restore_dtypes.items():
+                if c in merged.columns:
+                    try:
+                        merged[c] = merged[c].astype(t)
+                    except (ValueError, TypeError):
+                        pass  # NaNs from an outer join: leave as-is
         return merged
 
     return union.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

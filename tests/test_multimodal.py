@@ -17,7 +17,7 @@ class TestAudioVideo:
             concurrency=1).to_pandas()
         assert len(out) == 8
         assert "bytes" not in out.columns
-        # sine amplitude 12000/32768 -> RMS = 0.366/sqrt(2) = 0.259
+        # triangle wave amplitude 12000/32768 -> RMS = 0.366/sqrt(3) = 0.211
         assert ((out["rms"] > 0.2) & (out["rms"] < 0.3)).all()
         assert (out["duration_sec"] == 0.5).all()
         assert (out["zero_crossings"] > 10).all()
@@ -116,27 +116,28 @@ class TestCheckpointedFlagship:
 
 class TestPhashClusters:
     def test_cluster_assignment(self, ray_session):
-        """Every image gets a cluster; images with identical phash share
-        one; cluster reps are members of their own cluster; pairs within
-        max_hamming collapse transitively."""
+        """Every item gets a cluster; the planted near-dup groups of 4
+        (nested bit-flip masks, hamming <= 9 within a group) collapse to
+        one cluster each with the min doc_id as representative."""
         from cqi_ray.queries import q_dedup_phash_clusters
 
         out = q_dedup_phash_clusters("/root/testdata/sf0.001").to_pandas()
         assert len(out) == 500
-        assert out["image_id"].is_unique
-        # rep is itself mapped to its own cluster
-        rep_rows = out[out["image_id"].isin(out["cluster_rep"].unique())]
-        assert (rep_rows["image_id"] == rep_rows["cluster_rep"]).all() or \
-            set(out["cluster_rep"]) <= set(out["image_id"])
-        # far fewer clusters than images (the synthetic corpus repeats
-        # patterns with period lcm(7,5,3)=105)
-        assert out["cluster_rep"].nunique() < 450
+        assert out["doc_id"].is_unique
+        # reps are members mapped to themselves
+        assert set(out["cluster_rep"]) <= set(out["doc_id"])
+        rep_rows = out[out["doc_id"].isin(out["cluster_rep"].unique())]
+        assert (rep_rows["doc_id"] == rep_rows["cluster_rep"]).all()
+        # planted groups of 4 -> cluster rep == group min
+        grouped = out.sort_values("doc_id")
+        assert (grouped["cluster_rep"].to_numpy()
+                == (grouped["doc_id"].to_numpy() // 4) * 4).all()
 
     def test_deterministic(self, ray_session):
         from cqi_ray.queries import q_dedup_phash_clusters
 
         a = q_dedup_phash_clusters("/root/testdata/sf0.001").to_pandas()
         b = q_dedup_phash_clusters("/root/testdata/sf0.001").to_pandas()
-        ka = a.sort_values("image_id").reset_index(drop=True)
-        kb = b.sort_values("image_id").reset_index(drop=True)
+        ka = a.sort_values("doc_id").reset_index(drop=True)
+        kb = b.sort_values("doc_id").reset_index(drop=True)
         assert ka.equals(kb)
