@@ -112,19 +112,18 @@ def synth_images_table(n: int, seed: int = 42, start_index: int = 0,
     )
 
 
-def synth_ways_grid(n_ways: int = 64, seed: int = 42,
-                    extent=(13.40, 51.00, 13.60, 51.10)) -> list[dict]:
-    """Deterministic synthetic OSM-style way rows on a jittered grid, with
-    tag mixes spanning the classifier's families.  Used when no real ways
-    table is provided (tests / bench)."""
-    rng = np.random.default_rng(seed)
+def synth_way_rows_range(start: int, end: int, n_ways: int,
+                         extent=(13.40, 51.00, 13.60, 51.10)) -> list[dict]:
+    """Rows [start, end) of the deterministic synthetic way grid —
+    shard-addressable so a distributed generator builds row ranges
+    independently with identical content at any block layout."""
     lon0, lat0, lon1, lat1 = extent
     highways = ["residential", "secondary", "tertiary", "cycleway", "footway",
                 "path", "track", "living_street", "service", "primary"]
     surfaces = [None, "asphalt", "paving_stones", "gravel", "sett", "concrete"]
     rows = []
     per_row = max(1, int(np.sqrt(n_ways)))
-    for i in range(n_ways):
+    for i in range(start, end):
         gx, gy = i % per_row, i // per_row
         lon = lon0 + (gx + 0.5) * (lon1 - lon0) / per_row
         lat = lat0 + (gy + 0.5) * (lat1 - lat0) / max(1, (n_ways + per_row - 1) // per_row)
@@ -148,3 +147,11 @@ def synth_ways_grid(n_ways: int = 64, seed: int = 42,
             row["maxspeed"] = None
         rows.append(row)
     return rows
+
+
+def synth_ways_grid(n_ways: int = 64, seed: int = 42,
+                    extent=(13.40, 51.00, 13.60, 51.10)) -> list[dict]:
+    """Deterministic synthetic OSM-style way rows on a jittered grid, with
+    tag mixes spanning the classifier's families.  Used when no real ways
+    table is provided (tests / bench)."""
+    return synth_way_rows_range(0, n_ways, n_ways, extent=extent)

@@ -65,29 +65,74 @@ def geom_from_bytes(blob: bytes) -> np.ndarray:
 def ways_rows_to_arrow(rows: list[dict]) -> pa.Table:
     """Row dicts -> one Arrow table with the full fixed input schema
     (every tag column present as nullable string — the distributed
-    equivalent of the reference's retain+ensure_attributes steps)."""
+    equivalent of the reference's retain+ensure_attributes steps).
+    Columns no row carries become all-null arrays without scanning every
+    row again (typical OSM rows set ~10 of ~190 tags)."""
+    present: set = set()
+    for r in rows:
+        present.update(r.keys())
+    n = len(rows)
     cols: dict = {}
     for col in INPUT_TAG_COLUMNS:
-        cols[col] = pa.array(
-            [None if r.get(col) is None else str(r.get(col)) for r in rows],
-            pa.string(),
-        )
+        if col in present:
+            cols[col] = pa.array(
+                [None if r.get(col) is None else str(r.get(col))
+                 for r in rows], pa.string())
+        else:
+            cols[col] = pa.nulls(n, pa.string())
     cols["geometry"] = pa.array(
         [geom_to_bytes(r.get("geometry")) for r in rows], pa.binary()
     )
-    cols["row_seq"] = pa.array(range(len(rows)), pa.int64())
+    cols["row_seq"] = pa.array(range(n), pa.int64())
     return pa.table(cols)
 
 
-def dataset_from_rows(rows: list[dict], rows_per_block: int = 256) -> rd.Dataset:
+def dataset_from_rows(rows: list[dict], rows_per_block: int | None = None,
+                      max_blocks: int = 64) -> rd.Dataset:
     """Split into multiple Arrow blocks up front so every downstream stage
-    parallelizes (a single from_arrow block would serialize the pipeline)."""
+    parallelizes (a single from_arrow block would serialize the pipeline).
+    Block count is capped: ``rd.from_arrow`` costs ~30 ms per block on the
+    driver (object-store put + metadata), so hundreds of tiny blocks cost
+    more than the parallelism they buy."""
     table = ways_rows_to_arrow(rows)
+    if rows_per_block is None:
+        rows_per_block = max(256, -(-table.num_rows // max_blocks))
     if table.num_rows <= rows_per_block:
         return rd.from_arrow(table)
     chunks = [table.slice(i, rows_per_block)
               for i in range(0, table.num_rows, rows_per_block)]
     return rd.from_arrow(chunks)
+
+
+def synth_ways_dataset(n_ways: int, num_blocks: int = 64,
+                       extent=(13.40, 51.00, 13.60, 51.10)) -> rd.Dataset:
+    """Distributed synthetic-ways source: each block generates its own row
+    range of the deterministic grid (identical rows to
+    ``synth.synth_ways_grid`` in the same order), so input construction
+    parallelizes instead of serializing on the driver — the shape a real
+    deployment gets for free from ``read_parquet``."""
+    from ..images.synth import synth_way_rows_range
+
+    num_blocks = max(1, min(num_blocks, -(-n_ways // 64)))
+    per = -(-n_ways // num_blocks)
+
+    def make(batch: pd.DataFrame) -> pa.Table:
+        tables = []
+        for b in batch["id"].to_numpy():
+            start = int(b) * per
+            end = min(start + per, n_ways)
+            if end <= start:
+                continue
+            t = ways_rows_to_arrow(
+                synth_way_rows_range(start, end, n_ways, extent=extent))
+            t = t.set_column(t.schema.get_field_index("row_seq"), "row_seq",
+                             pa.array(range(start, end), pa.int64()))
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else \
+            ways_rows_to_arrow([]).slice(0, 0)
+
+    return rd.range(num_blocks, override_num_blocks=num_blocks) \
+        .map_batches(make, batch_format="pandas", batch_size=None)
 
 
 def _project_batch(batch: pa.Table) -> pa.Table:
@@ -232,68 +277,95 @@ def _make_segment_rows(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     return _finalize_union(df)
 
 
-def _nn(v):
-    """None-normalize: pandas object blocks may carry NaN for missing."""
-    if v is None or (isinstance(v, float) and v != v):
-        return None
-    return v
+def _nn_arr(a: np.ndarray) -> np.ndarray:
+    """Vectorized _nn: NaN -> None over an object array."""
+    a = np.asarray(a, dtype=object)
+    mask = pd.isna(a)
+    if mask.any():
+        a = a.copy()
+        a[mask] = None
+    return a
 
 
 def _match_bucket(bucket: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
     """Whole-bucket spatial match: the frame arrives sorted by cell; cells
-    are processed as numpy slices (no per-group pandas frames)."""
+    are processed as numpy slices, and pair rows are emitted as numpy
+    index selections (no per-row Python appends — the round-1 emission
+    loop dominated this stage's profile)."""
     if not len(bucket):
         return _empty(_PAIR_COLS)
     cols = {c: bucket[c].to_numpy() for c in _UNION_DTYPES}
+    for c in ("way_id", "layer", "is_sidepath", "footway", "is_sidepath_of",
+              "road_id", "road_highway", "road_name"):
+        cols[c] = _nn_arr(cols[c])
+    road_ms = cols["road_maxspeed"].astype(np.float64)
     cellv = cols["cell"].astype(np.int64)
+    road_seq = cols["road_seq"].astype(np.int64)
+    point_order = cols["point_order"].astype(np.int64)
     bounds = np.concatenate([[0], np.nonzero(np.diff(cellv))[0] + 1, [len(cellv)]])
-    rows = {c: [] for c in _PAIR_COLS}
+
+    # collected as (point_global_idx, seg_global_idx_or_-1) pairs
+    pt_sel: list[np.ndarray] = []
+    sg_sel: list[np.ndarray] = []
 
     for s, e in zip(bounds[:-1], bounds[1:]):
         kind = cols["kind"][s:e]
         pt_idx = np.nonzero(kind == 0)[0] + s
         if not len(pt_idx):
             continue
+        # every point emits its base row (road_seq = -1)
+        pt_sel.append(pt_idx)
+        sg_sel.append(np.full(len(pt_idx), -1, dtype=np.int64))
         sg_idx = np.nonzero(kind == 1)[0] + s
-        if len(sg_idx):
-            sg_idx = sg_idx[np.argsort(cols["road_seq"][sg_idx].astype(np.int64),
-                                       kind="stable")]
-            P = np.stack([cols["px"][pt_idx], cols["py"][pt_idx]], 1).astype(np.float64)
-            A = np.stack([cols["ax"][sg_idx], cols["ay"][sg_idx]], 1).astype(np.float64)
-            B = np.stack([cols["bx"][sg_idx], cols["by"][sg_idx]], 1).astype(np.float64)
-            near = lines.points_to_segments_distance(P, A, B) <= p.sidepath_buffer_size
-        for pi, gi in enumerate(pt_idx):
-            rows["way_id"].append(cols["way_id"][gi])
-            rows["point_order"].append(int(cols["point_order"][gi]))
-            rows["road_seq"].append(-1)
-            rows["road_id"].append(None)
-            rows["road_highway"].append(None)
-            rows["road_name"].append(None)
-            rows["road_maxspeed"].append(None)
-            rows["is_sidepath"].append(_nn(cols["is_sidepath"][gi]))
-            rows["footway"].append(_nn(cols["footway"][gi]))
-            rows["is_sidepath_of"].append(_nn(cols["is_sidepath_of"][gi]))
-            if not len(sg_idx):
-                continue
-            pl = _nn(cols["layer"][gi])
-            seen: set = set()
-            for sj in np.nonzero(near[pi])[0]:
-                gj = sg_idx[sj]
-                rs = int(cols["road_seq"][gj])
-                if rs in seen or _nn(cols["layer"][gj]) != pl:
-                    continue
-                seen.add(rs)
-                rows["way_id"].append(cols["way_id"][gi])
-                rows["point_order"].append(int(cols["point_order"][gi]))
-                rows["road_seq"].append(rs)
-                rows["road_id"].append(_nn(cols["road_id"][gj]))
-                rows["road_highway"].append(_nn(cols["road_highway"][gj]))
-                rows["road_name"].append(_nn(cols["road_name"][gj]))
-                rows["road_maxspeed"].append(_nn(cols["road_maxspeed"][gj]))
-                rows["is_sidepath"].append(_nn(cols["is_sidepath"][gi]))
-                rows["footway"].append(_nn(cols["footway"][gi]))
-                rows["is_sidepath_of"].append(_nn(cols["is_sidepath_of"][gi]))
-    return pd.DataFrame(rows) if rows["way_id"] else _empty(_PAIR_COLS)
+        if not len(sg_idx):
+            continue
+        sg_idx = sg_idx[np.argsort(road_seq[sg_idx], kind="stable")]
+        P = np.stack([cols["px"][pt_idx], cols["py"][pt_idx]], 1).astype(np.float64)
+        A = np.stack([cols["ax"][sg_idx], cols["ay"][sg_idx]], 1).astype(np.float64)
+        B = np.stack([cols["bx"][sg_idx], cols["by"][sg_idx]], 1).astype(np.float64)
+        near = lines.points_to_segments_distance(P, A, B) <= p.sidepath_buffer_size
+        layer_eq = (cols["layer"][pt_idx][:, None]
+                    == cols["layer"][sg_idx][None, :])
+        pi, sj = np.nonzero(near & layer_eq)
+        if not len(pi):
+            continue
+        # dedup to the first segment per (point, road_seq): nonzero order is
+        # (pi asc, sj asc) and segments are road_seq-sorted
+        key = (pi.astype(np.int64) << 32) | (road_seq[sg_idx[sj]]
+                                             & np.int64(0xFFFFFFFF))
+        _, first = np.unique(key, return_index=True)
+        pt_sel.append(pt_idx[pi[first]])
+        sg_sel.append(sg_idx[sj[first]])
+
+    if not pt_sel:
+        return _empty(_PAIR_COLS)
+    pts = np.concatenate(pt_sel)
+    sgs = np.concatenate(sg_sel)
+    has_sg = sgs >= 0
+    sg_safe = np.where(has_sg, sgs, 0)
+
+    def seg_col(name, none_val=None):
+        vals = cols[name][sg_safe].copy()
+        vals[~has_sg] = none_val
+        return vals
+
+    ms = road_ms[sg_safe]
+    ms_obj = np.empty(len(sgs), dtype=object)
+    ok = has_sg & ~np.isnan(ms)
+    ms_obj[ok] = ms[ok]
+    ms_obj[~ok] = None
+    return pd.DataFrame({
+        "way_id": cols["way_id"][pts],
+        "point_order": point_order[pts],
+        "road_seq": np.where(has_sg, road_seq[sg_safe], -1),
+        "road_id": seg_col("road_id"),
+        "road_highway": seg_col("road_highway"),
+        "road_name": seg_col("road_name"),
+        "road_maxspeed": ms_obj,
+        "is_sidepath": cols["is_sidepath"][pts],
+        "footway": cols["footway"][pts],
+        "is_sidepath_of": cols["is_sidepath_of"][pts],
+    })
 
 
 def _nn(v):
@@ -377,23 +449,53 @@ def _sparse_records(batch: pd.DataFrame) -> list[dict]:
 
 
 def _apply_sidepath(batch: pd.DataFrame) -> pd.DataFrame:
-    records = _sparse_records(batch)
-    for r in records:
-        hw = r.get("highway")
-        if hw not in sidepath.NON_ROAD_HIGHWAYS or hw == "track":
-            r.update(sidepath.road_proc_attrs(r))
-        elif r.get("sp_sidepath") is not None:
-            r["proc_sidepath"] = r["sp_sidepath"]
-            if r["sp_sidepath"] == "yes":
-                # fold_entry only sets proc_highway for 'yes' rows
-                r["proc_highway"] = r.get("sp_highway")
-            if r.get("sp_maxspeed") is not None:
-                r["proc_maxspeed"] = float(r["sp_maxspeed"])
-            if r.get("sp_name") is not None:
-                r["name"] = r["sp_name"]
-        for k in ("sp_sidepath", "sp_highway", "sp_maxspeed", "sp_name"):
-            r.pop(k, None)
-    return pd.DataFrame(records)
+    """Vectorized sidepath fold-back: roads take their own
+    highway/effective-maxspeed (sidepath.road_proc_attrs semantics); path
+    rows take the folded sp_* attributes (fold_entry only sets
+    proc_highway for 'yes' rows)."""
+    from ..vector import _col, _isin, _truthy
+
+    n = len(batch)
+    c = lambda name: _col(batch, name, n)
+    hw = c("highway")
+    is_road = ~_isin(hw, tuple(sidepath.NON_ROAD_HIGHWAYS)) | (hw == "track")
+
+    ms_raw = c("maxspeed")
+    lut = {v: T.to_number(v) for v in set(ms_raw.tolist())}
+    eff = np.array([np.nan if lut[v] is None else lut[v] for v in ms_raw],
+                   dtype=np.float64)
+    m = (ms_raw == "walk") | (~_truthy(ms_raw) & (hw == "living_street"))
+    eff[m] = 10
+    eff[ms_raw == "none"] = 299
+
+    proc_highway = np.full(n, None, dtype=object)
+    proc_highway[is_road] = hw[is_road]
+    proc_maxspeed = np.full(n, np.nan)
+    proc_maxspeed[is_road] = eff[is_road]
+    proc_sidepath = np.full(n, None, dtype=object)
+
+    sp = c("sp_sidepath")
+    has_sp = ~is_road & (sp != None)  # noqa: E711
+    proc_sidepath[has_sp] = sp[has_sp]
+    m = has_sp & (sp == "yes")
+    proc_highway[m] = c("sp_highway")[m]
+    spms = pd.to_numeric(pd.Series(c("sp_maxspeed")), errors="coerce") \
+        .to_numpy(dtype=np.float64)
+    m = has_sp & ~np.isnan(spms)
+    proc_maxspeed[m] = spms[m]
+    spname = c("sp_name")
+    name = c("name").copy()
+    m = has_sp & (spname != None)  # noqa: E711
+    name[m] = spname[m]
+
+    out = batch.drop(columns=[col for col in
+                              ("sp_sidepath", "sp_highway", "sp_maxspeed",
+                               "sp_name") if col in batch.columns]).copy()
+    out["name"] = name
+    out["proc_highway"] = proc_highway
+    out["proc_maxspeed"] = proc_maxspeed
+    out["proc_sidepath"] = proc_sidepath
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -415,47 +517,55 @@ def _fanout_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
 
 
 def _score_batch(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
+    """Fully vectorized scoring: every derivation stage runs as mask rules
+    over the whole batch (cqi_ray.vector + cqi_ray.vector_score), each
+    differentially tested equal to the row-wise conformance kernels in
+    cqi_ray.scoring (tests/test_vector.py, tests/test_vector_score.py) and
+    proven by the 164-row golden match."""
     from ..vector import (classify_way_type_batch, derive_oneway_batch,
                           derive_separation_buffer_batch,
                           derive_surface_smoothness_batch,
-                          derive_traffic_modes_batch)
+                          derive_traffic_modes_batch, _col)
+    from ..vector_score import derive_width_batch, finalize_batch
 
-    # classification, oneway, surface/smoothness, traffic modes and
-    # separation/buffer are vectorized (mask rules over the whole batch,
-    # differentially tested equal to the row-wise forms); the remaining
-    # branchy derivation (width, mandatory, index math) is per-row
+    cols = list(OUTPUT_COLUMNS) + ["geometry_m"]
     way_types = classify_way_type_batch(batch, p)
+    keep = way_types != scoring.DROP
+    if not keep.all():
+        batch = batch.loc[keep].reset_index(drop=True)
+        way_types = way_types[keep]
+    n = len(batch)
+    if not n:
+        return _empty(cols)
+
     oneways = derive_oneway_batch(batch, way_types, p)
     surf, surf_miss, smooth, smooth_miss = \
         derive_surface_smoothness_batch(batch, way_types, p)
     ml, mr = derive_traffic_modes_batch(batch, way_types, p)
     sl, sr, bl, br = derive_separation_buffer_batch(batch, ml, mr, p)
+    width, m_wl, m_w1, m_w2, m_pk = derive_width_batch(
+        batch, way_types, oneways, p)
+    out = finalize_batch(batch, p, way_types, oneways, width,
+                         (m_wl, m_w1, m_w2, m_pk), surf, surf_miss,
+                         smooth, smooth_miss, ml, mr, bl, br)
 
-    def _nanv(v):
-        return None if isinstance(v, float) and v != v else v
+    out["proc_separation_left"] = sl
+    out["proc_separation_right"] = sr
+    out["proc_buffer_left"] = bl
+    out["proc_buffer_right"] = br
+    for name in ("id", "name", "side", "proc_sidepath", "proc_highway",
+                 "geometry_m"):
+        out[name] = _col(batch, name, n)
+    from ..vector import _num_col
 
-    out = []
-    for i, r in enumerate(_sparse_records(batch)):
-        way_type = way_types[i]
-        if way_type == scoring.DROP:
-            continue
-        r["way_type"] = way_type
-        scoring.score_row(
-            r, p, proc_oneway=oneways[i],
-            surface=(surf[i], bool(surf_miss[i])),
-            smoothness=(smooth[i], bool(smooth_miss[i])),
-            modes=(ml[i], mr[i]),
-            sep_buf=(sl[i], sr[i], _nanv(bl[i]), _nanv(br[i])))
-        rec = {c: r.get(c) for c in OUTPUT_COLUMNS}
-        if rec.get("proc_maxspeed") is not None:
-            rec["proc_maxspeed"] = int(rec["proc_maxspeed"])
-        rec["geometry_m"] = r.get("geometry_m")
-        out.append(rec)
-    cols = list(OUTPUT_COLUMNS) + ["geometry_m"]
-    df = pd.DataFrame(out)[cols] if out else _empty(cols)
+    out["offset"] = _num_col(batch, "offset", n)
+    out["proc_maxspeed"] = _num_col(batch, "proc_maxspeed", n)
+
+    df = pd.DataFrame(out)[cols]
     for c in ("index", "index_10", "stress_level", "base_index",
               "filter_usable", "proc_maxspeed"):
-        df[c] = pd.array(df[c], dtype="Int64")
+        df[c] = pd.array(pd.to_numeric(df[c], errors="coerce").round(),
+                         dtype="Int64")
     for c in ("offset", "proc_width", "proc_buffer_left", "proc_buffer_right",
               "fac_width", "fac_surface", "fac_highway", "fac_maxspeed",
               "fac_1", "fac_2", "fac_3", "fac_4", "data_incompleteness"):

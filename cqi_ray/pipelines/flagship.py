@@ -95,8 +95,9 @@ def build_images(sf_dir: str, limit: Optional[int] = None,
 
 
 def build_scored_ways(n_ways: int = 64) -> rd.Dataset:
-    rows = synth.synth_ways_grid(n_ways, extent=EXTENT)
-    return score_ways_dataset(dataset_from_rows(rows))
+    from .cqi import synth_ways_dataset
+
+    return score_ways_dataset(synth_ways_dataset(n_ways, extent=EXTENT))
 
 
 def run_flagship(sf_dir: str, n_ways: int = 64,
@@ -115,19 +116,27 @@ def run_flagship(sf_dir: str, n_ways: int = 64,
 
 def run_flagship_checkpointed(sf_dir: str, out_dir: str, n_ways: int = 64,
                               zooms=(15,), version: str = "v1"):
-    """Flagship with per-stage checkpoints + lineage manifests: every stage
-    writes partitioned Parquet; a re-run with unchanged fingerprints reads
-    the completed stages instead of recomputing them (resume semantics —
-    see cqi_ray/state/checkpoint.py).  Returns (scores, assignments, tiles)
-    Datasets backed by the checkpoint files."""
+    """Flagship with per-stage checkpoints + CHAINED lineage manifests:
+    every stage writes partitioned Parquet; each dependent stage's
+    fingerprint includes its upstream stage's ``build_id`` and the source
+    files' fragment fingerprint, so a rebuilt upstream (or a changed
+    input file) invalidates exactly the dependent stages while unchanged
+    runs resume from the completed checkpoints (cqi_ray/state/checkpoint).
+    Returns (scores, assignments, tiles) Datasets backed by the files."""
     import ray.data as rd
-    from ..state.checkpoint import checkpoint_stage
+    from ..state.checkpoint import (checkpoint_stage, source_fingerprint,
+                                    stage_build_id)
 
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src_fp = source_fingerprint([docs_path])
+
+    scores_path = os.path.join(out_dir, "scores")
     scores = checkpoint_stage(
         lambda: build_scored_ways(n_ways),
-        os.path.join(out_dir, "scores"),
+        scores_path,
         stage="cqi_scores", fingerprint=f"{version}:ways={n_ways}",
         metrics={"n_ways": n_ways})
+    scores_bid = stage_build_id(scores_path)
 
     def _assignments() -> rd.Dataset:
         out = assign_images_to_ways(build_images(sf_dir), scores)
@@ -140,12 +149,15 @@ def run_flagship_checkpointed(sf_dir: str, out_dir: str, n_ways: int = 64,
         _assignments,
         os.path.join(out_dir, "assignments"),
         stage="image_assign",
-        fingerprint=f"{version}:ways={n_ways}:src={sf_dir}",
-        partition_cols=["part"])
+        fingerprint=f"{version}:src={src_fp}:up={scores_bid}",
+        partition_cols=["part"],
+        inputs=[{"path": docs_path, "fingerprint": src_fp},
+                {"stage": "cqi_scores", "build_id": scores_bid}])
 
     tiles = checkpoint_stage(
         lambda: render_tiles(scores, zooms=zooms),
         os.path.join(out_dir, "tiles"),
-        stage="tiles", fingerprint=f"{version}:ways={n_ways}:zooms={zooms}",
-        partition_cols=["z"])
+        stage="tiles", fingerprint=f"{version}:zooms={zooms}:up={scores_bid}",
+        partition_cols=["z"],
+        inputs=[{"stage": "cqi_scores", "build_id": scores_bid}])
     return scores, assignments, tiles

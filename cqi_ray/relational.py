@@ -46,7 +46,8 @@ def _hash_bucket(values, num_buckets: int) -> np.ndarray:
 
 def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
                         num_buckets: int = 64,
-                        whole_bucket: bool = False) -> rd.Dataset:
+                        whole_bucket: bool = False,
+                        shuffle_format: str = "pandas") -> rd.Dataset:
     """groupby(key).map_groups with bounded task count: keys are hashed into
     ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
     bucket task runs a local pandas groupby over its keys.  This amortizes
@@ -81,9 +82,26 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
 
     # spread the shuffle's reduce side over one partition per bucket —
     # groupby output parallelism follows the input block count.
-    # (An Arrow passthrough before the sort was measured SLOWER here: the
-    # pandas->Arrow conversion of binary/object-heavy blocks costs more
-    # than the Arrow sort saves on a low-cardinality key like __gb.)
+    # ``shuffle_format`` picks the block format that travels through the
+    # sort shuffle; scripts/shuffle_experiment.py measures both per
+    # workload (BASELINE.md records the numbers: pandas wins on the
+    # object/binary-heavy spatial workloads because upstream stages
+    # already produce pandas blocks and the conversion costs more than
+    # the Arrow sort saves on the low-cardinality __gb key).
+    if shuffle_format == "pyarrow":
+        def add_bucket_arrow(t: pa.Table) -> pa.Table:
+            h = np.zeros(t.num_rows, dtype=np.uint64)
+            for col in key_cols:
+                arr = t[col].to_numpy(zero_copy_only=False)
+                h = _splitmix64(h ^ _splitmix64_any(arr))
+            return t.append_column(
+                "__gb", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+        tagged = ds.map_batches(add_bucket_arrow, batch_format="pyarrow",
+                                batch_size=None).repartition(num_buckets)
+        return tagged.groupby("__gb").map_groups(
+            lambda t: per_bucket(t.to_pandas()), batch_format="pyarrow")
+
     tagged = ds.map_batches(add_bucket, batch_format="pandas",
                             batch_size=None).repartition(num_buckets)
     return tagged.groupby("__gb").map_groups(per_bucket, batch_format="pandas")

@@ -496,10 +496,6 @@ def derive_surface(row: dict, p: CQIParams):
                 row.get("highway"), p.surface_highway_default["path"]
             )
         missing.append("surface")
-    elif row.get("_cycleway_surface_missing"):
-        # fanned-out track rows without an own cycleway surface inherit the
-        # parent's surface but still count it as missing data (golden cl11)
-        missing.append("surface")
 
     if ";" in proc_surface:
         proc_surface = T.weakest_surface(

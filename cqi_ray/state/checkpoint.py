@@ -45,6 +45,31 @@ def manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
 
 
+def source_fingerprint(paths) -> str:
+    """Stable fingerprint of input files (path, size, mtime_ns) — the
+    'input fragment ids' lineage: a changed/replaced source file changes
+    every downstream stage fingerprint built from it."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except OSError:
+            h.update(f"{p}:missing;".encode())
+    return h.hexdigest()[:16]
+
+
+def stage_build_id(path: str) -> str:
+    """The build id of a completed stage (changes on every rebuild, even
+    with an unchanged fingerprint) — chain it into dependent stages'
+    fingerprints so an upstream rebuild invalidates exactly its
+    dependents."""
+    man = load_manifest(path)
+    return man.get("build_id", "") if man else ""
+
+
 def load_manifest(path: str) -> Optional[dict]:
     try:
         with open(manifest_path(path)) as fh:
@@ -56,12 +81,15 @@ def load_manifest(path: str) -> Optional[dict]:
 def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
                      stage: str, fingerprint: str,
                      partition_cols: Optional[list[str]] = None,
-                     metrics: Optional[dict] = None) -> rd.Dataset:
+                     metrics: Optional[dict] = None,
+                     inputs: Optional[list] = None) -> rd.Dataset:
     """Compute-or-resume one stage.
 
     ``fingerprint`` must change whenever the stage's inputs/parameters
-    change (e.g. a hash of upstream manifest fingerprints + params); a
-    matching completed manifest short-circuits to a read."""
+    change — build it from params + ``source_fingerprint(files)`` +
+    upstream ``stage_build_id``s; a matching completed manifest
+    short-circuits to a read.  ``inputs`` (source paths / fragment ids)
+    are recorded in the manifest for lineage inspection."""
     existing = load_manifest(path)
     if existing and existing.get("complete") and existing.get("fingerprint") == fingerprint:
         return rd.read_parquet(path, file_extensions=["parquet"])
@@ -86,13 +114,17 @@ def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
     out = rd.read_parquet(tmp, file_extensions=["parquet"])
     row_count = out.count()
 
+    import uuid
+
     doc = {
         "stage": stage,
         "fingerprint": fingerprint,
+        "build_id": uuid.uuid4().hex[:16],
         "complete": True,
         "row_count": row_count,
         "partition_cols": partition_cols or [],
         "partitions": partitions,
+        "inputs": inputs or [],
         "wall_time_sec": round(elapsed, 3),
         "metrics": metrics or {},
         "format": "parquet",  # lance on deployments with the wheel

@@ -57,6 +57,37 @@ def _contains(a: np.ndarray, needle: str) -> np.ndarray:
     return pd.Series(a).str.contains(needle, regex=False, na=False).to_numpy()
 
 
+def _num_col(df: pd.DataFrame, name: str, n: int) -> np.ndarray:
+    """Column -> float64 array (NaN = unparsable/missing), matching
+    ``tags.to_number`` exactly (incl. '1_000', 'inf', float passthrough) by
+    mapping the few DISTINCT values through the scalar parser."""
+    from . import tags as T
+
+    vals = _col(df, name, n)
+    lut = {v: T.to_number(v) for v in set(vals.tolist())}
+    return np.array([np.nan if lut[v] is None else lut[v] for v in vals],
+                    dtype=np.float64)
+
+
+def _truthyf(x: np.ndarray) -> np.ndarray:
+    """Python truthiness of a float-or-None: not None and not 0."""
+    return ~np.isnan(x) & (x != 0)
+
+
+def _lut(keys: np.ndarray, mapping, default=None) -> np.ndarray:
+    """Vectorized dict.get over an object array."""
+    return np.array([mapping.get(k, default) for k in keys], dtype=object)
+
+
+def _lutf(keys: np.ndarray, mapping, default=np.nan) -> np.ndarray:
+    """Vectorized dict.get -> float64 (None -> NaN)."""
+    out = np.empty(len(keys), dtype=np.float64)
+    for i, k in enumerate(keys):
+        v = mapping.get(k, default)
+        out[i] = np.nan if v is None else v
+    return out
+
+
 def classify_way_type_batch(df: pd.DataFrame,
                             p: CQIParams = DEFAULT_PARAMS) -> np.ndarray:
     """Return an object array of way types / ``scoring.DROP`` / None,
@@ -318,11 +349,6 @@ def derive_surface_smoothness_batch(df: pd.DataFrame, way_types: np.ndarray,
     invalid = need & ~_isin(out_surface, tuple(p.surface_factor))
     out_surface[invalid] = None
 
-    # golden quirk: inherited-but-unknown cycleway surface on track side rows
-    cw_missing_flag = c("_cycleway_surface_missing")
-    missing_surface = missing_surface | (need & ~missing_surface
-                                         & (cw_missing_flag == True))  # noqa: E712
-
     # --- smoothness ---
     smoothness = c("smoothness")
     sm_bicycle = c("smoothness:bicycle")
@@ -448,19 +474,9 @@ def derive_separation_buffer_batch(df: pd.DataFrame, mode_left: np.ndarray,
     sl[~_truthy(sl)] = "no"
     sr[~_truthy(sr)] = "no"
 
-    def num(name):
-        # match python float() exactly (incl. '1_000', 'inf') by mapping the
-        # few distinct strings through the scalar parser
-        from . import tags as T
-
-        vals = _col(df, name, n)
-        lut = {v: T.to_number(v) for v in set(vals.tolist())}
-        return np.array([np.nan if lut[v] is None else lut[v] for v in vals],
-                        dtype=np.float64)
-
-    buf = num("buffer")
-    bl, br = num("buffer:left"), num("buffer:right")
-    bb = num("buffer:both")
+    buf = _num_col(df, "buffer", n)
+    bl, br = _num_col(df, "buffer:left", n), _num_col(df, "buffer:right", n)
+    bb = _num_col(df, "buffer:both", n)
     has_bb = ~np.isnan(bb) & (bb != 0)
     m = has_bb & (np.isnan(bl) | (bl == 0))
     bl[m] = bb[m]
@@ -472,4 +488,11 @@ def derive_separation_buffer_batch(df: pd.DataFrame, mode_left: np.ndarray,
         bl[m] = buf[m]
         m = has_buf & ~motorish_l & motor_r & (np.isnan(br) | (br == 0))
         br[m] = buf[m]
+    else:  # mirror of derive_buffer's left-hand-traffic branch
+        motorish_r = _isin(mode_right, ("motor_vehicle", "psv", "parking"))
+        motor_l = mode_left == "motor_vehicle"
+        m = has_buf & motorish_r & (np.isnan(br) | (br == 0))
+        br[m] = buf[m]
+        m = has_buf & ~motorish_r & motor_l & (np.isnan(bl) | (bl == 0))
+        bl[m] = buf[m]
     return sl, sr, bl, br

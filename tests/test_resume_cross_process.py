@@ -1,7 +1,8 @@
 """Cross-process resume: the checkpointed flagship run twice in SEPARATE
 processes (fresh Ray sessions, via the CLI) must not recompute completed
-stages; deleting one stage's manifest forces exactly that stage (and its
-dependents' reads) to rebuild."""
+stages; deleting one stage's manifest forces that stage to rebuild AND —
+through the chained build-id fingerprints — invalidates exactly its
+dependent stages (scores -> assignments, tiles)."""
 
 import json
 import os
@@ -44,12 +45,20 @@ def test_resume_across_processes(tmp_path):
     assert "assignments=500" in second
     assert _mtimes(out) == m1
 
-    # tamper: drop one stage's manifest -> only that stage rebuilds
+    # tamper: drop the upstream stage's manifest -> it rebuilds with a new
+    # build_id, which invalidates its dependents through the chained
+    # fingerprints (upstream rebuild must never leave stale dependents)
     os.remove(f"{out}/scores/_manifest.json")
     third = _run_flagship(out)
     assert "assignments=500" in third
     m3 = _mtimes(out)
     assert m3["scores"] > m1["scores"], "scores should have rebuilt"
-    assert m3["assignments"] == m1["assignments"], \
-        "assignments manifest untouched (fingerprint unchanged)"
-    assert m3["tiles"] == m1["tiles"]
+    assert m3["assignments"] > m1["assignments"], \
+        "assignments must rebuild: upstream scores has a new build_id"
+    assert m3["tiles"] > m1["tiles"], \
+        "tiles must rebuild: upstream scores has a new build_id"
+
+    # fourth run with nothing tampered: everything resumes again
+    fourth = _run_flagship(out)
+    assert "assignments=500" in fourth
+    assert _mtimes(out) == m3
