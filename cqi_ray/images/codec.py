@@ -119,6 +119,109 @@ def raw_decode(data: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
+# ---------------------------------------------------------------------------
+# Lossy DCT-quantization codec (JPEG-style: 8x8 block DCT + the public
+# JPEG Annex-K luminance quantization table + zigzag + zlib entropy stage;
+# container is a custom 'LJPG' framing since this environment has no
+# libjpeg to produce/parse JFIF Huffman streams)
+# ---------------------------------------------------------------------------
+
+_LJPG_MAGIC = b"LJPG"
+_B = 8
+
+# ISO/IEC 10918-1 Annex K.1 luminance quantization table (public spec)
+_Q_BASE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+_DCT8 = None
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix."""
+    global _DCT8
+    if _DCT8 is None:
+        k = np.arange(_B)
+        mat = np.cos(np.pi / _B * (k[:, None] + 0.5) * k[None, :])
+        mat *= np.sqrt(2.0 / _B)
+        mat[:, 0] *= np.sqrt(0.5)
+        _DCT8 = mat
+    return _DCT8
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    q = np.floor((_Q_BASE * scale + 50.0) / 100.0)
+    return np.clip(q, 1, 255)
+
+
+def _to_blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = chan.shape
+    ph = (-h) % _B
+    pw = (-w) % _B
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    H, W = chan.shape
+    blocks = chan.reshape(H // _B, _B, W // _B, _B).transpose(0, 2, 1, 3)
+    return blocks.reshape(-1, _B, _B), H, W
+
+
+def _from_blocks(blocks: np.ndarray, H: int, W: int, h: int, w: int) -> np.ndarray:
+    nby, nbx = H // _B, W // _B
+    out = blocks.reshape(nby, nbx, _B, _B).transpose(0, 2, 1, 3).reshape(H, W)
+    return out[:h, :w]
+
+
+def lossy_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
+    """JPEG-style lossy encode: per-channel 8x8 DCT -> quantize (Annex-K
+    table scaled by ``quality``) -> int16 coefficients -> zlib.  Container:
+    LJPG | quality u8 | w u16 | h u16 | zlib(int16 le coeffs, ch-major)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("lossy_encode expects RGB8")
+    q = _quant_table(quality)
+    D = _dct8()
+    planes = []
+    for c in range(3):
+        blocks, H, W = _to_blocks(arr[:, :, c].astype(np.float64) - 128.0)
+        coeff = np.einsum("ij,bjk,lk->bil", D, blocks, D)
+        quant = np.round(coeff / q).astype(np.int16)
+        planes.append(quant.ravel())
+    payload = zlib.compress(np.concatenate(planes).astype("<i2").tobytes(), 6)
+    return (_LJPG_MAGIC + struct.pack("<BHH", min(100, max(1, quality)), w, h)
+            + payload)
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    """Inverse of :func:`lossy_encode` (dequantize -> inverse DCT)."""
+    if data[:4] != _LJPG_MAGIC:
+        raise ValueError("not an LJPG stream")
+    quality, w, h = struct.unpack("<BHH", data[4:9])
+    q = _quant_table(quality)
+    D = _dct8()
+    coeffs = np.frombuffer(zlib.decompress(data[9:]), dtype="<i2") \
+        .astype(np.float64)
+    H = h + ((-h) % _B)
+    W = w + ((-w) % _B)
+    per = (H // _B) * (W // _B) * _B * _B
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        quant = coeffs[c * per:(c + 1) * per].reshape(-1, _B, _B) * q
+        blocks = np.einsum("ji,bjk,kl->bil", D, quant, D)
+        chan = _from_blocks(blocks, H, W, h, w) + 128.0
+        out[:, :, c] = np.clip(np.round(chan), 0, 255).astype(np.uint8)
+    return out
+
+
 def decode_image(data: bytes, fmt: str, w: int, h: int,
                  allow_fake_jpeg: bool = True) -> np.ndarray:
     """Decode one payload per the table schema (bytes, fmt, w, h)."""
@@ -127,14 +230,17 @@ def decode_image(data: bytes, fmt: str, w: int, h: int,
     if fmt == "raw":
         return raw_decode(data, w, h)
     if fmt == "jpeg":
+        if data[:4] == _LJPG_MAGIC:
+            # the engine's own lossy DCT-quantization codec (see above) —
+            # a genuinely lossy round trip exercising the PSNR gate
+            return lossy_decode(data)
         if allow_fake_jpeg and data[:4] == b"FJPG":
-            # deterministic stand-in container (see images.synth): payload is
-            # raw RGB behind a 4-byte magic — lets the pipeline exercise the
-            # "lossy" path without a real JPEG codec in this environment
+            # legacy deterministic stand-in container: raw RGB behind a
+            # 4-byte magic (kept for fixtures that predate the lossy codec)
             return raw_decode(data[4:], w, h)
         raise NotImplementedError(
-            "no JPEG codec in this environment; real deployments plug a "
-            "libjpeg-backed decoder into this stage"
+            "no JFIF/libjpeg codec in this environment; real deployments "
+            "plug a libjpeg-backed decoder into this stage"
         )
     raise ValueError(f"unknown image format {fmt!r}")
 

@@ -88,8 +88,10 @@ def synth_images_table(n: int, seed: int = 42, start_index: int = 0,
             blob = codec.png_encode(px)
         elif fmt == "raw":
             blob = codec.raw_encode(px)
-        else:  # deterministic fake-JPEG container (see codec.decode_image)
-            blob = b"FJPG" + codec.raw_encode(px)
+        else:  # lossy DCT-quantization codec (codec.lossy_encode); the
+            # stored phash describes the stored lossy image
+            blob = codec.lossy_encode(px)
+            px = codec.lossy_decode(blob)
         ids.append(f"img_{index:012d}")
         blobs.append(blob)
         ws.append(w)

@@ -259,8 +259,12 @@ def q_sessionize(sf_dir: str, gap_sec: int = 1800):
                 out["duration_sec"].append(int(t[se - 1] - t[ss]))
         return pd.DataFrame(out)
 
+    # the upstream blocks come straight from read_parquet (Arrow), so the
+    # bucket shuffle stays Arrow-native: measured 3.7x faster than forcing
+    # pandas blocks through the sort (scripts/shuffle_experiment.py)
     return grouped_map_buckets(events, ["user_id"], sessions,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=32, whole_bucket=True,
+                               shuffle_format="pyarrow")
 
 
 Q_SESSIONIZE_SQL = """

@@ -41,6 +41,27 @@ class TestCodec:
             codec.decode_image(b"\xff\xd8\xff\xe0real", "jpeg", 8, 8,
                                allow_fake_jpeg=True)
 
+    def test_lossy_roundtrip_psnr(self):
+        """The DCT-quantization codec is genuinely lossy but stays above
+        the 40 dB PSNR gate at the default quality, with real payload
+        compression."""
+        for idx in (0, 5, 17, 100):
+            px = synth._pixels_for(idx, 32, 32)
+            blob = codec.lossy_encode(px)
+            rec = codec.lossy_decode(blob)
+            assert not np.array_equal(rec, px), "codec must be lossy"
+            assert codec.psnr(px, rec) >= 40
+            assert len(blob) < 0.5 * px.nbytes
+            # deterministic: same input -> same bytes -> same decode
+            assert codec.lossy_encode(px) == blob
+            assert np.array_equal(codec.lossy_decode(blob), rec)
+
+    def test_lossy_decode_via_decode_image(self):
+        px = synth._pixels_for(4, 24, 24)
+        blob = codec.lossy_encode(px, quality=95)
+        out = codec.decode_image(blob, "jpeg", 24, 24)
+        assert codec.psnr(px, out) >= 40
+
     def test_psnr(self):
         px = synth._pixels_for(5, 32, 32)
         assert codec.psnr(px, px) == float("inf")
@@ -72,14 +93,21 @@ class TestSynthTable:
 
     def test_decode_psnr_invariant(self):
         """Every synthesized payload decodes back to its source pixels with
-        PSNR >= 40 dB (lossless here: infinite)."""
+        PSNR >= 40 dB — png/raw rows losslessly (infinite), jpeg rows
+        through the genuinely lossy DCT-quantization round trip; the
+        stored phash always matches the stored (decoded) image exactly."""
         t = synth.synth_images_table(12, seed=42)
+        saw_lossy = False
         for i in range(t.num_rows):
             px = codec.decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py(),
                                     t["w"][i].as_py(), t["h"][i].as_py())
             src = synth._pixels_for(i, 48, 48)
             assert codec.psnr(src, px) >= 40
             assert codec.phash64(px) == t["phash"][i].as_py()
+            if t["fmt"][i].as_py() == "jpeg":
+                saw_lossy = True
+                assert not np.array_equal(px, src), "jpeg rows must be lossy"
+        assert saw_lossy
 
     def test_sharded_generation_is_consistent(self):
         whole = synth.synth_images_table(20, seed=42).to_pandas()
@@ -88,6 +116,39 @@ class TestSynthTable:
         assert list(part["caption"]) == list(whole["caption"][10:])
         assert [bytes(b) for b in part["bytes"]] == \
             [bytes(b) for b in whole["bytes"][10:]]
+
+
+class TestLossyThroughAssignPipeline:
+    def test_captions_and_phash_survive_lossy_path(self, ray_session):
+        """North-rule invariant through the FULL assign pipeline: jpeg
+        (lossy-coded) images decode, pass the exact phash integrity check,
+        and their captions come out byte-identical to the source document
+        text."""
+        import pyarrow.parquet as pq
+
+        from cqi_ray.pipelines.assign import DecodeValidate
+        from cqi_ray.pipelines.flagship import build_images, run_flagship
+
+        sf = "/root/testdata/sf0.001"
+        decoded = build_images(sf).map_batches(
+            DecodeValidate, batch_format="pandas", batch_size=64,
+            concurrency=2).to_pandas()
+        assert decoded["decode_ok"].all()
+        assert decoded["phash_ok"].all()
+        jpeg = decoded[decoded["fmt"] == "jpeg"]
+        assert len(jpeg) > 0
+
+        out = run_flagship(sf).to_pandas()
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        text_by_id = dict(zip(docs["doc_id"], docs["text"]))
+        checked = 0
+        for row in out.itertuples(index=False):
+            doc_id = int(row.image_id.split("_")[1])
+            assert row.caption == text_by_id[doc_id]
+            if doc_id % 3 == 2:  # jpeg rows
+                checked += 1
+        assert checked > 0
 
 
 class TestDecodeValidateStage:
