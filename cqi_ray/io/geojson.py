@@ -35,6 +35,46 @@ def read_ways_geojson(path: str, retain: Optional[Iterable[str]] = None) -> list
     return rows
 
 
+def detect_ways_kind(source) -> str:
+    """'raw' | 'processed' schema auto-detection for a ways GeoJSON —
+    library form of the reference's collection parser
+    (/root/reference/src/models/features.py:232-249): a collection whose
+    first feature carries ``way_type`` is processed output, anything else
+    is raw OSM input.  ``source`` is a path, a parsed FeatureCollection
+    dict, or a list of row dicts."""
+    if isinstance(source, str):
+        with open(source) as fh:
+            source = json.load(fh)
+    if isinstance(source, dict):
+        features = source.get("features") or []
+        first = (features[0].get("properties") or {}) if features else {}
+    elif isinstance(source, list):
+        first = source[0] if source else {}
+    else:
+        raise TypeError(f"cannot detect ways kind of {type(source)!r}")
+    return "processed" if "way_type" in first else "raw"
+
+
+def read_ways_auto(path: str):
+    """Load a ways GeoJSON of either kind: returns ``(kind, rows)`` where
+    raw rows are pruned to the input schema and processed rows keep their
+    proc_*/index columns untouched (for match/diff harnesses)."""
+    with open(path) as fh:
+        collection = json.load(fh)
+    kind = detect_ways_kind(collection)
+    if kind == "raw":
+        return kind, read_ways_geojson(path)
+    rows = []
+    for feature in collection.get("features", []):
+        geom = feature.get("geometry") or {}
+        if geom.get("type") != "LineString":
+            continue
+        row = dict(feature.get("properties") or {})
+        row["geometry"] = geom.get("coordinates")
+        rows.append(row)
+    return kind, rows
+
+
 def scores_dataset_to_geojson(scores, path: str) -> int:
     """Scores Dataset (OUTPUT_COLUMNS + geometry_m binary) -> one GeoJSON
     file in EPSG:4326 (the reference's output step,

@@ -66,12 +66,21 @@ def merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
 
 
 class HyperplaneLSH:
-    """Random-hyperplane signature for cosine LSH (stateful -> actor pool)."""
+    """Random-hyperplane signature for cosine LSH (stateful -> actor pool).
+    ``dim=None`` defers plane creation until ``ensure_dim`` sees the data
+    (same seed => same planes on every worker)."""
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+    def __init__(self, dim: int | None, n_planes: int = 12, seed: int = 42):
         self.n_planes = n_planes
+        self.seed = seed
+        self.planes = None
+        if dim is not None:
+            self.ensure_dim(dim)
+
+    def ensure_dim(self, dim: int) -> None:
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((dim, self.n_planes))
 
     def bucket(self, mat: np.ndarray) -> np.ndarray:
         signs = (np.asarray(mat, dtype=np.float64) @ self.planes) >= 0

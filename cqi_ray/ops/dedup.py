@@ -155,6 +155,79 @@ def simhash64(texts) -> np.ndarray:
     return out
 
 
+def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
+                        n_planes: int = 6, seed: int = 42,
+                        num_buckets: int = 64):
+    """LSH-blocked embedding near-dup pairs — the sub-quadratic scale path
+    next to the exact triangle join (queries.q_dedup_embedding):
+
+      L independent hyperplane tables (OR-amplification, like MinHash
+      bands) bucket every vector L times -> groupby(table, bucket) ->
+      exact cosine verify inside each bucket -> distinct pairs.
+
+    Communication is O(n*L) rows; verify cost is sum(bucket^2) ~=
+    L * n^2 / 2^planes per table worst-case, concentrated on genuinely
+    similar vectors.  Recall for a pair at angle theta is
+    1 - (1 - (1-theta/pi)^planes)^tables (e.g. ~0.98 at cosine 0.9 with
+    8x6); tested against brute force on planted near-dups
+    (tests/test_ops.py)."""
+    import pandas as pd
+
+    from ..relational import grouped_map_buckets
+    from .ann import HyperplaneLSH
+
+    lshs = [HyperplaneLSH(dim=None, n_planes=n_planes, seed=seed + t)
+            for t in range(n_tables)]
+
+    def band(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        frames = []
+        for t, lsh in enumerate(lshs):
+            lsh.ensure_dim(mat.shape[1])
+            frames.append(pd.DataFrame({
+                "table": np.int64(t),
+                "bucket": lsh.bucket(mat),
+                "vec_id": ids,
+                "embedding": batch["embedding"],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if len(bucket) < 2:
+            return empty
+        tb = bucket["table"].to_numpy()
+        bk = bucket["bucket"].to_numpy()
+        change = (np.diff(tb) != 0) | (np.diff(bk) != 0)
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1,
+                                 [len(bucket)]])
+        ids_all = bucket["vec_id"].to_numpy(dtype=np.int64)
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            mat = np.stack(bucket["embedding"].to_numpy()[s:e]) \
+                .astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
+            sims = mat @ mat.T
+            iu = np.triu_indices(e - s, k=1)
+            hit = sims[iu] >= threshold
+            if hit.any():
+                a = ids_all[s:e][iu[0][hit]]
+                b = ids_all[s:e][iu[1][hit]]
+                outs.append(pd.DataFrame({"a": np.minimum(a, b),
+                                          "b": np.maximum(a, b)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    banded = ds.map_batches(band, batch_format="pandas")
+    pairs = grouped_map_buckets(banded, ["table", "bucket"], verify,
+                                num_buckets=num_buckets, whole_bucket=True)
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
 def cosine_dup_pairs(mat: np.ndarray, ids, threshold: float = 0.95) -> list[tuple]:
     """Brute-force embedding near-dup pairs inside one partition/bucket.
     ``mat`` rows are L2-normalized before the matmul."""

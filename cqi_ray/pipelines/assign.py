@@ -97,6 +97,19 @@ _UNION_COLS = list(dict.fromkeys(_WAY_CELL_COLS + _IMG_CELL_COLS))
 ASSIGN_COLS = ["image_id", "way_id", "dist_m", "method", "way_index",
                "way_stress", "caption", "lon", "lat", "cell"]
 
+# typed empty blocks: all-object empties make Ray's block-size estimator
+# call np.vectorize on zero-length columns (one logged error per column
+# per empty bucket) and break block-schema unification
+_ASSIGN_DTYPES = {"image_id": object, "way_id": object, "dist_m": "float64",
+                  "method": object, "way_index": "float64",
+                  "way_stress": "float64", "caption": object,
+                  "lon": "float64", "lat": "float64", "cell": "int64"}
+
+
+def _empty_assign() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t)
+                         for c, t in _ASSIGN_DTYPES.items()})
+
 
 def make_way_cell_rows(batch: pd.DataFrame, res: int, pad_m: float,
                        geom_col: str = "geometry_m",
@@ -159,7 +172,7 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
     """Whole-bucket assignment: frame sorted by (cell[, salt]); every
     (cell, salt) slice is matched with numpy kernels."""
     if not len(bucket):
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in ASSIGN_COLS})
+        return _empty_assign()
     cellv = bucket["cell"].to_numpy().astype(np.int64)
     saltv = bucket["salt"].to_numpy().astype(np.int64) \
         if "salt" in bucket.columns else np.zeros(len(bucket), np.int64)
@@ -225,7 +238,7 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
             "cell": cellv[ii],
         })[ASSIGN_COLS])
     if not frames:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in ASSIGN_COLS})
+        return _empty_assign()
     return pd.concat(frames, ignore_index=True)
 
 

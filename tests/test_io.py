@@ -6,6 +6,30 @@ import os
 import pytest
 
 
+class TestKindDetection:
+    def test_raw_vs_processed_autodetect(self):
+        from cqi_ray.io.geojson import detect_ways_kind, read_ways_auto
+
+        raw_path = os.path.join(os.path.dirname(__file__), "data",
+                                "test_ways.geojson")
+        proc_path = os.path.join(os.path.dirname(__file__), "data",
+                                 "golden_scores.geojson")
+        assert detect_ways_kind(raw_path) == "raw"
+        assert detect_ways_kind(proc_path) == "processed"
+
+        kind, rows = read_ways_auto(raw_path)
+        assert kind == "raw" and len(rows) == 138
+        assert "way_type" not in rows[0]
+
+        kind, rows = read_ways_auto(proc_path)
+        assert kind == "processed" and len(rows) == 164
+        assert "way_type" in rows[0] and "index" in rows[0]
+
+        # list / dict forms
+        assert detect_ways_kind(rows) == "processed"
+        assert detect_ways_kind({"features": []}) == "raw"
+
+
 class TestMerge:
     def test_multi_file_merge_dedup(self, tmp_path, corpus_rows):
         from cqi_ray.io.geojson import write_ways_geojson

@@ -72,6 +72,36 @@ class TestEmbeddingOps:
                     if sims[i, j] >= 0.3}
         assert {(a, b) for a, b, _ in pairs} == expected
 
+    def test_embedding_lsh_pairs_recall(self, ray_session):
+        """LSH-blocked near-dup pairs (the sub-quadratic scale path) find
+        nearly every planted near-duplicate that brute force finds."""
+        import pandas as pd
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        n, dim = 600, 32
+        base = rng.standard_normal((n, dim))
+        # plant 60 near-dup partners: tiny perturbations of the first 60
+        planted = base[:60] + rng.standard_normal((60, dim)) * 0.05
+        mat = np.concatenate([base, planted])
+        ids = np.arange(len(mat))
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(mat.astype(np.float32))})
+
+        out = dedup.embedding_lsh_pairs(
+            rd.from_pandas(df), threshold=0.9, n_tables=8,
+            n_planes=6).to_pandas()
+        got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+
+        x = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = x @ x.T
+        iu = np.triu_indices(len(mat), 1)
+        want = {(int(iu[0][k]), int(iu[1][k]))
+                for k in np.nonzero(sims[iu] >= 0.9)[0]}
+        assert len(want) >= 60
+        assert got <= want, "no false positives (exact verify inside buckets)"
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, recall
+
     def test_topk_merge_equals_global(self, embeddings):
         mat = np.stack(embeddings["embedding"].to_numpy()).astype(np.float64)
         ids = embeddings["vec_id"].to_numpy()
