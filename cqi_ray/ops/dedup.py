@@ -225,7 +225,8 @@ def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
     banded = ds.map_batches(band, batch_format="pandas")
     pairs = grouped_map_buckets(banded, ["table", "bucket"], verify,
                                 num_buckets=num_buckets, whole_bucket=True)
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    from ..relational import distinct_rows
+    return distinct_rows(pairs, ["a", "b"], num_buckets=16)
 
 
 def cosine_dup_pairs(mat: np.ndarray, ids, threshold: float = 0.95) -> list[tuple]:

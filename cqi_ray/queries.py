@@ -25,7 +25,8 @@ import ray.data as rd
 from .ops.ann import batch_topk_partials, merge_topk
 from .ops.dedup import MinHasher, band_rows, char_shingles, jaccard, simhash64
 from .ops.text import LangId, TextStats, fingerprint_batch
-from .relational import (broadcast_map_join, bucketed_hash_join, exact_dedup,
+from .relational import (broadcast_map_join, bucketed_anti_join,
+                         bucketed_hash_join, distinct_rows, exact_dedup,
                          grouped_map_buckets, partial_then_global_sum)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -302,11 +303,12 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
-def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
-                    threshold: float = 0.6):
+def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
+                           num_perm: int = 64, threshold: float = 0.6
+                           ) -> rd.Dataset:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified, fully
     co-partitioned (NO driver-side materialization or whole-corpus
-    broadcast at any stage):
+    broadcast at any stage).  ``docs`` must carry (doc_id, text):
 
       shingle->sign->band (map_batches, actor pool)
       -> groupby(band, band_hash): candidate pairs
@@ -324,7 +326,6 @@ def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
     candidates out of 125k pairs at sf0.01).  Candidate supersets were
     verified against the exact all-pairs SQL oracle at sf0.001 and
     sf0.01 — on these deterministic inputs the output EQUALS the oracle."""
-    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
 
     class Signer:
         def __init__(self):
@@ -338,7 +339,9 @@ def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs per (band_id, band_hash) run — ids only, no
-        payload.  Input arrives whole-bucket, pre-sorted by the keys."""
+        payload, fully vectorized (triu indices per run + one np.unique
+        dedup per bucket; the per-pair Python loop was this pipeline's
+        hotspot at sf0.1).  Input arrives whole-bucket, pre-sorted."""
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})
         if not len(bucket):
@@ -348,25 +351,28 @@ def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
         ids_arr = bucket["doc_id"].to_numpy()
         change = (np.diff(band) != 0) | (np.diff(bh) != 0)
         bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
-        rows = {"a": [], "b": []}
-        seen: set = set()
+        all_a, all_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            ids = sorted(set(ids_arr[s:e].tolist()))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if (ids[i], ids[j]) not in seen:
-                        seen.add((ids[i], ids[j]))
-                        rows["a"].append(ids[i])
-                        rows["b"].append(ids[j])
-        return pd.DataFrame(rows) if rows["a"] else empty
+            u = np.unique(ids_arr[s:e])
+            if len(u) < 2:
+                continue
+            ia, ib = np.triu_indices(len(u), 1)
+            all_a.append(u[ia])
+            all_b.append(u[ib])
+        if not all_a:
+            return empty
+        pairs = np.unique(np.stack([np.concatenate(all_a),
+                                    np.concatenate(all_b)], axis=1), axis=0)
+        return pd.DataFrame({"a": pairs[:, 0].astype(np.int64),
+                             "b": pairs[:, 1].astype(np.int64)})
 
     cands = grouped_map_buckets(banded, ["band_id", "band_hash"],
                                 bucket_pairs, num_buckets=64,
                                 whole_bucket=True)
     # same pair can surface from several bands -> distinct before the joins
-    cands = cands.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    cands = distinct_rows(cands, ["a", "b"], num_buckets=16)
 
     # attach both texts via co-partitioned joins (documents shuffled once
     # per side, pruned to (doc_id, text))
@@ -400,6 +406,15 @@ def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
         return out.astype({"a": "int64", "b": "int64"})
 
     return withb.map_batches(verify, batch_format="pandas")
+
+
+def q_dedup_minhash(sf_dir: str, bands: int = 16, num_perm: int = 64,
+                    threshold: float = 0.6):
+    """Driver entry: MinHash near-dup pairs over the documents table
+    (see minhash_near_dup_pairs for the pipeline shape)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dup_pairs(docs, bands=bands, num_perm=num_perm,
+                                  threshold=threshold)
 
 
 Q_DEDUP_MINHASH_SQL = """
@@ -577,7 +592,7 @@ def q_dedup_phash(sf_dir: str, max_hamming: int = 10, bands: int = 11):
     pairs = grouped_map_buckets(banded, ["band_id", "band_hash"],
                                 verify_bucket, num_buckets=64,
                                 whole_bucket=True)
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    return distinct_rows(pairs, ["a", "b"], num_buckets=16)
 
 
 def q_dedup_phash_images(sf_dir: str, max_hamming: int = 10):
@@ -621,7 +636,7 @@ def q_dedup_phash_images(sf_dir: str, max_hamming: int = 10):
         images.map_batches(to_bands, batch_format="pandas"),
         ["band_id", "band_hash"], verify_bucket, num_buckets=64,
         whole_bucket=True)
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    return distinct_rows(pairs, ["a", "b"], num_buckets=16)
 
 
 Q_DEDUP_PHASH_SQL = f"""
@@ -1134,6 +1149,110 @@ def q_fingerprint(sf_dir: str):
 Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
 
 
+def q_corpus_curation(sf_dir: str, min_tokens: int = 20,
+                      max_chars: int = 20000):
+    """The canonical LLM-training-data curation pipeline as ONE streaming
+    composition — the engine's text-side flagship:
+
+        documents -> TextStats (token/char counts, actor pool)
+                  -> LangId (stopword-profile language id)
+                  -> quality filter (min tokens, max chars, known language)
+                  -> MinHash+LSH near-dup pairs over the SURVIVORS
+                     (minhash_near_dup_pairs: band shuffle + co-partitioned
+                     text joins, no broadcast)
+                  -> bucketed ANTI-join dropping the higher doc_id of each
+                     verified near-dup pair (scale-safe NOT IN: the drop
+                     list can be a large corpus fraction, so it shuffles,
+                     never materializes on the driver)
+
+    Every stage is SQL-expressible, so the full composition is
+    driver-oracle checked end to end."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    # task pools here: the composition already runs an actor pool inside
+    # minhash_near_dup_pairs, and three concurrent actor pools starve a
+    # small-CPU session; TextStats/LangId init is just compiled-regex refs
+    stats = docs.map_batches(TextStats(), batch_format="pandas")
+    lang = stats.map_batches(LangId(), batch_format="pandas")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["n_tokens"] >= min_tokens) & (b["n_chars"] <= max_chars) \
+            & (b["lang_pred"] != "und")
+        return b.loc[m, ["doc_id", "text", "n_tokens", "lang_pred"]]
+
+    filtered = lang.map_batches(keep, batch_format="pandas")
+    pairs = minhash_near_dup_pairs(
+        filtered.select_columns(["doc_id", "text"]))
+    drops = pairs.map_batches(
+        lambda b: b[["b"]].rename(columns={"b": "doc_id"}),
+        batch_format="pandas")
+    out = bucketed_anti_join(filtered.drop_columns(["text"]), drops,
+                             on="doc_id")
+    # the anti-join union NaN-upcasts ints on the left side; pin dtypes
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_tokens": pd.to_numeric(b["n_tokens"]).astype("int64"),
+            "lang_pred": b["lang_pred"]}),
+        batch_format="pandas")
+
+
+def _corpus_curation_sql() -> str:
+    from .ops.text import _LANG_PROFILES
+
+    values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lang]))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+sw(lang, w) AS (VALUES {values}),
+ltoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS w
+  FROM documents),
+sc AS (
+  SELECT t.doc_id, s.lang, count(*) AS score
+  FROM ltoks t JOIN sw s ON t.w = s.w GROUP BY t.doc_id, s.lang),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM sc),
+lp AS (
+  SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)),
+filt AS (
+  SELECT t.doc_id, t.text, t.n_tokens, l.lang_pred
+  FROM tok t JOIN lp l USING (doc_id)
+  WHERE t.n_tokens >= 20 AND t.n_chars <= 20000 AND l.lang_pred <> 'und'),
+norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM filt),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, x, 5) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS x FROM norm)
+  WHERE length(t) >= 5),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id),
+pairs AS (
+  SELECT a, b
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6)
+SELECT f.doc_id, f.n_tokens, f.lang_pred FROM filt f
+WHERE f.doc_id NOT IN (SELECT b FROM pairs)
+"""
+
+
+Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
+
+
 # ---------------------------------------------------------------------------
 # spatial kernels with arithmetic oracles
 # ---------------------------------------------------------------------------
@@ -1343,6 +1462,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "corpus_curation": q_corpus_curation,
     "cell_encode": q_cell_encode,
     "knn_assign": q_knn_assign,
     "cqi_scores": q_cqi_scores,
@@ -1375,6 +1495,7 @@ ORACLES = {
     "text_quality": Q_TEXT_QUALITY_SQL,
     "lang_id": Q_LANG_ID_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
+    "corpus_curation": Q_CORPUS_CURATION_SQL,
     "cell_encode": Q_CELL_ENCODE_SQL,
     "knn_assign": Q_KNN_ASSIGN_SQL,
     "tiles": Q_TILES_SQL,

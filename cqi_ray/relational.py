@@ -190,6 +190,61 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return union.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def distinct_rows(ds: rd.Dataset, cols: list[str],
+                  num_buckets: int = 16) -> rd.Dataset:
+    """DISTINCT over ``cols`` via ONE bucketed shuffle + per-bucket
+    drop_duplicates.  Ray's native groupby sort-shuffles every input
+    block into every output partition (O(blocks x partitions) fragments),
+    which costs seconds of pure scheduling even for 10^5 rows; hashing
+    into a few coarse buckets first bounds the fragment count."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[cols].drop_duplicates()  # combiner before the shuffle
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for col in cols:
+            h = _splitmix64(h ^ _splitmix64_any(batch[col].to_numpy()))
+        batch = batch.copy()
+        batch["__gb"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns="__gb").drop_duplicates()
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .repartition(num_buckets) \
+        .groupby("__gb").map_groups(per_bucket, batch_format="pandas")
+
+
+def bucketed_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                       num_buckets: int = 16) -> rd.Dataset:
+    """Left rows whose ``on`` value does NOT appear in ``right`` — one
+    co-partitioned shuffle (hash bucket on the key), no driver-side
+    materialization of either side.  The scale-safe NOT IN for e.g.
+    near-dup drop lists that can be a large fraction of the corpus."""
+
+    def tag(side: str):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__bucket"] = _hash_bucket(batch[on].to_numpy(), num_buckets)
+            batch["__side"] = side
+            return batch
+        return _tag
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(
+        lambda b: tag("r")(b[[on]].drop_duplicates()), batch_format="pandas")
+    union = lt.union(rt).repartition(num_buckets)
+
+    def anti_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group.loc[group["__side"] == "l"]
+        drop = set(group.loc[group["__side"] == "r", on])
+        keep = lhs.loc[~lhs[on].isin(drop)]
+        return keep.drop(columns=["__bucket", "__side"])
+
+    return union.groupby("__bucket").map_groups(anti_bucket,
+                                                batch_format="pandas")
+
+
 def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
     """Keep the first row (min order_col) per key — bucketed shuffle keyed
     on the content hash/key (SURVEY.md §2.1 S3), vectorized
