@@ -265,10 +265,17 @@ def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
 
 
 def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
-                            sums: dict[str, str], counts: Optional[str] = None
-                            ) -> rd.Dataset:
-    """Pre-aggregate inside map_batches, then a small groupby — the
-    scale-correct aggregation shape (combiner before the shuffle)."""
+                            sums: dict[str, str], counts: Optional[str] = None,
+                            num_buckets: int = 16) -> rd.Dataset:
+    """Pre-aggregate inside map_batches, then a BUCKETED global reduce —
+    the scale-correct aggregation shape (combiner before the shuffle).
+
+    The reduce hashes the group keys into ``num_buckets`` coarse buckets
+    and runs one vectorized pandas groupby per bucket: Ray's native
+    ``groupby().aggregate()`` sort-shuffles every partial block into
+    every output partition, which costs ~20 s of scheduling at 10^5
+    high-cardinality groups (measured: window_tumbling at sf0.1 went
+    21.6 s -> ~3 s with the bucketed reduce)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         agg = {src: "sum" for src in sums}
@@ -278,10 +285,22 @@ def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
             grouped[counts] = sizes["size"].to_numpy()
         return grouped
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for col in keys:
+            h = _splitmix64(h ^ _splitmix64_any(batch[col].to_numpy()))
+        batch = batch.copy()
+        batch["__gb"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
 
-    aggs = [Sum(src, alias_name=dst) for src, dst in sums.items()]
-    if counts:
-        aggs.append(Sum(counts, alias_name=counts))
-    return partials.groupby(keys).aggregate(*aggs)
+    value_cols = list(sums) + ([counts] if counts else [])
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__gb") \
+            .groupby(keys, as_index=False, sort=False)[value_cols].sum()
+        return g.rename(columns=sums)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.map_batches(add_bucket, batch_format="pandas") \
+        .repartition(num_buckets) \
+        .groupby("__gb").map_groups(reduce_bucket, batch_format="pandas")
