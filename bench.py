@@ -78,6 +78,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("join_broadcast", lambda: q.q_join_broadcast(sf_dir))
     bench("dedup_exact", lambda: q.q_dedup_exact(sf_dir))
     bench("dedup_minhash", lambda: q.q_dedup_minhash(sf_dir))
+    bench("corpus_curation", lambda: q.q_corpus_curation(sf_dir))
     bench("ann_topk", lambda: q.q_ann_topk(sf_dir))
     bench("text_stats", lambda: q.q_text_quality(sf_dir))
     bench("cell_encode", lambda: q.q_cell_encode(sf_dir))

@@ -1179,7 +1179,11 @@ def q_corpus_curation(sf_dir: str, min_tokens: int = 20,
             & (b["lang_pred"] != "und")
         return b.loc[m, ["doc_id", "text", "n_tokens", "lang_pred"]]
 
-    filtered = lang.map_batches(keep, batch_format="pandas")
+    # two consumers (pair mining + anti-join left side): pin the filtered
+    # survivors once in the object store instead of re-running the
+    # stats/lang stages per consumer (blocks spill under pressure; this is
+    # NOT a driver-side materialization)
+    filtered = lang.map_batches(keep, batch_format="pandas").materialize()
     pairs = minhash_near_dup_pairs(
         filtered.select_columns(["doc_id", "text"]))
     drops = pairs.map_batches(

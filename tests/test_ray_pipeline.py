@@ -74,6 +74,54 @@ class TestRelational:
         assert out["sx"].tolist() == [8.0, 2.0]
         assert out["n"].tolist() == [3, 1]
 
+    def test_partial_sum_many_groups(self, ray_session):
+        """High-cardinality reduce (the bucketed path's reason to exist)
+        matches pandas exactly, with multi-column keys across blocks."""
+        import numpy as np
+        import ray.data as rd
+        from cqi_ray.relational import partial_then_global_sum
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"u": rng.integers(0, 400, 5000),
+                           "w": rng.integers(0, 7, 5000),
+                           "x": rng.integers(0, 100, 5000).astype(float)})
+        ds = rd.from_pandas([df.iloc[i:i + 500] for i in range(0, 5000, 500)])
+        out = partial_then_global_sum(ds, keys=["u", "w"], sums={"x": "sx"},
+                                      counts="n").to_pandas()
+        exp = df.groupby(["u", "w"], as_index=False).agg(
+            sx=("x", "sum"), n=("x", "size"))
+        key = lambda d: sorted(map(tuple, d[["u", "w", "sx", "n"]].to_numpy()))
+        assert key(out) == key(exp)
+
+    def test_distinct_rows(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from cqi_ray.relational import distinct_rows
+
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({"a": rng.integers(0, 40, 3000),
+                           "b": rng.integers(0, 40, 3000)})
+        ds = rd.from_pandas([df.iloc[i:i + 300] for i in range(0, 3000, 300)])
+        out = distinct_rows(ds, ["a", "b"], num_buckets=8).to_pandas()
+        exp = df.drop_duplicates()
+        key = lambda d: sorted(map(tuple, d[["a", "b"]].to_numpy()))
+        assert key(out) == key(exp)
+
+    def test_bucketed_anti_join(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from cqi_ray.relational import bucketed_anti_join
+
+        rng = np.random.default_rng(2)
+        left = pd.DataFrame({"k": np.arange(200),
+                             "v": rng.integers(0, 9, 200)})
+        drops = pd.DataFrame({"k": rng.choice(300, 80, replace=False)})
+        out = bucketed_anti_join(rd.from_pandas(left), rd.from_pandas(drops),
+                                 on="k", num_buckets=5).to_pandas()
+        exp = left[~left["k"].isin(set(drops["k"]))]
+        key = lambda d: sorted(map(tuple, d[["k", "v"]].to_numpy()))
+        assert key(out) == key(exp)
+
 
 class TestCheckpoint:
     def test_checkpoint_and_resume(self, ray_session, tmp_path):
