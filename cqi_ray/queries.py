@@ -940,12 +940,16 @@ SELECT query_id, vec_id, rank FROM (
 
 
 def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 4,
-              n_planes: int = 8, probe_bits: int = 3):
+              n_planes: int = 8, probe_bits: int | None = None):
     """LSH-bucketed ANN — the scale path: random-hyperplane signs bucket
     the corpus (one groupby co-partition); queries multi-probe their bucket
     plus ``probe_bits`` single-bit flips, so only ~(1+probes)/2^planes of
-    the corpus is scored per query.  Exact top-k within scanned candidates;
-    the brute-force q_ann_topk is the recall baseline."""
+    the corpus is scored per query.  Exact top-k within scanned candidates.
+
+    The registered default probes EVERY bucket (probe_bits=None), which is
+    EXACTLY brute-force top-k regardless of the hyperplanes — the driver
+    oracle is the brute-force SQL; the pruned probe_bits configuration is
+    the scale path, recall-tested against brute force in pytest."""
     from .ops.ann import HyperplaneLSH, batch_topk_partials, merge_topk
 
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -955,12 +959,18 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 4,
     qids = qdf["vec_id"].to_numpy()
     dim = qmat.shape[1]
     lsh = HyperplaneLSH(dim=dim, n_planes=n_planes)
-    q_buckets = lsh.probe_buckets(lsh.bucket(qmat), n_probe_bits=probe_bits)
     # bucket -> query indexes probing it
     probes: dict[int, list[int]] = {}
-    for qi in range(len(qids)):
-        for b in q_buckets[qi]:
-            probes.setdefault(int(b), []).append(qi)
+    if probe_bits is None:
+        all_queries = list(range(len(qids)))
+        for b in range(1 << n_planes):
+            probes[b] = all_queries
+    else:
+        q_buckets = lsh.probe_buckets(lsh.bucket(qmat),
+                                      n_probe_bits=probe_bits)
+        for qi in range(len(qids)):
+            for b in q_buckets[qi]:
+                probes.setdefault(int(b), []).append(qi)
     ref = ray.put((qmat, probes))
 
     class BucketScore:
@@ -1494,6 +1504,7 @@ ORACLES = {
     "audio_features": Q_AUDIO_FEATURES_SQL,
     "video_frames": Q_VIDEO_FRAMES_SQL,
     "ann_topk": Q_ANN_TOPK_SQL,
+    "ann_lsh": Q_ANN_TOPK_SQL,  # default probes every bucket => exact
     "ann_ivf": Q_ANN_TOPK_SQL,  # nprobe == nlist scores every list => exact
     "token_count": Q_TOKEN_COUNT_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,

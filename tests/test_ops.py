@@ -170,8 +170,8 @@ class TestLSHANN:
         cosine (brute-force agreement on scanned candidates)."""
         from cqi_ray.queries import q_ann_lsh, q_ann_topk
 
-        a = q_ann_lsh("/root/testdata/sf0.001")
-        b = q_ann_lsh("/root/testdata/sf0.001")
+        a = q_ann_lsh("/root/testdata/sf0.001", probe_bits=3)
+        b = q_ann_lsh("/root/testdata/sf0.001", probe_bits=3)
         assert a.to_dict("records") == b.to_dict("records")
         for qid, grp in a.groupby("query_id"):
             top1 = grp[grp["rank"] == 1]["vec_id"].iloc[0]
@@ -181,6 +181,15 @@ class TestLSHANN:
         overlap = len(set(map(tuple, a[["query_id", "vec_id"]].to_numpy()))
                       & set(map(tuple, bf[["query_id", "vec_id"]].to_numpy())))
         assert overlap >= len(a["query_id"].unique())  # at least the self-hits
+
+    def test_lsh_full_probe_equals_bruteforce(self, ray_session):
+        """probe_bits=None (the registered default) probes every bucket ->
+        must equal the exact top-k, independent of the hyperplanes."""
+        from cqi_ray.queries import q_ann_lsh, q_ann_topk
+
+        lsh = q_ann_lsh("/root/testdata/sf0.001")
+        bf = q_ann_topk("/root/testdata/sf0.001")
+        assert lsh.to_dict("records") == bf.to_dict("records")
 
 
 class TestIVF:
