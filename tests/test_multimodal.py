@@ -44,7 +44,7 @@ class TestAudioVideo:
 class TestPhashDedup:
     def test_planted_near_dups_found(self, ray_session):
         from cqi_ray.images.codec import phash64
-        from cqi_ray.ops.dedup import phash_band_rows, phash_dup_pairs_in_bucket
+        from cqi_ray.ops.dedup import hash_band_rows, phash_dup_pairs_in_bucket
         from cqi_ray.images.synth import _pixels_for
 
         px = [_pixels_for(i, 32, 32) for i in range(10)]
@@ -52,7 +52,10 @@ class TestPhashDedup:
         near = np.clip(px[0].astype(int) + 2, 0, 255).astype(np.uint8)
         hashes = [phash64(p) for p in px] + [phash64(near)]
         ids = [f"im{i}" for i in range(11)]
-        banded = phash_band_rows(hashes, ids)
+        # bands = max_hamming + 1 guarantees recall at hamming <= 8 by
+        # pigeonhole (the planted pair lands at exactly 8 differing bits)
+        banded = hash_band_rows(np.array(hashes, dtype=np.uint64), ids,
+                                bands=9)
         found = set()
         for _, grp in banded.groupby(["band_id", "band_hash"]):
             if len(grp) > 1:
