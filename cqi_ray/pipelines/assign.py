@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..geo import cells, lines, proj
+from ..geo.rtree import STRtree, polyline_bboxes
 from ..images import codec
 from ..relational import grouped_map_buckets
 
@@ -324,3 +325,132 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
         img_cells.union(way_cells), ["cell", "salt"],
         lambda g: match_bucket(g, buffer_m, knn_radius_m),
         num_buckets=128, whole_bucket=True)
+
+
+class RtreeAssign:
+    """Actor-pool stage holding the scored-ways STR R-tree as per-actor
+    state (north rule: "actor pools holding ... R-tree fragments as
+    stateful per-partition state").
+
+    ``__init__`` runs once per actor: fetch the broadcast ways payload
+    (``ray.put`` once on the driver, zero-copy per node) and bulk-load the
+    packed R-tree.  ``__call__`` runs per image batch: R-tree candidate
+    lookup within the kNN radius, exact point->polyline distances for the
+    candidate pairs only, scatter-min per image.  Produces rows identical
+    to :func:`match_bucket` (same thresholds, rounding, and smaller-way_id
+    tie-break) with NO shuffle - the broadcast form of the spatial join,
+    for when the scored-ways side fits in actor memory."""
+
+    def __init__(self, ways_ref, buffer_m: float, knn_radius_m: float,
+                 res: int):
+        import ray
+
+        w = ray.get(ways_ref)
+        # ascending way_id order => iterating candidates in positional
+        # order reproduces match_bucket's smaller-id tie-break via a
+        # strict '<' update
+        order = np.argsort(w["id"], kind="stable")
+        self.way_id = w["id"][order]
+        self.way_index = w["index"][order]
+        self.way_stress = w["stress"][order]
+        self.geoms = [_geom_from_bytes(w["geom"][i]) for i in order]
+        self.tree = STRtree(polyline_bboxes(self.geoms))
+        self.buffer_m = buffer_m
+        self.knn_radius_m = knn_radius_m
+        self.res = res
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_assign()
+        lon = batch["lon"].to_numpy(dtype=np.float64)
+        lat = batch["lat"].to_numpy(dtype=np.float64)
+        pts = proj.project_coords(np.stack([lon, lat], axis=1))
+        qi, wi = self.tree.query_points(pts, self.knn_radius_m)
+        n = len(batch)
+        best_dist = np.full(n, np.inf)
+        best_pos = np.full(n, -1, dtype=np.int64)
+        if len(qi):
+            # group candidate pairs by way; one vectorized distance kernel
+            # per way with hits in this batch
+            order = np.argsort(wi, kind="stable")
+            qi, wi = qi[order], wi[order]
+            bounds = np.concatenate(
+                [[0], np.nonzero(np.diff(wi))[0] + 1, [len(wi)]])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                w = int(wi[s])
+                pidx = qi[s:e]
+                geom = self.geoms[w]
+                if len(geom) < 2:
+                    d = np.hypot(*(pts[pidx] - geom[0]).T)
+                else:
+                    d = lines.points_to_segments_distance(
+                        pts[pidx], geom[:-1], geom[1:]).min(axis=1)
+                upd = d < best_dist[pidx]   # strict: ties keep smaller id
+                tgt = pidx[upd]
+                best_dist[tgt] = d[upd]
+                best_pos[tgt] = w
+        method = np.where(best_dist <= self.buffer_m, "pip",
+                          np.where(best_dist <= self.knn_radius_m, "knn",
+                                   None))
+        has = pd.notna(method)
+        pos = np.where(best_pos >= 0, best_pos, 0)
+        return pd.DataFrame({
+            "image_id": batch["image_id"].to_numpy(),
+            "way_id": np.where(has, self.way_id[pos], None),
+            "dist_m": np.where(has, np.round(best_dist, 3), np.nan),
+            "method": method,
+            "way_index": np.where(has, self.way_index[pos], np.nan),
+            "way_stress": np.where(has, self.way_stress[pos], np.nan),
+            "caption": batch["caption"].to_numpy(),
+            "lon": lon,
+            "lat": lat,
+            "cell": cells.encode(lon, lat, self.res),
+        })[ASSIGN_COLS]
+
+
+def assign_images_broadcast(images: rd.Dataset, scored_ways: rd.Dataset,
+                            buffer_m: float = 15.0,
+                            knn_radius_m: float = 150.0,
+                            res: Optional[int] = None, lat_hint: float = 51.0,
+                            concurrency=(1, 8), metric_geom: bool = True,
+                            decode: bool = True) -> rd.Dataset:
+    """Broadcast form of the image->way spatial join: the scored-ways side
+    is collected once on the driver (small by contract - the ways table is
+    orders of magnitude smaller than the 10^12-image side), ``ray.put``
+    once, and each actor of the pool builds the packed STR R-tree from it
+    in ``__init__``.  Image batches then stream through with NO shuffle.
+
+    Result rows are identical to :func:`assign_images_to_ways` (verified
+    differentially in tests): both paths compute the argmin over a
+    superset of the ways within ``knn_radius_m`` and threshold on the
+    exact distance, so candidate-set slop cannot change the output."""
+    import ray
+
+    if res is None:
+        res = cells.res_for_meters(knn_radius_m, lat_hint)
+    ways = scored_ways.to_pandas()   # broadcast small side (NOT the images)
+    geom_col = "geometry_m" if metric_geom else "geometry"
+    geom = ways[geom_col].to_numpy()
+    if not metric_geom:
+        geom = np.array([_geom_to_bytes(proj.project_coords(
+            _geom_from_bytes(b))) for b in geom], dtype=object)
+    payload = {
+        "id": ways["id"].to_numpy(),
+        "index": pd.to_numeric(ways["index"],
+                               errors="coerce").to_numpy(np.float64),
+        "stress": pd.to_numeric(ways["stress_level"],
+                                errors="coerce").to_numpy(np.float64),
+        "geom": geom,
+    }
+    ways_ref = ray.put(payload)
+
+    imgs = images
+    if decode:
+        imgs = imgs.map_batches(decode_validate_batch, batch_format="pandas",
+                                batch_size=None)
+        imgs = imgs.map_batches(lambda b: b[b["decode_ok"]],
+                                batch_format="pandas", batch_size=None)
+    return imgs.map_batches(
+        RtreeAssign, fn_constructor_args=(ways_ref, buffer_m, knn_radius_m,
+                                          res),
+        batch_format="pandas", batch_size=None, concurrency=concurrency)

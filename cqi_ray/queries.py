@@ -1346,6 +1346,75 @@ SELECT c_custkey, n_nationkey AS nearest_center FROM (
 """
 
 
+def q_spatial_join_rtree(sf_dir: str, radius: float = 120.0):
+    """Radius-bounded nearest-neighbor join executed through the packed
+    STR R-tree held as actor-pool state (cqi_ray/geo/rtree.py) — the
+    SQL-checkable skeleton of the broadcast image->way spatial join
+    (pipelines/assign.py::assign_images_broadcast).  Points with no
+    center within ``radius`` keep nearest_center = -1."""
+    from .geo.rtree import STRtree
+
+    customer = _pq(sf_dir, "customer", columns=["c_custkey"])
+    nation = _pq(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    ck = np.sort(nation["n_nationkey"].to_numpy(dtype=np.int64))
+    cx = ((ck * 211) % 1000).astype(np.float64)
+    cy = ((ck * 457) % 1000).astype(np.float64)
+    ref = ray.put((ck, cx, cy))
+
+    class RtreeJoin:
+        def __init__(self):
+            self.ck, cx, cy = ray.get(ref)
+            # degenerate boxes: centers as points; tree built once per actor
+            self.cxy = np.stack([cx, cy], axis=1)
+            self.tree = STRtree(np.concatenate([self.cxy, self.cxy], axis=1))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+            pts = np.stack([(keys * 37) % 1000,
+                            (keys * 91) % 1000], axis=1).astype(np.float64)
+            qi, ci = self.tree.query_points(pts, radius)
+            best_d2 = np.full(len(keys), np.inf)
+            best = np.full(len(keys), -1, dtype=np.int64)
+            if len(qi):
+                order = np.argsort(ci, kind="stable")
+                qi, ci = qi[order], ci[order]
+                bounds = np.concatenate(
+                    [[0], np.nonzero(np.diff(ci))[0] + 1, [len(ci)]])
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    c = int(ci[s])
+                    p = qi[s:e]
+                    d2 = ((pts[p] - self.cxy[c]) ** 2).sum(axis=1)
+                    upd = (d2 <= radius * radius) & (d2 < best_d2[p])
+                    tgt = p[upd]
+                    best_d2[tgt] = d2[upd]
+                    best[tgt] = self.ck[c]
+            return pd.DataFrame({"c_custkey": keys,
+                                 "nearest_center": best})
+
+    return customer.map_batches(RtreeJoin, batch_format="pandas",
+                                concurrency=(1, 8))
+
+
+Q_SPATIAL_JOIN_RTREE_SQL = """
+WITH pts AS (SELECT c_custkey, (c_custkey * 37) % 1000 AS px,
+                    (c_custkey * 91) % 1000 AS py FROM customer),
+ctr AS (SELECT n_nationkey, (n_nationkey * 211) % 1000 AS cx,
+               (n_nationkey * 457) % 1000 AS cy FROM nation),
+d AS (SELECT c_custkey, n_nationkey,
+             (px - cx) * (px - cx) + (py - cy) * (py - cy) AS d2
+      FROM pts CROSS JOIN ctr WHERE
+      (px - cx) * (px - cx) + (py - cy) * (py - cy) <= 120 * 120)
+SELECT p.c_custkey,
+       COALESCE(n.nearest_center, -1) AS nearest_center
+FROM pts p LEFT JOIN (
+  SELECT c_custkey, n_nationkey AS nearest_center FROM (
+    SELECT c_custkey, n_nationkey,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY d2, n_nationkey) AS rn
+    FROM d) WHERE rn = 1) n USING (c_custkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # CQI + spatial pipelines (no SQL oracle: golden pytest carries exactness)
 # ---------------------------------------------------------------------------
@@ -1365,6 +1434,22 @@ def q_images_assign(sf_dir: str):
     from .pipelines.flagship import run_flagship
 
     out = run_flagship(sf_dir)
+    return out.map_batches(
+        lambda b: b[["image_id", "way_id", "method", "dist_m", "caption"]],
+        batch_format="pandas")
+
+
+def q_images_assign_rtree(sf_dir: str):
+    """Flagship image->way assignment through the broadcast R-tree join
+    (assign_images_broadcast): identical logical join as images_assign,
+    zero-shuffle physical plan.  Equality with the shuffle plan is
+    enforced differentially in tests/test_rtree.py; the driver check is
+    rows-only (image decode is not SQL-expressible)."""
+    from .pipelines.assign import assign_images_broadcast
+    from .pipelines.flagship import build_images, build_scored_ways
+
+    out = assign_images_broadcast(build_images(sf_dir),
+                                  build_scored_ways(64))
     return out.map_batches(
         lambda b: b[["image_id", "way_id", "method", "dist_m", "caption"]],
         batch_format="pandas")
@@ -1479,8 +1564,10 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "cell_encode": q_cell_encode,
     "knn_assign": q_knn_assign,
+    "spatial_join_rtree": q_spatial_join_rtree,
     "cqi_scores": q_cqi_scores,
     "images_assign": q_images_assign,
+    "images_assign_rtree": q_images_assign_rtree,
     "tiles": q_tiles,
 }
 
@@ -1513,5 +1600,6 @@ ORACLES = {
     "corpus_curation": Q_CORPUS_CURATION_SQL,
     "cell_encode": Q_CELL_ENCODE_SQL,
     "knn_assign": Q_KNN_ASSIGN_SQL,
+    "spatial_join_rtree": Q_SPATIAL_JOIN_RTREE_SQL,
     "tiles": Q_TILES_SQL,
 }

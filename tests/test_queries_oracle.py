@@ -16,7 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # the heavyweight rows-only pipelines covered by dedicated test modules
-SKIP_ROWS_ONLY = {"cqi_scores", "images_assign", "dedup_phash_images"}
+SKIP_ROWS_ONLY = {"cqi_scores", "images_assign", "images_assign_rtree",
+                  "dedup_phash_images"}
 
 
 def _to_pandas(result):
