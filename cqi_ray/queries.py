@@ -1346,6 +1346,82 @@ SELECT c_custkey, n_nationkey AS nearest_center FROM (
 """
 
 
+def _event_side(sf_dir: str, event_type: str, kind: int):
+    """events of one type as normalized merge rows (key, ts_us, kind,
+    row_id) — row_id carries the event_id for probe rows."""
+    from .ops.temporal import ts_to_us
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["user_id"].to_numpy(dtype=np.int64),
+            "ts_us": ts_to_us(batch["ts"]),
+            "kind": np.int8(kind),
+            "row_id": batch["event_id"].to_numpy(dtype=np.int64),
+        })
+
+    return _pq(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"]) \
+        .filter(expr=f"event_type == '{event_type}'") \
+        .map_batches(norm, batch_format="pandas", batch_size=None)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for every click, the most recent purchase (ts >=) by
+    the same user — Ray Data lacks a native as-of join; this is one
+    bucketed shuffle on user + a vectorized whole-bucket sorted-union
+    merge (ops/temporal.py::asof_last_prior).  -1 = no prior purchase."""
+    from .ops.temporal import asof_last_prior
+    from .relational import grouped_map_buckets
+
+    clicks = _event_side(sf_dir, "click", kind=1)
+    purchases = _event_side(sf_dir, "purchase", kind=0)
+    out = grouped_map_buckets(clicks.union(purchases), ["key"],
+                              asof_last_prior, num_buckets=32,
+                              whole_bucket=True)
+    return out.map_batches(
+        lambda b: b.rename(columns={"row_id": "event_id",
+                                    "match_ts_us": "last_purchase_us"}),
+        batch_format="pandas", batch_size=None)
+
+
+Q_ASOF_JOIN_SQL = """
+SELECT c.event_id,
+       COALESCE(epoch_us(p.ts), -1) AS last_purchase_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_range_join(sf_dir: str, window_s: int = 3600):
+    """Interval (range) join: for every click, how many views by the same
+    user land in [click_ts, click_ts + 1h) — one bucketed shuffle on user
+    + the two-probe cumsum merge (ops/temporal.py::range_count)."""
+    from .ops.temporal import range_count
+    from .relational import grouped_map_buckets
+
+    clicks = _event_side(sf_dir, "click", kind=0)
+    views = _event_side(sf_dir, "view", kind=1)
+    out = grouped_map_buckets(
+        clicks.union(views), ["key"],
+        lambda b: range_count(b, window_us=window_s * 1_000_000),
+        num_buckets=32, whole_bucket=True)
+    return out.map_batches(
+        lambda b: b.rename(columns={"row_id": "event_id",
+                                    "n_in_window": "n_views_1h"}),
+        batch_format="pandas", batch_size=None)
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT c.event_id, count(v.event_id) AS n_views_1h
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts AND v.ts < c.ts + INTERVAL 1 HOUR
+GROUP BY c.event_id
+"""
+
+
 def q_spatial_join_rtree(sf_dir: str, radius: float = 120.0):
     """Radius-bounded nearest-neighbor join executed through the packed
     STR R-tree held as actor-pool state (cqi_ray/geo/rtree.py) — the
@@ -1544,6 +1620,8 @@ QUERIES = {
     "events_agg": q_events_agg,
     "window_tumbling": q_window_tumbling,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1581,6 +1659,8 @@ ORACLES = {
     "events_agg": Q_EVENTS_AGG_SQL,
     "window_tumbling": Q_WINDOW_TUMBLING_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
+    "asof_join": Q_ASOF_JOIN_SQL,
+    "range_join": Q_RANGE_JOIN_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
