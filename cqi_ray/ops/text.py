@@ -27,7 +27,19 @@ _LANG_PROFILES = {
 }
 
 _WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+_WORD_CHAR_RE = re.compile(r"[\w']", re.UNICODE)
 _PUNCT_RE = re.compile(r"[.,!?;:]")
+
+
+def _token_set_re(vocab) -> re.Pattern:
+    """Regex whose match count on a lowercased text equals the number of
+    maximal-``[\\w']``-run tokens that are members of ``vocab`` — the
+    vectorized (``Series.str.count``) equivalent of
+    ``sum(w in vocab for w in _WORD_RE.findall(text))``.  Plain ``\\b``
+    would differ (it treats ``'`` as a boundary); the lookarounds pin the
+    match to a whole ``[\\w']`` run."""
+    alts = "|".join(re.escape(w) for w in sorted(vocab, key=len, reverse=True))
+    return re.compile(r"(?<![\w'])(?:" + alts + r")(?![\w'])", re.UNICODE)
 # BPE-ish subword splitter: words, numbers, punctuation runs — a cheap,
 # deterministic proxy for tokenizer-count estimation
 _BPE_RE = re.compile(r"\w+|[^\w\s]+")
@@ -42,9 +54,10 @@ class TextStats:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.word_re = _WORD_RE
+        self.word_char_re = _WORD_CHAR_RE
         self.punct_re = _PUNCT_RE
         self.bpe_re = _BPE_RE
-        self.stop_en = _LANG_PROFILES["en"]
+        self.stop_en_re = _token_set_re(_LANG_PROFILES["en"])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[self.text_col].fillna("")
@@ -52,13 +65,18 @@ class TextStats:
         batch["n_tokens"] = text.str.split().str.len().fillna(0).astype("int64")
         batch["n_subword_tokens"] = text.str.count(self.bpe_re).astype("int64")
         batch["n_punct"] = text.str.count(self.punct_re).astype("int64")
-        words = text.str.lower().str.findall(self.word_re)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(w in self.stop_en for w in ws) / len(ws) if ws else 0.0
-        )
-        batch["mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
-        )
+        # stopword_ratio / mean_word_len without a per-row Python loop:
+        # word count, in-word char count and stopword-token count are all
+        # single vectorized count-regex passes; the ratios are then exact
+        # integer-sum / count divisions (bit-identical to the former
+        # findall + np.mean form — word lengths are exact in float64)
+        lower = text.str.lower()
+        n_words = lower.str.count(self.word_re).to_numpy(dtype=np.int64)
+        word_chars = lower.str.count(self.word_char_re).to_numpy(dtype=np.int64)
+        n_stop = lower.str.count(self.stop_en_re).to_numpy(dtype=np.int64)
+        denom = np.maximum(n_words, 1)
+        batch["stopword_ratio"] = np.where(n_words > 0, n_stop / denom, 0.0)
+        batch["mean_word_len"] = np.where(n_words > 0, word_chars / denom, 0.0)
         # composite quality score in [0, 1]: length sweet spot, moderate
         # punctuation, plausible word lengths
         n = batch["n_chars"].to_numpy(dtype=np.float64)
@@ -78,22 +96,20 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = _WORD_RE
-        self.profiles = _LANG_PROFILES
+        # descending lang order + argmax-first => ties resolve to the
+        # lexicographically greatest language, matching
+        # max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        self.langs = sorted(_LANG_PROFILES, reverse=True)
+        self.lang_res = [_token_set_re(_LANG_PROFILES[l]) for l in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch[self.text_col].fillna("").str.lower().str.findall(self.word_re)
-
-        def best_lang(ws):
-            if not ws:
-                return "und"
-            scores = {
-                lang: sum(w in vocab for w in ws) for lang, vocab in self.profiles.items()
-            }
-            lang, score = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-            return lang if score > 0 else "und"
-
-        batch["lang_pred"] = words.map(best_lang)
+        lower = batch[self.text_col].fillna("").str.lower()
+        scores = np.stack([lower.str.count(r).to_numpy(dtype=np.int64)
+                           for r in self.lang_res])  # (L, n)
+        best = np.argmax(scores, axis=0)
+        pred = np.asarray(self.langs, dtype=object)[best]
+        pred[scores.max(axis=0) == 0] = "und"
+        batch["lang_pred"] = pred
         return batch
 
 

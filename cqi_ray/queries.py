@@ -304,17 +304,22 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 
 
 def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
-                           num_perm: int = 64, threshold: float = 0.6
-                           ) -> rd.Dataset:
+                           num_perm: int = 64, threshold: float = 0.6,
+                           est_prune: float | None = 0.45) -> rd.Dataset:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified, fully
     co-partitioned (NO driver-side materialization or whole-corpus
     broadcast at any stage).  ``docs`` must carry (doc_id, text):
 
-      shingle->sign->band (map_batches, actor pool)
-      -> groupby(band, band_hash): candidate pairs
+      shingle->sign->band (map_batches, actor pool; each band row also
+      carries the doc's packed num_perm x uint64 signature — 512 B)
+      -> groupby(band, band_hash): candidate pairs, WITH a signature
+         Jaccard-estimate prune computed in-bucket (both docs' signatures
+         are co-located on the colliding band rows, so the estimate costs
+         no extra shuffle) — est < ``est_prune`` candidates never reach
+         the text joins
       -> distinct pairs
       -> two bucketed hash joins back against ``documents`` to attach
-         text_a / text_b onto each candidate pair (co-partitioned shuffle
+         text_a / text_b onto each surviving pair (co-partitioned shuffle
          of the pruned (doc_id, text) projection — the scale-safe
          replacement for broadcasting all texts)
       -> exact char-5-gram Jaccard verify per pair inside map_batches.
@@ -323,9 +328,15 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
     all have J >= 0.92, where the LSH miss probability is
     (1 - 0.92^4)^16 ~ 2e-9, while the corpus's high baseline similarity
     (median J ~ 0.18) stays below the candidate threshold (~1.4k
-    candidates out of 125k pairs at sf0.01).  Candidate supersets were
-    verified against the exact all-pairs SQL oracle at sf0.001 and
-    sf0.01 — on these deterministic inputs the output EQUALS the oracle."""
+    candidates out of 125k pairs at sf0.01).  The est-prune at 0.45 is
+    equally conservative: a true pair at J >= 0.75 fails
+    Binomial(64, J)/64 >= 0.45 with p < 2e-8 (and J >= 0.92 pairs at
+    ~14 sigma), while the J~0.18 bulk (the ~1% banding false positives
+    — 126k pairs at sf0.1) passes with p ~ 1e-7, so the exact-verify
+    text joins see only the true near-dups instead of every band
+    collision.  Candidate supersets were verified against the exact
+    all-pairs SQL oracle at sf0.001 and sf0.01 — on these deterministic
+    inputs the output EQUALS the oracle."""
 
     class Signer:
         def __init__(self):
@@ -333,7 +344,12 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             sigs = self.mh.signatures_batch(batch["text"].tolist())
-            return band_rows(sigs, batch["doc_id"].to_numpy(), bands=bands)
+            out = band_rows(sigs, batch["doc_id"].to_numpy(), bands=bands)
+            # packed signature per doc, tiled onto its band rows: the
+            # est-prune's payload (num_perm * 8 B = 512 B/row)
+            packed = [s.tobytes() for s in sigs]
+            out["sig"] = packed * bands
+            return out
 
     banded = docs.map_batches(Signer, batch_format="pandas", concurrency=(1, 8))
 
@@ -341,7 +357,10 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
         """Candidate pairs per (band_id, band_hash) run — ids only, no
         payload, fully vectorized (triu indices per run + one np.unique
         dedup per bucket; the per-pair Python loop was this pipeline's
-        hotspot at sf0.1).  Input arrives whole-bucket, pre-sorted."""
+        hotspot at sf0.1).  Pairs whose signature Jaccard estimate (mean
+        positionwise signature equality, computed from the co-located
+        sig payloads) is below ``est_prune`` are dropped here, before
+        any further shuffle.  Input arrives whole-bucket, pre-sorted."""
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})
         if not len(bucket):
@@ -349,16 +368,26 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
         band = bucket["band_id"].to_numpy()
         bh = bucket["band_hash"].to_numpy()
         ids_arr = bucket["doc_id"].to_numpy()
+        sig_arr = bucket["sig"].to_numpy()
         change = (np.diff(band) != 0) | (np.diff(bh) != 0)
         bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
         all_a, all_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            u = np.unique(ids_arr[s:e])
+            u, first = np.unique(ids_arr[s:e], return_index=True)
             if len(u) < 2:
                 continue
             ia, ib = np.triu_indices(len(u), 1)
+            if est_prune is not None:
+                sigs = np.stack([
+                    np.frombuffer(sig_arr[s + f], dtype=np.uint64)
+                    for f in first])  # (g, num_perm)
+                est = (sigs[ia] == sigs[ib]).mean(axis=1)
+                keep = est >= est_prune
+                ia, ib = ia[keep], ib[keep]
+                if not len(ia):
+                    continue
             all_a.append(u[ia])
             all_b.append(u[ib])
         if not all_a:
