@@ -23,7 +23,8 @@ import ray
 import ray.data as rd
 
 from .ops.ann import batch_topk_partials, merge_topk
-from .ops.dedup import MinHasher, band_rows, char_shingles, jaccard, simhash64
+from .ops.dedup import (MinHasher, band_rows, char_shingles, jaccard,
+                        md5_lower64, simhash64)
 from .ops.text import LangId, TextStats, fingerprint_batch
 from .relational import (broadcast_map_join, bucketed_anti_join,
                          bucketed_hash_join, distinct_rows, exact_dedup,
@@ -286,6 +287,198 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
        CAST(max(t) - min(t) AS BIGINT) AS duration_sec
 FROM tagged GROUP BY user_id, session_seq
+"""
+
+
+def q_window_hopping(sf_dir: str, window_sec: int = 3600, hop_sec: int = 900):
+    """Hopping (sliding) event-time windows: size 1 h, hop 15 min — every
+    event lands in size/hop = 4 overlapping windows.  The window fan-out
+    is a vectorized np.repeat inside map_batches and each block is
+    partial-aggregated per window_start BEFORE the shuffle, so the
+    exchange carries one row per (block, window), never the 4x raw-event
+    explosion."""
+    events = _pq(sf_dir, "events", columns=["ts", "value"])
+    k = window_sec // hop_sec
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = _epoch_sec(batch["ts"])
+        base = (epoch // hop_sec) * hop_sec
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_sec, len(base))
+        return pd.DataFrame({"window_start": starts,
+                             "value": np.repeat(batch["value"].to_numpy(), k)})
+
+    agg = partial_then_global_sum(
+        events.map_batches(explode, batch_format="pandas"),
+        keys=["window_start"], sums={"value": "total_value"}, counts="n")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_value"] = batch["total_value"].round(2)
+        batch["n"] = batch["n"].astype("int64")
+        return batch
+
+    return agg.map_batches(_round, batch_format="pandas")
+
+
+Q_WINDOW_HOPPING_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS base, value
+  FROM events),
+w AS (
+  SELECT base - 900 * k.k AS window_start, value
+  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
+SELECT window_start, round(sum(value), 2) AS total_value, count(*) AS n
+FROM w GROUP BY window_start
+"""
+
+
+def q_grouped_topn(sf_dir: str, n: int = 2):
+    """Per-key top-n (ROW_NUMBER() <= n) without a global sort: every
+    block first prunes to its own per-key head (bounded combiner — at
+    most n rows per key per block survive), then ONE bucketed shuffle on
+    the key finishes each group.  The 100 TB shape for "best n per
+    entity" leaderboards."""
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    by = ["o_custkey", "o_totalprice", "o_orderkey"]
+    asc = [True, False, True]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort")
+        return b.groupby("o_custkey", sort=False).head(n)
+
+    def topn(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_totalprice": pd.Series(dtype="float64"),
+                "rn": pd.Series(dtype="int64")})
+        b = bucket.sort_values(by, ascending=asc, kind="mergesort")
+        head = b.groupby("o_custkey", sort=False).head(n).copy()
+        head["rn"] = (head.groupby("o_custkey", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return head
+
+    pruned = orders.map_batches(partial, batch_format="pandas")
+    return grouped_map_buckets(pruned, ["o_custkey"], topn,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_GROUPED_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+def q_count_distinct(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT): per-block dedup (combiner) ->
+    one bucketed shuffle on (event_type, user_id) for the global dedup ->
+    partial counts -> tiny global sum.  No driver-side set, no global
+    sort."""
+    events = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+    uniq = distinct_rows(events, ["event_type", "user_id"], num_buckets=16)
+    agg = partial_then_global_sum(uniq, keys=["event_type"], sums={},
+                                  counts="n_users")
+    return agg.map_batches(lambda b: b.astype({"n_users": "int64"}),
+                           batch_format="pandas")
+
+
+Q_COUNT_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50 / p90) via one bucketed shuffle on
+    the group key and a vectorized in-bucket quantile.  Uses the
+    discrete (element-picking) quantile — numpy ``inverted_cdf`` is
+    bit-identical to DuckDB/ANSI ``quantile_disc``, so the result is
+    hash-comparable with no float-interpolation ulp drift.  Partitioning
+    assumption: one group's rows fit a worker (keys here are
+    low-cardinality flags; for high-cardinality keys the same shape
+    holds with more buckets)."""
+    li = _pq(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def quantiles(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
+                                 "p50": pd.Series(dtype="float64"),
+                                 "p90": pd.Series(dtype="float64")})
+        out = {"l_returnflag": [], "p50": [], "p90": []}
+        for flag, g in bucket.groupby("l_returnflag", sort=True):
+            arr = g["l_extendedprice"].to_numpy()
+            p50, p90 = np.quantile(arr, [0.5, 0.9], method="inverted_cdf")
+            out["l_returnflag"].append(flag)
+            out["p50"].append(float(p50))
+            out["p90"].append(float(p90))
+        return pd.DataFrame(out)
+
+    return grouped_map_buckets(li, ["l_returnflag"], quantiles,
+                               num_buckets=8, whole_bucket=True)
+
+
+Q_GROUP_QUANTILES_SQL = """
+SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sample_hash(sf_dir: str, mod: int = 20):
+    """Deterministic content-hash sampling (5%): a pure map — keep rows
+    whose md5-derived 64-bit key hash is 0 mod 20.  Reproducible across
+    runs, engines and partitionings (the SQL oracle computes the same
+    md5 bytes), unlike seeded per-partition RNG sampling."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def samp(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_lower64(b["o_orderkey"].astype(str).tolist())
+        return b.loc[(h % np.uint64(mod)) == 0]
+
+    return orders.map_batches(samp, batch_format="pandas")
+
+
+Q_SAMPLE_HASH_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE md5_number_lower(CAST(o_orderkey AS VARCHAR)) % 20 = 0
+"""
+
+
+def q_join_left_outer(sf_dir: str):
+    """LEFT OUTER bucketed join: order counts per customer INCLUDING
+    order-less customers.  The orders side is pre-aggregated to one row
+    per key (combiner) before the join shuffle; unmatched left rows take
+    n_orders = 0."""
+    customer = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = partial_then_global_sum(orders, keys=["o_custkey"], sums={},
+                                       counts="n_orders")
+    per_cust = per_cust.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    joined = bucketed_hash_join(customer, per_cust, on="c_custkey",
+                                right_cols=["c_custkey", "n_orders"],
+                                num_buckets=16, how="left",
+                                restore_dtypes={"c_custkey": "int64"})
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "c_mktsegment": b["c_mktsegment"],
+            "n_orders": pd.to_numeric(b["n_orders"]).fillna(0).astype("int64")}),
+        batch_format="pandas")
+
+
+Q_JOIN_LEFT_OUTER_SQL = """
+SELECT c_custkey, c_mktsegment, coalesce(o.n, 0) AS n_orders
+FROM customer LEFT JOIN
+  (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
 """
 
 
@@ -1648,7 +1841,13 @@ QUERIES = {
     "distinct": q_distinct,
     "events_agg": q_events_agg,
     "window_tumbling": q_window_tumbling,
+    "window_hopping": q_window_hopping,
     "sessionize": q_sessionize,
+    "grouped_topn": q_grouped_topn,
+    "count_distinct": q_count_distinct,
+    "group_quantiles": q_group_quantiles,
+    "sample_hash": q_sample_hash,
+    "join_left_outer": q_join_left_outer,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dedup_exact": q_dedup_exact,
@@ -1687,7 +1886,13 @@ ORACLES = {
     "distinct": Q_DISTINCT_SQL,
     "events_agg": Q_EVENTS_AGG_SQL,
     "window_tumbling": Q_WINDOW_TUMBLING_SQL,
+    "window_hopping": Q_WINDOW_HOPPING_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
+    "grouped_topn": Q_GROUPED_TOPN_SQL,
+    "count_distinct": Q_COUNT_DISTINCT_SQL,
+    "group_quantiles": Q_GROUP_QUANTILES_SQL,
+    "sample_hash": Q_SAMPLE_HASH_SQL,
+    "join_left_outer": Q_JOIN_LEFT_OUTER_SQL,
     "asof_join": Q_ASOF_JOIN_SQL,
     "range_join": Q_RANGE_JOIN_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,

@@ -278,6 +278,9 @@ def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
     21.6 s -> ~3 s with the bucketed reduce)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not sums:  # count-only aggregation: .agg({}) would raise
+            return batch.groupby(keys, as_index=False, sort=False).size() \
+                .rename(columns={"size": counts})
         agg = {src: "sum" for src in sums}
         grouped = batch.groupby(keys, as_index=False, sort=False).agg(agg)
         if counts:
