@@ -211,30 +211,43 @@ _PT_INPUT = ["geometry_m", "id", "layer", "row_seq", "is_sidepath",
 
 
 def _make_point_rows(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
+    """Explode ways into along-line sample points + the last vertex.  Only
+    the geometry decode runs per way; the fan-out itself is one
+    np.repeat / np.concatenate pass over the whole batch (the per-point
+    append loop was the residual Python in this stage's profile)."""
     edge = _CELL_EDGE_FACTOR * p.sidepath_buffer_size
-    out = {c: [] for c in _PT_COLS}
     cols = [batch[c].to_numpy() for c in _PT_INPUT]
-    for blob, wid, layer, seq_no, isp, fw, ispo in zip(*cols):
+    pts_per_way: list[np.ndarray] = []
+    for blob in cols[0]:
         geom = geom_from_bytes(blob)
         pts = lines.points_along_line(geom, p.sidepath_buffer_distance)
-        pts = np.concatenate([pts, geom[-1:][:]])
-        n = len(pts)
-        cell_ids = _cell_of(pts[:, 0], pts[:, 1], edge)
-        for seq in range(n):
-            phase = 1 if seq == n - 1 else 0
-            out["cell"].append(int(cell_ids[seq]))
-            out["way_id"].append(wid)
-            out["layer"].append(layer)
-            out["px"].append(float(pts[seq, 0]))
-            out["py"].append(float(pts[seq, 1]))
-            # global ordering: endpoint pass comes after all along-line
-            # passes (reference merges the two point layers in that order)
-            out["point_order"].append((phase << 48) | (int(seq_no) << 24) | seq)
-            out["is_sidepath"].append(isp)
-            out["footway"].append(fw)
-            out["is_sidepath_of"].append(ispo)
-    out["kind"] = np.zeros(len(out["cell"]), dtype=np.int64)
-    df = pd.DataFrame(out) if out["cell"] else _empty(_PT_COLS)
+        pts_per_way.append(np.concatenate([pts, geom[-1:][:]]))
+    if not pts_per_way:
+        return _finalize_union(_empty(_PT_COLS))
+    counts = np.fromiter((len(q) for q in pts_per_way), dtype=np.int64,
+                         count=len(pts_per_way))
+    pts_all = np.concatenate(pts_per_way)
+    rep = np.repeat(np.arange(len(counts)), counts)
+    # per-way running sequence number 0..n_i-1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    seq = np.arange(len(pts_all), dtype=np.int64) - np.repeat(starts, counts)
+    # global ordering: endpoint pass (the appended last vertex) comes after
+    # all along-line passes (the reference merges the two point layers in
+    # that order)
+    phase = (seq == np.repeat(counts - 1, counts)).astype(np.int64)
+    seq_no = cols[3].astype(np.int64)[rep]
+    df = pd.DataFrame({
+        "cell": _cell_of(pts_all[:, 0], pts_all[:, 1], edge),
+        "way_id": cols[1][rep],
+        "layer": cols[2][rep],
+        "px": pts_all[:, 0].astype(np.float64),
+        "py": pts_all[:, 1].astype(np.float64),
+        "point_order": (phase << np.int64(48)) | (seq_no << np.int64(24)) | seq,
+        "is_sidepath": cols[4][rep],
+        "footway": cols[5][rep],
+        "is_sidepath_of": cols[6][rep],
+        "kind": np.zeros(len(pts_all), dtype=np.int64),
+    })
     return _finalize_union(df)
 
 
@@ -243,37 +256,59 @@ _SEG_INPUT = ["geometry_m", "id", "highway", "name", "maxspeed", "layer",
 
 
 def _make_segment_rows(batch: pd.DataFrame, p: CQIParams) -> pd.DataFrame:
+    """Explode road segments into every spatial cell their padded bbox
+    touches.  Per way only the geometry decode runs in Python; the
+    segment split and the (ix, iy) grid fan-out are batch-level numpy
+    (divmod over a flat within-segment counter)."""
     edge = _CELL_EDGE_FACTOR * p.sidepath_buffer_size
     pad = p.sidepath_buffer_size
-    out = {c: [] for c in _SEG_COLS}
     cols = [batch[c].to_numpy() for c in _SEG_INPUT]
-    for blob, rid, rhw, rname, rms_raw, layer, seq_no in zip(*cols):
+    seg_a, seg_b, seg_way = [], [], []
+    for i, blob in enumerate(cols[0]):
         geom = geom_from_bytes(blob)
-        ms = T.to_number(rms_raw)
-        for si in range(len(geom) - 1):
-            a, b = geom[si], geom[si + 1]
-            x0, x1 = sorted((a[0], b[0]))
-            y0, y1 = sorted((a[1], b[1]))
-            ix0 = int(np.floor((x0 - pad) / edge))
-            ix1 = int(np.floor((x1 + pad) / edge))
-            iy0 = int(np.floor((y0 - pad) / edge))
-            iy1 = int(np.floor((y1 + pad) / edge))
-            for ix in range(ix0, ix1 + 1):
-                for iy in range(iy0, iy1 + 1):
-                    cell = (ix << 24) ^ (iy & ((1 << 24) - 1))
-                    out["cell"].append(cell)
-                    out["road_seq"].append(int(seq_no))
-                    out["road_id"].append(rid)
-                    out["road_highway"].append(rhw)
-                    out["road_name"].append(rname)
-                    out["road_maxspeed"].append(ms)
-                    out["layer"].append(layer)
-                    out["ax"].append(float(a[0]))
-                    out["ay"].append(float(a[1]))
-                    out["bx"].append(float(b[0]))
-                    out["by"].append(float(b[1]))
-    out["kind"] = np.ones(len(out["cell"]), dtype=np.int64)
-    df = pd.DataFrame(out) if out["cell"] else _empty(_SEG_COLS)
+        if len(geom) < 2:
+            continue
+        seg_a.append(geom[:-1])
+        seg_b.append(geom[1:])
+        seg_way.append(np.full(len(geom) - 1, i, dtype=np.int64))
+    if not seg_a:
+        return _finalize_union(_empty(_SEG_COLS))
+    A = np.concatenate(seg_a)          # (S, 2)
+    B = np.concatenate(seg_b)
+    way = np.concatenate(seg_way)      # way index per segment
+    x0 = np.minimum(A[:, 0], B[:, 0])
+    x1 = np.maximum(A[:, 0], B[:, 0])
+    y0 = np.minimum(A[:, 1], B[:, 1])
+    y1 = np.maximum(A[:, 1], B[:, 1])
+    ix0 = np.floor((x0 - pad) / edge).astype(np.int64)
+    ix1 = np.floor((x1 + pad) / edge).astype(np.int64)
+    iy0 = np.floor((y0 - pad) / edge).astype(np.int64)
+    iy1 = np.floor((y1 + pad) / edge).astype(np.int64)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    counts = nx * ny                   # cells per segment
+    rep = np.repeat(np.arange(len(counts)), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(int(counts.sum()), dtype=np.int64) \
+        - np.repeat(starts, counts)
+    ix = ix0[rep] + within // ny[rep]
+    iy = iy0[rep] + within % ny[rep]
+    wrep = way[rep]
+    ms = np.asarray([T.to_number(v) for v in cols[4]], dtype=np.float64)
+    df = pd.DataFrame({
+        "cell": (ix << np.int64(24)) ^ (iy & np.int64((1 << 24) - 1)),
+        "road_seq": cols[6].astype(np.int64)[wrep],
+        "road_id": cols[1][wrep],
+        "road_highway": cols[2][wrep],
+        "road_name": cols[3][wrep],
+        "road_maxspeed": ms[wrep],
+        "layer": cols[5][wrep],
+        "ax": A[rep, 0].astype(np.float64),
+        "ay": A[rep, 1].astype(np.float64),
+        "bx": B[rep, 0].astype(np.float64),
+        "by": B[rep, 1].astype(np.float64),
+        "kind": np.ones(len(rep), dtype=np.int64),
+    })
     return _finalize_union(df)
 
 
