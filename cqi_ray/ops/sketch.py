@@ -1,0 +1,122 @@
+"""Mergeable sketch operators for streaming aggregation at scale.
+
+HyperLogLog approximate COUNT DISTINCT (Flajolet, Fusy, Gandouet,
+Meunier 2007): each block reduces to one 2^p-byte register vector per
+group key inside ``map_batches`` (the combiner), registers merge with a
+pointwise max in one bucketed shuffle, and the estimate is read off the
+merged registers.  Communication is O(groups x 2^p) bytes regardless of
+input size — the sketch path for cardinalities where the exact
+distinct shuffle (``relational.distinct_rows``) would move the whole
+key set.
+
+Deterministic end to end: the value hash is splitmix64 (no seed, no
+wall clock), so two runs — and any partitioning — produce identical
+registers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..relational import _splitmix64, _splitmix64_any, grouped_map_buckets
+
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    if m in _ALPHA:
+        return _ALPHA[m]
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (no float log2 — log2 of
+    ints above 2^53 rounds and would shift ranks off by one)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v = v.copy()
+        v[big] >>= np.uint64(s)
+    bl += (v > 0).astype(np.int64)
+    return bl
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """One block's HLL register vector (uint8[2^p]) for ``values``."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(values):
+        return regs
+    h = _splitmix64(_splitmix64_any(np.asarray(values)))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+    rank = np.where(w > 0, (64 - p) - _bit_length_u64(w) + 1, 64 - p + 1) \
+        .astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    return np.maximum.reduce(parts) if parts else np.zeros(0, np.uint8)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Cardinality estimate with the original small-range correction
+    (linear counting when E <= 2.5m and empty registers remain)."""
+    m = len(regs)
+    e = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return int(round(e))
+
+
+def approx_count_distinct(ds, keys: list[str], value_col: str,
+                          p: int = 12, num_buckets: int = 16):
+    """Distributed grouped approximate COUNT DISTINCT.
+
+    map_batches: one (keys, packed registers) row per key per block
+    -> bucketed shuffle on the group keys
+    -> pointwise-max register merge + estimate per key.
+
+    Standard error ~ 1.04 / sqrt(2^p) (~1.6% at the default p=12); the
+    estimate is DETERMINISTIC for a given input (hash has no seed), just
+    approximate.  Output column: ``n_approx`` (int64).
+    """
+    out_col = "n_approx"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in keys}
+        rows["__regs"] = []
+        for kv, g in batch.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                rows[k].append(v)
+            rows["__regs"].append(
+                hll_partial(g[value_col].to_numpy(), p=p).tobytes())
+        return pd.DataFrame(rows)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            out = {k: pd.Series(dtype=object) for k in keys}
+            out[out_col] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
+        rows = {k: [] for k in keys}
+        rows[out_col] = []
+        for kv, g in bucket.groupby(keys, sort=True, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                rows[k].append(v)
+            regs = hll_merge([np.frombuffer(b, dtype=np.uint8)
+                              for b in g["__regs"]])
+            rows[out_col].append(hll_estimate(regs))
+        out = pd.DataFrame(rows)
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map_buckets(partials, keys, merge,
+                               num_buckets=num_buckets, whole_bucket=True)

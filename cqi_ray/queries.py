@@ -394,6 +394,18 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_count_distinct(sf_dir: str, p: int = 12):
+    """HyperLogLog approximate COUNT DISTINCT (ops/sketch.py): O(2^p)
+    bytes per group cross the shuffle instead of the whole key set.
+    Approximate BY DESIGN (±1.04/sqrt(2^p) ~ 1.6%), hence no SQL hash
+    oracle — accuracy and determinism are asserted against the exact
+    distinct in tests/test_ops.py."""
+    from .ops.sketch import approx_count_distinct
+
+    events = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_count_distinct(events, ["event_type"], "user_id", p=p)
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-group quantiles (p50 / p90) via one bucketed shuffle on
     the group key and a vectorized in-bucket quantile.  Uses the
@@ -1845,6 +1857,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "grouped_topn": q_grouped_topn,
     "count_distinct": q_count_distinct,
+    "approx_count_distinct": q_approx_count_distinct,
     "group_quantiles": q_group_quantiles,
     "sample_hash": q_sample_hash,
     "join_left_outer": q_join_left_outer,

@@ -218,3 +218,37 @@ class TestIVF:
         idx = ann.IVFIndex(c1)
         assign = idx.assign(mat)
         assert assign.min() >= 0 and assign.max() < 8
+
+
+class TestHyperLogLog:
+    def test_estimate_accuracy(self):
+        from cqi_ray.ops.sketch import hll_estimate, hll_partial
+
+        for n in (100, 5_000, 100_000):
+            regs = hll_partial(np.arange(n, dtype=np.int64), p=12)
+            est = hll_estimate(regs)
+            assert abs(est - n) / n < 0.05, (n, est)
+
+    def test_merge_equals_single_pass(self):
+        from cqi_ray.ops.sketch import hll_merge, hll_partial
+
+        vals = np.arange(20_000, dtype=np.int64)
+        whole = hll_partial(vals, p=10)
+        parts = [hll_partial(c, p=10) for c in np.array_split(vals, 13)]
+        assert np.array_equal(hll_merge(parts), whole)
+
+    def test_distributed_vs_exact(self, ray_session):
+        from cqi_ray.queries import q_approx_count_distinct, q_count_distinct
+
+        sf = "/root/testdata/sf0.001"
+        approx = q_approx_count_distinct(sf).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        exact = q_count_distinct(sf).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        assert list(approx["event_type"]) == list(exact["event_type"])
+        for a, e in zip(approx["n_approx"], exact["n_users"]):
+            assert abs(a - e) / max(e, 1) < 0.05, (a, e)
+        # deterministic: rerun produces identical estimates
+        again = q_approx_count_distinct(sf).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        assert again.equals(approx)
