@@ -120,3 +120,55 @@ def approx_count_distinct(ds, keys: list[str], value_col: str,
     partials = ds.map_batches(partial, batch_format="pandas")
     return grouped_map_buckets(partials, keys, merge,
                                num_buckets=num_buckets, whole_bucket=True)
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit key hashes (double hashing,
+    Kirsch-Mitzenmacher: idx_i = h1 + i*h2 mod m).  Deterministic (no
+    seed), mergeable by bitwise OR, and compact — the broadcast-side
+    artifact for semi-join pruning: ~10 bits/key gives ~1% false
+    positives with k=7 probes, and false positives are REMOVED by the
+    exact join that follows, so the result stays exact."""
+
+    def __init__(self, log2_bits: int, k: int = 7):
+        self.log2_bits = log2_bits
+        self.m = np.uint64(1 << log2_bits)
+        self.k = k
+        self.words = np.zeros((1 << log2_bits) >> 6, dtype=np.uint64)
+
+    @staticmethod
+    def size_for(n_keys: int, bits_per_key: int = 10) -> int:
+        """log2 of the next power-of-two bit count >= n_keys * bits_per_key."""
+        want = max(64, n_keys * bits_per_key)
+        return int(want - 1).bit_length()
+
+    def _hashes(self, values: np.ndarray):
+        h1 = _splitmix64(_splitmix64_any(np.asarray(values)))
+        h2 = _splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        return h1, h2
+
+    def add(self, values: np.ndarray) -> None:
+        if not len(values):
+            return
+        h1, h2 = self._hashes(values)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & (self.m - np.uint64(1))
+            np.bitwise_or.at(self.words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        if not len(values):
+            return np.zeros(0, dtype=bool)
+        h1, h2 = self._hashes(values)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & (self.m - np.uint64(1))
+            bit = (self.words[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            ok &= bit.astype(bool)
+        return ok
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.log2_bits == other.log2_bits and self.k == other.k
+        self.words |= other.words
+        return self

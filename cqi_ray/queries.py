@@ -494,6 +494,63 @@ FROM customer LEFT JOIN
 """
 
 
+def q_join_bloom_semi(sf_dir: str, log2_bits: int = 20):
+    """Bloom-pruned exact semi-join: lineitem rows whose order is URGENT.
+
+    The build side (urgent order keys) folds into per-block Bloom
+    filters inside map_batches; the driver ORs the BOUNDED bloom rows
+    (128 KiB each, one per block — never the keys themselves) and
+    broadcasts the result once via ray.put.  The probe side drops
+    non-members BEFORE the join shuffle — only bloom survivors (true
+    matches + ~0.1% false positives) pay the exchange — and the bucketed
+    hash join then removes the false positives, so the output is EXACT
+    and SQL-oracle checked.  At 100 TB this is the semi-join shape: the
+    filter crosses the cluster once at O(bits), not O(keys)."""
+    from .ops.sketch import BloomFilter
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'") \
+        .select_columns(["o_orderkey"])
+
+    def block_bloom(b: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(log2_bits)
+        bf.add(b["o_orderkey"].to_numpy())
+        return pd.DataFrame({"words": [bf.words.tobytes()]})
+
+    merged = BloomFilter(log2_bits)
+    for row in urgent.map_batches(block_bloom,
+                                  batch_format="pandas").iter_rows():
+        merged.words |= np.frombuffer(row["words"], dtype=np.uint64)
+    words_ref = ray.put(merged.words)
+
+    lineitem = _pq(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(log2_bits)
+        bf.words = ray.get(words_ref)
+        return b.loc[bf.contains(b["l_orderkey"].to_numpy())]
+
+    survivors = lineitem.map_batches(probe, batch_format="pandas")
+    right = urgent.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    exact = bucketed_hash_join(survivors, right, on="l_orderkey",
+                               right_cols=["l_orderkey"], num_buckets=16,
+                               restore_dtypes={"l_orderkey": "int64"})
+    agg = partial_then_global_sum(exact, keys=["l_orderkey"], sums={},
+                                  counts="n_items")
+    return agg.map_batches(lambda b: b.astype({"n_items": "int64"}),
+                           batch_format="pandas")
+
+
+Q_JOIN_BLOOM_SEMI_SQL = """
+SELECT l_orderkey, count(*) AS n_items FROM lineitem
+WHERE l_orderkey IN
+  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1861,6 +1918,7 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "sample_hash": q_sample_hash,
     "join_left_outer": q_join_left_outer,
+    "join_bloom_semi": q_join_bloom_semi,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dedup_exact": q_dedup_exact,
@@ -1906,6 +1964,7 @@ ORACLES = {
     "group_quantiles": Q_GROUP_QUANTILES_SQL,
     "sample_hash": Q_SAMPLE_HASH_SQL,
     "join_left_outer": Q_JOIN_LEFT_OUTER_SQL,
+    "join_bloom_semi": Q_JOIN_BLOOM_SEMI_SQL,
     "asof_join": Q_ASOF_JOIN_SQL,
     "range_join": Q_RANGE_JOIN_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,

@@ -252,3 +252,25 @@ class TestHyperLogLog:
         again = q_approx_count_distinct(sf).to_pandas() \
             .sort_values("event_type").reset_index(drop=True)
         assert again.equals(approx)
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fpp(self):
+        from cqi_ray.ops.sketch import BloomFilter
+
+        keys = np.arange(30_000, dtype=np.int64)
+        bf = BloomFilter(BloomFilter.size_for(len(keys)))
+        bf.add(keys)
+        assert bf.contains(keys).all()  # Bloom filters never false-negative
+        probe = np.arange(30_000, 1_030_000, dtype=np.int64)
+        assert bf.contains(probe).mean() < 0.02
+
+    def test_merge_equals_single_build(self):
+        from cqi_ray.ops.sketch import BloomFilter
+
+        keys = np.arange(30_000, dtype=np.int64)
+        b1, b2, whole = BloomFilter(19), BloomFilter(19), BloomFilter(19)
+        b1.add(keys[:15_000])
+        b2.add(keys[15_000:])
+        whole.add(keys)
+        assert np.array_equal(b1.merge(b2).words, whole.words)
