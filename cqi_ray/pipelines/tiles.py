@@ -51,29 +51,48 @@ def _geom_from_bytes(blob: bytes) -> np.ndarray:
 def make_way_tile_rows(batch: pd.DataFrame, zooms: Iterable[int],
                        geom_col: str = "geometry_m",
                        metric_geom: bool = True) -> pd.DataFrame:
-    """Replicate each scored way into every (z,x,y) tile its bbox covers."""
-    out = {"z": [], "x": [], "y": [], "way_id": [], "way_index": [],
-           "geom_ll": []}
-    for row in batch.itertuples(index=False):
-        geom = _geom_from_bytes(getattr(row, geom_col))
+    """Replicate each scored way into every (z,x,y) tile its bbox covers.
+    Only the geometry decode/unprojection runs per way; the per-zoom
+    (x, y) tile fan-out is one divmod pass over a flat counter (same
+    shape as the cell fan-out in pipelines/cqi._make_segment_rows)."""
+    empty = pd.DataFrame({c: pd.Series(dtype=object)
+                          for c in ("z", "x", "y", "way_id", "way_index",
+                                    "geom_ll")})
+    if not len(batch):
+        return empty
+    n = len(batch)
+    blobs, bounds = [], np.empty((n, 4), dtype=np.float64)
+    for i, raw in enumerate(batch[geom_col].to_numpy()):
+        geom = _geom_from_bytes(raw)
         lonlat = proj.unproject_coords(geom) if metric_geom else geom
-        blob = np.ascontiguousarray(lonlat.astype("<f8")).tobytes()
-        idx = None if pd.isna(row.index) else int(row.index)
-        for z in zooms:
-            x0, y0 = cells.lonlat_to_tile(lonlat[:, 0].min(), lonlat[:, 1].max(), z)
-            x1, y1 = cells.lonlat_to_tile(lonlat[:, 0].max(), lonlat[:, 1].min(), z)
-            for xt in range(int(x0), int(x1) + 1):
-                for yt in range(int(y0), int(y1) + 1):
-                    out["z"].append(z)
-                    out["x"].append(xt)
-                    out["y"].append(yt)
-                    out["way_id"].append(row.id)
-                    out["way_index"].append(idx)
-                    out["geom_ll"].append(blob)
-    if not out["z"]:
-        return pd.DataFrame({c: pd.Series(dtype=object)
-                             for c in ("z", "x", "y", "way_id", "way_index", "geom_ll")})
-    return pd.DataFrame(out)
+        blobs.append(np.ascontiguousarray(lonlat.astype("<f8")).tobytes())
+        bounds[i] = (lonlat[:, 0].min(), lonlat[:, 0].max(),
+                     lonlat[:, 1].min(), lonlat[:, 1].max())
+    way_id = batch["id"].to_numpy()
+    way_index = np.asarray(
+        [None if pd.isna(v) else int(v) for v in batch["index"]], dtype=object)
+    blob_arr = np.asarray(blobs, dtype=object)
+    frames = []
+    for z in zooms:
+        x0, y0 = cells.lonlat_to_tile(bounds[:, 0], bounds[:, 3], z)
+        x1, y1 = cells.lonlat_to_tile(bounds[:, 1], bounds[:, 2], z)
+        nx = x1 - x0 + 1
+        ny = y1 - y0 + 1
+        counts = nx * ny
+        rep = np.repeat(np.arange(n), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(int(counts.sum()), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        frames.append(pd.DataFrame({
+            "z": np.full(len(rep), z, dtype=np.int64),
+            "x": x0[rep] + within // ny[rep],
+            "y": y0[rep] + within % ny[rep],
+            "way_id": way_id[rep],
+            "way_index": way_index[rep],
+            "geom_ll": blob_arr[rep],
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    return out if len(out) else empty
 
 
 def render_tile_group(group: pd.DataFrame, tile_size: int = 256,
