@@ -82,6 +82,12 @@ def run_suite(sf_dir: str) -> dict:
     bench("ann_topk", lambda: q.q_ann_topk(sf_dir))
     bench("text_stats", lambda: q.q_text_quality(sf_dir))
     bench("cell_encode", lambda: q.q_cell_encode(sf_dir))
+    # round-2 catalog additions (not in the round-1 suite: subtract when
+    # comparing totals round-over-round)
+    bench("grouped_topn", lambda: q.q_grouped_topn(sf_dir))
+    bench("window_hopping", lambda: q.q_window_hopping(sf_dir))
+    bench("count_distinct", lambda: q.q_count_distinct(sf_dir))
+    bench("join_bloom_semi", lambda: q.q_join_bloom_semi(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

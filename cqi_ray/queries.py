@@ -1442,9 +1442,15 @@ Q_LANG_ID_SQL = _lang_id_sql()
 
 
 def q_fingerprint(sf_dir: str):
+    from .ops.text import md5_fingerprint
+
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(fingerprint_batch, batch_format="pandas")
-    return out.select_columns(["doc_id", "content_md5"])
+
+    def _md5(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "content_md5": md5_fingerprint(batch["text"])})
+
+    return docs.map_batches(_md5, batch_format="pandas")
 
 
 Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
