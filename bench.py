@@ -88,6 +88,10 @@ def run_suite(sf_dir: str) -> dict:
     bench("window_hopping", lambda: q.q_window_hopping(sf_dir))
     bench("count_distinct", lambda: q.q_count_distinct(sf_dir))
     bench("join_bloom_semi", lambda: q.q_join_bloom_semi(sf_dir))
+    bench("window_running", lambda: q.q_window_running(sf_dir))
+    bench("heavy_hitters", lambda: q.q_heavy_hitters(sf_dir))
+    bench("global_quantiles", lambda: q.q_global_quantiles(sf_dir))
+    bench("set_except", lambda: q.q_set_except(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

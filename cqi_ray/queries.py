@@ -27,7 +27,8 @@ from .ops.dedup import (MinHasher, band_rows, char_shingles, jaccard,
                         md5_lower64, simhash64)
 from .ops.text import LangId, TextStats, fingerprint_batch
 from .relational import (broadcast_map_join, bucketed_anti_join,
-                         bucketed_hash_join, distinct_rows, exact_dedup,
+                         bucketed_hash_join, bucketed_set_op, distinct_rows,
+                         exact_dedup, global_exact_quantiles,
                          grouped_map_buckets, partial_then_global_sum)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -1904,6 +1905,193 @@ SELECT z, x, y, count(DISTINCT i) AS n_ways FROM e GROUP BY z, x, y
 
 
 # ---------------------------------------------------------------------------
+# windowed / sketch / set-op extensions (round 2, second wave)
+# ---------------------------------------------------------------------------
+
+def q_window_running(sf_dir: str):
+    """Per-key cumulative window (SUM ... OVER (PARTITION BY user ORDER BY
+    ts) + ROW_NUMBER) — ONE bucketed shuffle on the partition key, then a
+    vectorized groupby-cumsum per bucket.  Accumulates in integer cents so
+    the running sum is exact and float-association-free on both the Ray
+    and SQL sides."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    def running(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "run_cents": pd.Series(dtype="int64"),
+                "rn": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        b["__cents"] = np.round(b["value"].to_numpy() * 100).astype("int64")
+        g = b.groupby("user_id", sort=False)
+        b["run_cents"] = g["__cents"].cumsum().astype("int64")
+        b["rn"] = (g.cumcount() + 1).astype("int64")
+        return b[["event_id", "user_id", "run_cents", "rn"]]
+
+    return grouped_map_buckets(events, ["user_id"], running,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS BIGINT) AS run_cents,
+       CAST(row_number()
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events
+"""
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 20):
+    """Exact global heavy hitters (top-k most frequent values): per-block
+    partial counts (combiner) -> bucketed global sum -> per-block top-k
+    head -> tiny driver merge.  Only k rows per block ever cross the
+    second stage; no global sort.  Ties break deterministically by key."""
+    import pyarrow as pa
+
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey"])
+    counts = partial_then_global_sum(li, keys=["l_partkey"], sums={},
+                                     counts="cnt", num_buckets=16)
+
+    def block_head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                            ("l_partkey", "ascending")])
+        return t.take(idx[:k])
+
+    partials = counts.map_batches(
+        lambda b: b.astype({"cnt": "int64"}), batch_format="pandas") \
+        .map_batches(block_head, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    return partials.sort_values(["cnt", "l_partkey"],
+                                ascending=[False, True], kind="mergesort") \
+        .head(k).reset_index(drop=True)
+
+
+Q_HEAVY_HITTERS_SQL = """
+SELECT l_partkey, cnt FROM (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+ORDER BY cnt DESC, l_partkey LIMIT 20
+"""
+
+
+def q_set_intersect(sf_dir: str):
+    """Distributed INTERSECT: event actors that are also order customers —
+    co-partitioned hash-bucket shuffle, per-bucket numpy set logic
+    (relational.bucketed_set_op)."""
+    events = _pq(sf_dir, "events", columns=["user_id"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(lambda b: b.rename(columns={"o_custkey": "user_id"}),
+                     batch_format="pandas")
+    return bucketed_set_op(events, orders, on="user_id", op="intersect")
+
+
+Q_SET_INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events
+INTERSECT
+SELECT o_custkey AS user_id FROM orders
+"""
+
+
+def q_set_except(sf_dir: str):
+    """Distributed EXCEPT: order customers with no event activity (the
+    drop-list / holdout-split shape at 100 TB)."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"])
+    events = _pq(sf_dir, "events", columns=["user_id"]) \
+        .map_batches(lambda b: b.rename(columns={"user_id": "o_custkey"}),
+                     batch_format="pandas")
+    return bucketed_set_op(orders, events, on="o_custkey", op="except")
+
+
+Q_SET_EXCEPT_SQL = """
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT user_id AS o_custkey FROM events
+"""
+
+
+def q_pivot_counts(sf_dir: str):
+    """Pivot (long -> wide conditional counts): distributed
+    partial+bucketed count over the (priority, status) pair, then a tiny
+    driver-side pivot of the #priorities x #statuses aggregate — the
+    only materialized frame is the final wide result."""
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderpriority", "o_orderstatus"])
+    agg = partial_then_global_sum(
+        orders, keys=["o_orderpriority", "o_orderstatus"], sums={},
+        counts="n", num_buckets=4).to_pandas()
+    wide = agg.pivot_table(index="o_orderpriority", columns="o_orderstatus",
+                           values="n", fill_value=0, aggfunc="sum")
+    wide = wide.reindex(columns=["F", "O", "P"], fill_value=0)
+    wide.columns = ["n_f", "n_o", "n_p"]
+    return wide.reset_index().astype({"n_f": "int64", "n_o": "int64",
+                                      "n_p": "int64"})
+
+
+Q_PIVOT_COUNTS_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_global_quantiles(sf_dir: str):
+    """Exact global quantiles WITHOUT a global sort — distributed
+    histogram refinement (relational.global_exact_quantiles): two
+    streaming passes locate each rank's bin, a third gathers only the
+    candidate-bin values.  Matches DuckDB quantile_disc (rank =
+    ceil(q*n), verified convention)."""
+    li = _pq(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = global_exact_quantiles(li, "l_extendedprice",
+                                 qs=[0.25, 0.5, 0.9, 0.99])
+    out["val"] = out["val"].round(2)
+    return out
+
+
+Q_GLOBAL_QUANTILES_SQL = """
+SELECT 0.25 AS q, round(quantile_disc(l_extendedprice, 0.25), 2) AS val FROM lineitem
+UNION ALL
+SELECT 0.5, round(quantile_disc(l_extendedprice, 0.5), 2) FROM lineitem
+UNION ALL
+SELECT 0.9, round(quantile_disc(l_extendedprice, 0.9), 2) FROM lineitem
+UNION ALL
+SELECT 0.99, round(quantile_disc(l_extendedprice, 0.99), 2) FROM lineitem
+"""
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered STRING_AGG per group: bucketed shuffle on the group key,
+    per-bucket vectorized sort + join.  Group payload stays inside its
+    bucket task — the driver never sees the strings."""
+    sup = _pq(sf_dir, "supplier", columns=["s_nationkey", "s_name"])
+
+    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "s_nationkey": pd.Series(dtype="int32"),
+                "names": pd.Series(dtype="object")})
+        b = bucket.sort_values(["s_nationkey", "s_name"], kind="mergesort")
+        out = b.groupby("s_nationkey", sort=False)["s_name"] \
+            .agg(";".join).reset_index()
+        return out.rename(columns={"s_name": "names"})
+
+    return grouped_map_buckets(sup, ["s_nationkey"], agg,
+                               num_buckets=8, whole_bucket=True)
+
+
+Q_STRING_AGG_SQL = """
+SELECT s_nationkey, string_agg(s_name, ';' ORDER BY s_name) AS names
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1927,6 +2115,13 @@ QUERIES = {
     "join_bloom_semi": q_join_bloom_semi,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "window_running": q_window_running,
+    "heavy_hitters": q_heavy_hitters,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "pivot_counts": q_pivot_counts,
+    "global_quantiles": q_global_quantiles,
+    "string_agg": q_string_agg,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1973,6 +2168,13 @@ ORACLES = {
     "join_bloom_semi": Q_JOIN_BLOOM_SEMI_SQL,
     "asof_join": Q_ASOF_JOIN_SQL,
     "range_join": Q_RANGE_JOIN_SQL,
+    "window_running": Q_WINDOW_RUNNING_SQL,
+    "heavy_hitters": Q_HEAVY_HITTERS_SQL,
+    "set_intersect": Q_SET_INTERSECT_SQL,
+    "set_except": Q_SET_EXCEPT_SQL,
+    "pivot_counts": Q_PIVOT_COUNTS_SQL,
+    "global_quantiles": Q_GLOBAL_QUANTILES_SQL,
+    "string_agg": Q_STRING_AGG_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,

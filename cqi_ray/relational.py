@@ -307,3 +307,114 @@ def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
     return partials.map_batches(add_bucket, batch_format="pandas") \
         .repartition(num_buckets) \
         .groupby("__gb").map_groups(reduce_bucket, batch_format="pandas")
+
+
+def bucketed_set_op(left: rd.Dataset, right: rd.Dataset, on: str,
+                    op: str, num_buckets: int = 32) -> rd.Dataset:
+    """Distributed set INTERSECT / EXCEPT over one key column.
+
+    Both sides are deduplicated per block (combiner), tagged with a side
+    marker, unioned, and co-partitioned by a hash bucket of the key in
+    ONE shuffle; each bucket task computes the set operation with numpy
+    over its local uniques.  No driver-side sets, no all-to-all sort —
+    the 100 TB shape for "ids present in A and/or absent from B"
+    (e.g. drop-lists, holdout splits, cross-table audience overlap).
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+
+    def tag(side: int):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[on]].drop_duplicates()  # combiner before the shuffle
+            out = out.copy()
+            out["__side"] = np.int8(side)
+            return out
+        return _tag
+
+    union = left.map_batches(tag(0), batch_format="pandas") \
+        .union(right.map_batches(tag(1), batch_format="pandas"))
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        u0 = pd.unique(bucket.loc[bucket["__side"] == 0, on])
+        u1 = pd.unique(bucket.loc[bucket["__side"] == 1, on])
+        keys = (np.intersect1d(u0, u1) if op == "intersect"
+                else np.setdiff1d(u0, u1))
+        return pd.DataFrame({on: keys})
+
+    return grouped_map_buckets(union, [on], per_bucket,
+                               num_buckets=num_buckets, whole_bucket=True)
+
+
+def global_exact_quantiles(ds: rd.Dataset, col: str,
+                           qs: Iterable[float],
+                           num_bins: int = 4096) -> pd.DataFrame:
+    """EXACT global quantiles (discrete / lower-element convention:
+    rank = clamp(ceil(q*n), 1, n), matching DuckDB ``quantile_disc``)
+    without a global sort, via distributed histogram refinement:
+
+    pass 1 — per-block (count, min, max), tiny driver reduce;
+    pass 2 — per-block fixed-edge histogram (``num_bins`` ints per
+             block cross the wire, not the data), summed on the driver
+             to locate each target rank's bin and its in-bin rank;
+    pass 3 — stream only the values falling in the few candidate bins
+             back (expected n/num_bins rows per bin; heavy skew onto a
+             single bin degrades this to the skewed mass — raise
+             ``num_bins`` if one bin holds the quantile neighborhood).
+
+    Each pass is a streaming map over the dataset; nothing but
+    O(num_bins + selected-bin values) ever reaches the driver."""
+    qs = list(qs)
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        v = t[col]
+        return pa.table({"n": [t.num_rows],
+                         "mn": [pa.compute.min(v).as_py()],
+                         "mx": [pa.compute.max(v).as_py()]})
+
+    st = ds.map_batches(block_stats, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    # a fully-empty dataset can produce zero output blocks -> no columns
+    n = int(st["n"].sum()) if "n" in st.columns else 0
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "val": pd.Series([np.nan] * len(qs))})
+    mn, mx = float(st["mn"].min()), float(st["mx"].max())
+    edges = np.linspace(mn, mx, num_bins + 1)
+
+    def bin_of(vals: np.ndarray) -> np.ndarray:
+        return np.clip(np.searchsorted(edges, vals, side="right") - 1,
+                       0, num_bins - 1)
+
+    def block_hist(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        h = np.bincount(bin_of(vals), minlength=num_bins)
+        return pa.table({"h": pa.array([h.astype(np.int64)])})
+
+    hs = ds.map_batches(block_hist, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    cum = np.cumsum(np.sum(np.stack(hs["h"].to_numpy()), axis=0))
+
+    ranks = {q: min(max(int(np.ceil(q * n)), 1), n) for q in qs}
+    need = {}  # bin -> list of (q, rank_within_bin)
+    for q, r in ranks.items():
+        b = int(np.searchsorted(cum, r, side="left"))
+        below = int(cum[b - 1]) if b else 0
+        need.setdefault(b, []).append((q, r - below))
+    need_bins = np.array(sorted(need), dtype=np.int64)
+
+    def gather(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        b = bin_of(vals)
+        keep = np.isin(b, need_bins)
+        return pa.table({col: vals[keep], "__bin": b[keep]})
+
+    picked = ds.map_batches(gather, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    out = []
+    for b, wants in need.items():
+        inbin = np.sort(picked.loc[picked["__bin"] == b, col].to_numpy())
+        for q, rib in wants:
+            out.append((q, float(inbin[rib - 1])))
+    out.sort()
+    return pd.DataFrame({"q": [q for q, _ in out],
+                         "val": [v for _, v in out]})

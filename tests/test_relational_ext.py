@@ -1,0 +1,82 @@
+"""Unit tests for the round-2 relational extensions: distributed set
+ops (bucketed_set_op) and exact histogram-refinement quantiles
+(global_exact_quantiles) — each checked against a local numpy/pandas
+reference on deterministic synthetic frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from cqi_ray.relational import bucketed_set_op, global_exact_quantiles
+
+
+def _ds(df: pd.DataFrame, blocks: int = 4) -> rd.Dataset:
+    return rd.from_pandas(df).repartition(blocks)
+
+
+@pytest.fixture(scope="module")
+def keyed(ray_session):
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({"k": rng.randint(0, 200, 1000)})
+    right = pd.DataFrame({"k": rng.randint(100, 300, 1000)})
+    return left, right
+
+
+class TestBucketedSetOp:
+    def test_intersect_matches_numpy(self, keyed):
+        left, right = keyed
+        got = np.sort(bucketed_set_op(_ds(left), _ds(right), "k",
+                                      "intersect").to_pandas()["k"].to_numpy())
+        want = np.intersect1d(left["k"].unique(), right["k"].unique())
+        assert np.array_equal(got, np.sort(want))
+
+    def test_except_matches_numpy(self, keyed):
+        left, right = keyed
+        got = np.sort(bucketed_set_op(_ds(left), _ds(right), "k",
+                                      "except").to_pandas()["k"].to_numpy())
+        want = np.setdiff1d(left["k"].unique(), right["k"].unique())
+        assert np.array_equal(got, np.sort(want))
+
+    def test_string_keys(self, ray_session):
+        left = pd.DataFrame({"k": ["a", "b", "c", "c", "d"]})
+        right = pd.DataFrame({"k": ["c", "d", "e"]})
+        inter = sorted(bucketed_set_op(_ds(left, 2), _ds(right, 2), "k",
+                                       "intersect").to_pandas()["k"])
+        assert inter == ["c", "d"]
+
+    def test_bad_op_raises(self, ray_session):
+        with pytest.raises(ValueError):
+            bucketed_set_op(_ds(pd.DataFrame({"k": [1]})),
+                            _ds(pd.DataFrame({"k": [1]})), "k", "union")
+
+
+class TestGlobalExactQuantiles:
+    def _reference(self, vals: np.ndarray, q: float) -> float:
+        # DuckDB quantile_disc convention: rank = clamp(ceil(q*n), 1, n)
+        s = np.sort(vals)
+        r = min(max(int(np.ceil(q * len(s))), 1), len(s))
+        return float(s[r - 1])
+
+    def test_matches_disc_convention(self, ray_session):
+        rng = np.random.RandomState(11)
+        vals = rng.lognormal(4.0, 1.0, 20000)
+        df = pd.DataFrame({"x": vals})
+        qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+        out = global_exact_quantiles(_ds(df, 8), "x", qs, num_bins=512)
+        assert list(out["q"]) == sorted(qs)
+        for q, v in zip(out["q"], out["val"]):
+            assert v == self._reference(vals, q)
+
+    def test_tiny_and_constant_inputs(self, ray_session):
+        out = global_exact_quantiles(
+            _ds(pd.DataFrame({"x": [5.0, 5.0, 5.0]}), 2), "x", [0.5, 1.0],
+            num_bins=16)
+        assert list(out["val"]) == [5.0, 5.0]
+
+    def test_empty_input(self, ray_session):
+        out = global_exact_quantiles(
+            _ds(pd.DataFrame({"x": pd.Series(dtype="float64")}), 1),
+            "x", [0.5], num_bins=8)
+        assert np.isnan(out["val"]).all()
