@@ -138,3 +138,75 @@ class IVFIndex:
         order = np.lexsort((np.broadcast_to(np.arange(sims.shape[1]),
                                             sims.shape), -sims), axis=1)
         return order[:, :nprobe].astype(np.int64)
+
+
+def kmeans_distributed(ds, k: int = 8, iters: int = 5,
+                       vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed spherical Lloyd iterations over a Dataset of
+    embeddings — the data NEVER moves; per iteration each block reduces
+    to one (k x dim sums, k counts) partial inside ``map_batches``, the
+    driver folds the bounded partials and re-broadcasts the k x dim
+    centroid matrix via ``ray.put``.  Communication is
+    O(iters x blocks x k x dim) floats, independent of row count.
+
+    Deterministic: seeds are the k rows with the smallest ``id_col``
+    (found with a bounded per-block partial head + tiny merge, no global
+    sort); argmax assignment breaks ties by lowest centroid index.
+
+    Returns (centroids ndarray, assignment Dataset[id_col, cluster]).
+    """
+    import pandas as pd
+
+    import ray
+
+    # iterative algorithm: pin the decoded blocks in the (distributed,
+    # spillable) object store once instead of re-running the read chain
+    # every Lloyd iteration — the sanctioned use of materialize().
+    ds = ds.materialize()
+
+    def seed_head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(k, id_col)
+
+    seeds = ds.map_batches(seed_head, batch_format="pandas",
+                           batch_size=None).to_pandas() \
+        .nsmallest(k, id_col).sort_values(id_col)
+    centroids = normalize_rows(np.stack(seeds[vec_col].to_numpy()))
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            cents = ray.get(ref)
+            x = normalize_rows(np.stack(b[vec_col].to_numpy()))
+            assign = np.argmax(x @ cents.T, axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(cents))
+            return pd.DataFrame({
+                "cluster": np.arange(len(cents), dtype=np.int64),
+                "vsum": list(sums.astype(np.float64)),
+                "n": counts.astype(np.int64)})
+
+        parts = ds.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+        sums = np.zeros_like(centroids, dtype=np.float64)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for c, v, n in zip(parts["cluster"], parts["vsum"], parts["n"]):
+            sums[c] += v
+            counts[c] += n
+        for c in range(len(centroids)):
+            if counts[c]:
+                norm = np.linalg.norm(sums[c])
+                if norm > 0:
+                    centroids[c] = sums[c] / norm
+
+    ref = ray.put(centroids)
+
+    def assign_final(b: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(ref)
+        x = normalize_rows(np.stack(b[vec_col].to_numpy()))
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "cluster": np.argmax(x @ cents.T, axis=1).astype(np.int64)})
+
+    return centroids, ds.map_batches(assign_final, batch_format="pandas")

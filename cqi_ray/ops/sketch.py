@@ -172,3 +172,52 @@ class BloomFilter:
         assert self.log2_bits == other.log2_bits and self.k == other.k
         self.words |= other.words
         return self
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): a ``depth x width``
+    counter matrix; each value increments one counter per row (pairwise
+    hashes h1 + i*h2), point queries take the row-wise MIN — an
+    overestimate bounded by eps*N with eps = e/width at failure prob
+    e^-depth.  Partials are elementwise-ADD mergeable, so each block
+    reduces to one fixed-size matrix inside ``map_batches`` and only
+    O(depth x width x blocks) ints ever cross the wire — the frequency
+    sketch companion to the HLL cardinality sketch above.
+
+    Deterministic: splitmix64 double hashing, no seed, no wall clock.
+    """
+
+    def __init__(self, depth: int = 4, width: int = 4096):
+        self.depth, self.width = depth, width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _hashes(self, values) -> np.ndarray:
+        h1 = _splitmix64(_splitmix64_any(np.asarray(values)))
+        h2 = _splitmix64(h1 ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, values, counts=None) -> "CountMinSketch":
+        if not len(values):
+            return self
+        idx = self._hashes(values)
+        w = np.ones(idx.shape[1], dtype=np.int64) if counts is None \
+            else np.asarray(counts, dtype=np.int64)
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], w)
+        return self
+
+    def query(self, values) -> np.ndarray:
+        if not len(values):
+            return np.zeros(0, dtype=np.int64)
+        idx = self._hashes(values)
+        est = self.table[0][idx[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][idx[d]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.table += other.table
+        return self

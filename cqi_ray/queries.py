@@ -2091,6 +2091,119 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_join_full_outer(sf_dir: str):
+    """FULL OUTER bucketed join: per-customer counts of finished ('F')
+    vs open ('O') orders, keeping customers that appear on only one
+    side.  Both sides pre-aggregate to one row per key (combiner)
+    before the single co-partitioned shuffle; pandas' outer merge
+    inside the bucket task fills the key from whichever side has it."""
+
+    def side(status: str, out: str) -> rd.Dataset:
+        orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        filt = orders.map_batches(
+            lambda t, s=status: t.filter(pc.equal(t["o_orderstatus"], s)),
+            batch_format="pyarrow").select_columns(["o_custkey"])
+        return partial_then_global_sum(filt, keys=["o_custkey"], sums={},
+                                       counts=out)
+
+    joined = bucketed_hash_join(
+        side("F", "n_f"), side("O", "n_o"), on="o_custkey",
+        right_cols=["o_custkey", "n_o"], num_buckets=16, how="outer")
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "n_f": pd.to_numeric(b["n_f"]).fillna(0).astype("int64"),
+            "n_o": pd.to_numeric(b["n_o"]).fillna(0).astype("int64")}),
+        batch_format="pandas")
+
+
+Q_JOIN_FULL_OUTER_SQL = """
+SELECT coalesce(f.o_custkey, o.o_custkey) AS o_custkey,
+       coalesce(f.n, 0) AS n_f, coalesce(o.n, 0) AS n_o
+FROM (SELECT o_custkey, count(*) AS n FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+FULL JOIN (SELECT o_custkey, count(*) AS n FROM orders
+           WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+  ON f.o_custkey = o.o_custkey
+"""
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: per-stratum rates (clicks kept
+    at 1/4, views at 1/20, everything else at 1/50) via the same
+    md5-derived hash as q_sample_hash — reproducible across engines and
+    partitionings, no RNG state."""
+    rates = {"click": 4, "view": 20}
+    default = 50
+    events = _pq(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def samp(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_lower64(b["event_id"].astype(str).tolist())
+        mod = b["event_type"].map(rates).fillna(default).to_numpy(np.uint64)
+        return b.loc[(h % mod) == 0]
+
+    return events.map_batches(samp, batch_format="pandas")
+
+
+Q_SAMPLE_STRATIFIED_SQL = """
+SELECT event_id, event_type FROM events
+WHERE md5_number_lower(CAST(event_id AS VARCHAR))
+      % (CASE event_type WHEN 'click' THEN 4 WHEN 'view' THEN 20
+         ELSE 50 END) = 0
+"""
+
+
+def q_approx_heavy_hitters(sf_dir: str, k: int = 20, m: int = 80):
+    """Approximate heavy hitters via count-min sketch (ops/sketch.py):
+    each block reduces to ONE fixed-size CMS matrix plus its local top-m
+    candidate values; the driver sums the bounded sketches, estimates
+    each candidate's global count from the merged CMS (row-wise min —
+    an overestimate bounded by eps*N) and keeps the top k.  Nothing but
+    O(depth x width + m) per block crosses the wire — the one-pass
+    sketch path next to the exact two-shuffle q_heavy_hitters.
+    Approximate BY DESIGN -> no SQL hash oracle; tests/test_ops.py
+    checks it against the exact operator."""
+    from .ops.sketch import CountMinSketch
+
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b["l_partkey"].to_numpy()
+        cms = CountMinSketch().add(vals)
+        cand = pd.Series(vals).value_counts().index[:m].to_numpy(np.int64)
+        return pd.DataFrame({"table": [cms.table.ravel()],
+                             "cand": [cand]})
+
+    parts = li.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    merged = CountMinSketch()
+    merged.table = np.sum(np.stack(parts["table"].to_numpy()), axis=0) \
+        .reshape(merged.table.shape)
+    cands = np.unique(np.concatenate(parts["cand"].to_list()))
+    est = merged.query(cands)
+    order = np.lexsort((cands, -est))[:k]
+    return pd.DataFrame({"l_partkey": cands[order],
+                         "est_cnt": est[order].astype("int64")})
+
+
+def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed spherical k-means over the embeddings table
+    (ops/ann.py::kmeans_distributed): Lloyd iterations where only
+    bounded (k x dim) partials move — the embedding rows never leave
+    their blocks.  Deterministic seeding (k smallest vec_ids), so the
+    assignment is stable across runs (identical partitioning; across
+    partitionings the partial sums re-associate at float-noise level).
+    Iterative and
+    non-relational -> no SQL oracle; tests/test_ops.py checks the
+    distributed fold against a single-process reference run of the
+    identical algorithm."""
+    from .ops.ann import kmeans_distributed
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans_distributed(emb, k=k, iters=iters)
+    return assign
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2122,6 +2235,10 @@ QUERIES = {
     "pivot_counts": q_pivot_counts,
     "global_quantiles": q_global_quantiles,
     "string_agg": q_string_agg,
+    "join_full_outer": q_join_full_outer,
+    "sample_stratified": q_sample_stratified,
+    "approx_heavy_hitters": q_approx_heavy_hitters,
+    "kmeans": q_kmeans,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2175,6 +2292,8 @@ ORACLES = {
     "pivot_counts": Q_PIVOT_COUNTS_SQL,
     "global_quantiles": Q_GLOBAL_QUANTILES_SQL,
     "string_agg": Q_STRING_AGG_SQL,
+    "join_full_outer": Q_JOIN_FULL_OUTER_SQL,
+    "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,

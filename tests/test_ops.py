@@ -274,3 +274,92 @@ class TestBloomFilter:
         b2.add(keys[15_000:])
         whole.add(keys)
         assert np.array_equal(b1.merge(b2).words, whole.words)
+
+
+class TestCountMinSketch:
+    def test_overestimates_and_bounded(self):
+        from cqi_ray.ops.sketch import CountMinSketch
+
+        rng = np.random.RandomState(5)
+        vals = (rng.zipf(1.4, 40000) % 500).astype(np.int64)
+        cms = CountMinSketch(depth=4, width=4096).add(vals)
+        true = pd.Series(vals).value_counts()
+        keys = true.index.to_numpy()
+        est = cms.query(keys)
+        tv = true.to_numpy()
+        assert (est >= tv).all()
+        # eps = e/width -> overestimate bound eps*N (loose check at 3x)
+        assert (est - tv).max() <= 3 * np.e / 4096 * len(vals) + 1
+
+    def test_merge_equals_single_pass(self):
+        from cqi_ray.ops.sketch import CountMinSketch
+
+        vals = np.arange(10000) % 97
+        a = CountMinSketch().add(vals[:4000])
+        b = CountMinSketch().add(vals[4000:])
+        one = CountMinSketch().add(vals)
+        assert (a.merge(b).table == one.table).all()
+
+    def test_weighted_add(self):
+        from cqi_ray.ops.sketch import CountMinSketch
+
+        cms = CountMinSketch().add(np.array([7, 8]), counts=[5, 2])
+        assert list(cms.query(np.array([7, 8]))) == [5, 2]
+
+    def test_approx_matches_exact_heavy_hitters(self, ray_session):
+        from cqi_ray.queries import q_approx_heavy_hitters, q_heavy_hitters
+
+        sf = "/root/testdata/sf0.001"
+        approx = q_approx_heavy_hitters(sf)
+        exact = q_heavy_hitters(sf)
+        # CMS estimates are upper bounds on the true counts
+        truth = dict(zip(exact["l_partkey"], exact["cnt"]))
+        for pk, est in zip(approx["l_partkey"], approx["est_cnt"]):
+            if pk in truth:
+                assert est >= truth[pk]
+        # and the top candidate set substantially agrees
+        overlap = set(approx["l_partkey"]) & set(exact["l_partkey"])
+        assert len(overlap) >= 15
+
+
+class TestDistributedKMeans:
+    def _local_reference(self, ids, mat, k, iters):
+        """Single-process run of the identical algorithm (seed = k
+        smallest ids, spherical mean update, argmax assignment)."""
+        order = np.argsort(ids)
+        x = ann.normalize_rows(mat)
+        cents = x[order[:k]].copy()
+        for _ in range(iters):
+            assign = np.argmax(x @ cents.T, axis=1)
+            for c in range(k):
+                m = x[assign == c]
+                if len(m):
+                    s = m.sum(axis=0)
+                    n = np.linalg.norm(s)
+                    if n > 0:
+                        cents[c] = s / n
+        return cents, np.argmax(x @ cents.T, axis=1)
+
+    def test_matches_local_reference(self, ray_session, embeddings):
+        import ray.data as rd
+
+        ids = embeddings["vec_id"].to_numpy()
+        mat = np.stack(embeddings["embedding"].to_numpy())
+        ds = rd.from_pandas(embeddings[["vec_id", "embedding"]]).repartition(4)
+        cents, assign_ds = ann.kmeans_distributed(ds, k=6, iters=4)
+        got = assign_ds.to_pandas().set_index("vec_id")["cluster"]
+        ref_cents, ref_assign = self._local_reference(ids, mat, 6, 4)
+        np.testing.assert_allclose(cents, ref_cents, atol=1e-9)
+        assert (got.loc[ids].to_numpy() == ref_assign).all()
+
+    def test_deterministic_across_partitionings(self, ray_session, embeddings):
+        import ray.data as rd
+
+        df = embeddings[["vec_id", "embedding"]]
+        a = ann.kmeans_distributed(rd.from_pandas(df).repartition(2),
+                                   k=4, iters=3)[0]
+        b = ann.kmeans_distributed(rd.from_pandas(df).repartition(7),
+                                   k=4, iters=3)[0]
+        # partial sums re-associate across partitionings: bitwise equality
+        # is not guaranteed, agreement to float-noise level is
+        np.testing.assert_allclose(a, b, atol=1e-9)
