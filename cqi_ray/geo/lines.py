@@ -114,3 +114,40 @@ def offset_polyline(coords: np.ndarray, distance: float) -> np.ndarray:
 def polyline_bbox(coords: np.ndarray) -> tuple[float, float, float, float]:
     c = np.asarray(coords, dtype=np.float64)
     return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
+
+
+def simplify_polyline(coords: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (iterative stack form —
+    no recursion depth limit; the span-max perpendicular-distance step
+    is one vectorized cross/norm kernel per span).  Keeps endpoints;
+    guarantees every dropped vertex lies within ``eps`` of the
+    simplified chain.  Deterministic: the split vertex is the argmax
+    (first index on ties).
+
+    The tile/geometry-thinning primitive: run inside ``map_batches``
+    per way before rendering or shipping geometry to coarse zooms."""
+    pts = np.asarray(coords, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[b] - pts[a]
+        mid = pts[a + 1:b] - pts[a]
+        seg_len = np.hypot(seg[0], seg[1])
+        if seg_len == 0.0:
+            d = np.hypot(mid[:, 0], mid[:, 1])
+        else:
+            d = np.abs(mid[:, 0] * seg[1] - mid[:, 1] * seg[0]) / seg_len
+        i = int(np.argmax(d))
+        if d[i] > eps:
+            split = a + 1 + i
+            keep[split] = True
+            stack.append((a, split))
+            stack.append((split, b))
+    return pts[keep]

@@ -312,3 +312,35 @@ def hamming64(a, b):
         count += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return count
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) uint8 image — one fancy
+    index, no Python loops.  Sample points follow the half-pixel-center
+    convention (src = (dst + 0.5) * scale - 0.5, clamped)."""
+    h, w = pixels.shape[:2]
+    ys = np.clip(np.round((np.arange(out_h) + 0.5) * h / out_h - 0.5),
+                 0, h - 1).astype(np.intp)
+    xs = np.clip(np.round((np.arange(out_w) + 0.5) * w / out_w - 0.5),
+                 0, w - 1).astype(np.intp)
+    return pixels[ys[:, None], xs[None, :]]
+
+
+def resize_bilinear(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize of an (h, w, c) uint8 image, fully vectorized
+    (four gathers + weighted sum in float64, rounded half-even back to
+    uint8 — deterministic across platforms)."""
+    h, w = pixels.shape[:2]
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.intp)
+    x0 = np.floor(fx).astype(np.intp)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0[:, None], x0[None, :]] * (1 - wx) + p[y0[:, None], x1[None, :]] * wx
+    bot = p[y1[:, None], x0[None, :]] * (1 - wx) + p[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.round(out).astype(np.uint8)

@@ -2186,6 +2186,95 @@ def q_approx_heavy_hitters(sf_dir: str, k: int = 20, m: int = 80):
                          "est_cnt": est[order].astype("int64")})
 
 
+def q_tfidf_topk(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms, fully distributed:
+
+      tokenize + per-doc term counts inside map_batches (docs never
+      split across blocks, so block-local tf is already final)
+      -> document frequency: partial counts per block + ONE bucketed
+         global sum keyed on the term (the vocabulary never sits on the
+         driver)
+      -> bucketed hash join tf x df on the term
+      -> tfidf = tf * ln(N/df); per-doc top-k via the bounded
+         per-block-head + one bucketed shuffle pattern (no global sort).
+
+    Ranking compares raw float64 tfidf on both engines (identical
+    formula and dtype); rounding to 6 dp happens after ranking."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata only
+
+    def term_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.assign(term=b["text"].str.lower().str.split()) \
+            .explode("term")[["doc_id", "term"]]
+        toks = toks[toks["term"].notna() & (toks["term"] != "")]
+        tf = toks.groupby(["doc_id", "term"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "tf"})
+        return tf
+
+    tf = docs.map_batches(term_counts, batch_format="pandas",
+                          batch_size=None)
+    df = partial_then_global_sum(
+        tf.map_batches(lambda b: b[["term"]], batch_format="pandas"),
+        keys=["term"], sums={}, counts="df", num_buckets=16)
+    scored = bucketed_hash_join(tf, df, on="term",
+                                right_cols=["term", "df"], num_buckets=16)
+
+    def tfidf(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["tfidf"] = b["tf"].to_numpy(np.float64) \
+            * np.log(float(n_docs) / b["df"].to_numpy(np.float64))
+        # the join's union shuffle NaN-fills the other side's columns,
+        # upcasting doc_id to float64 — restore the key dtype
+        b["doc_id"] = b["doc_id"].astype("int64")
+        return b[["doc_id", "term", "tfidf"]]
+
+    scored = scored.map_batches(tfidf, batch_format="pandas")
+    by = ["doc_id", "tfidf", "term"]
+    asc = [True, False, True]
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort")
+        return b.groupby("doc_id", sort=False).head(k)
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype="object"),
+                                 "tfidf": pd.Series(dtype="float64"),
+                                 "rn": pd.Series(dtype="int64")})
+        b = bucket.sort_values(by, ascending=asc, kind="mergesort")
+        out = b.groupby("doc_id", sort=False).head(k).copy()
+        out["rn"] = (out.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype("int64")
+        out["tfidf"] = out["tfidf"].round(6)
+        return out
+
+    pruned = scored.map_batches(head, batch_format="pandas")
+    return grouped_map_buckets(pruned, ["doc_id"], topk,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_TFIDF_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+  FROM scored)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn FROM ranked WHERE rn <= 3
+"""
+
+
 def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed spherical k-means over the embeddings table
     (ops/ann.py::kmeans_distributed): Lloyd iterations where only
@@ -2239,6 +2328,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "approx_heavy_hitters": q_approx_heavy_hitters,
     "kmeans": q_kmeans,
+    "tfidf_topk": q_tfidf_topk,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2294,6 +2384,7 @@ ORACLES = {
     "string_agg": Q_STRING_AGG_SQL,
     "join_full_outer": Q_JOIN_FULL_OUTER_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+    "tfidf_topk": Q_TFIDF_TOPK_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,

@@ -174,3 +174,47 @@ class TestDecodeValidateStage:
         by_id = out.set_index("image_id")["decode_ok"]
         assert not by_id.loc[t.loc[0, "image_id"]]
         assert by_id.drop(t.loc[0, "image_id"]).all()
+
+
+class TestResize:
+    def test_identity_exact(self):
+        import numpy as np
+
+        from cqi_ray.images.codec import resize_bilinear, resize_nearest
+
+        img = (np.arange(32 * 24 * 3, dtype=np.int64) % 251) \
+            .astype(np.uint8).reshape(24, 32, 3)
+        assert (resize_nearest(img, 32, 24) == img).all()
+        assert (resize_bilinear(img, 32, 24) == img).all()
+
+    def test_constant_image_stays_constant(self):
+        import numpy as np
+
+        from cqi_ray.images.codec import resize_bilinear, resize_nearest
+
+        img = np.full((20, 30, 3), 137, dtype=np.uint8)
+        for fn in (resize_nearest, resize_bilinear):
+            out = fn(img, 7, 13)
+            assert out.shape == (13, 7, 3)
+            assert (out == 137).all()
+
+    def test_bilinear_downsample_preserves_mean(self):
+        import numpy as np
+
+        from cqi_ray.images.codec import resize_bilinear
+
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        out = resize_bilinear(img, 16, 16)
+        assert abs(float(out.mean()) - float(img.mean())) < 8.0
+
+    def test_gradient_monotone_after_resize(self):
+        import numpy as np
+
+        from cqi_ray.images.codec import resize_bilinear
+
+        grad = np.tile(np.arange(0, 240, 10, dtype=np.uint8)[None, :, None],
+                       (8, 1, 3))
+        out = resize_bilinear(grad, 6, 4)
+        rows = out[:, :, 0]
+        assert (np.diff(rows, axis=1) >= 0).all()

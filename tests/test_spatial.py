@@ -187,3 +187,63 @@ class TestTiles:
         ka = {(r.z, r.x, r.y): r.png for r in a.itertuples()}
         kb = {(r.z, r.x, r.y): r.png for r in b.itertuples()}
         assert ka == kb
+
+
+class TestSimplifyPolyline:
+    def _reference(self, pts, eps):
+        """Plain recursive Douglas-Peucker for differential checking."""
+        import numpy as np
+
+        pts = np.asarray(pts, dtype=np.float64)
+        if len(pts) <= 2:
+            return pts.copy()
+        a, b = pts[0], pts[-1]
+        seg = b - a
+        ln = np.hypot(*seg)
+        mid = pts[1:-1] - a
+        d = (np.hypot(mid[:, 0], mid[:, 1]) if ln == 0 else
+             np.abs(mid[:, 0] * seg[1] - mid[:, 1] * seg[0]) / ln)
+        i = int(np.argmax(d))
+        if d[i] <= eps:
+            return np.array([a, b])
+        left = self._reference(pts[:i + 2], eps)
+        right = self._reference(pts[i + 1:], eps)
+        return np.concatenate([left[:-1], right])
+
+    def test_matches_recursive_reference(self):
+        import numpy as np
+
+        from cqi_ray.geo.lines import simplify_polyline
+
+        rng = np.random.RandomState(13)
+        for _ in range(20):
+            n = rng.randint(3, 60)
+            pts = np.cumsum(rng.randn(n, 2), axis=0)
+            eps = float(rng.uniform(0.05, 2.0))
+            got = simplify_polyline(pts, eps)
+            want = self._reference(pts, eps)
+            assert np.array_equal(got, want)
+
+    def test_all_dropped_points_within_eps(self):
+        import numpy as np
+
+        from cqi_ray.geo.lines import (points_to_segments_distance,
+                                       simplify_polyline)
+
+        rng = np.random.RandomState(29)
+        pts = np.cumsum(rng.randn(200, 2), axis=0)
+        eps = 0.75
+        simp = simplify_polyline(pts, eps)
+        d = points_to_segments_distance(pts, simp[:-1], simp[1:])
+        assert d.min(axis=1).max() <= eps + 1e-9
+
+    def test_endpoints_and_degenerate(self):
+        import numpy as np
+
+        from cqi_ray.geo.lines import simplify_polyline
+
+        pts = np.array([[1.0, 2.0], [1.0, 2.0], [1.0, 2.0]])
+        s = simplify_polyline(pts, 0.1)   # zero-length chain
+        assert np.array_equal(s[[0, -1]], pts[[0, -1]])
+        two = np.array([[0.0, 0.0], [3.0, 4.0]])
+        assert np.array_equal(simplify_polyline(two, 10.0), two)
