@@ -2293,6 +2293,233 @@ def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     return assign
 
 
+def q_join3_topk(sf_dir: str, k: int = 10):
+    """TPC-H-Q3-shaped three-table pipeline: BUILDING-segment customers
+    ⨝ open orders ⨝ lineitem → revenue per order → top-k.  Each join
+    picks its scale-correct physical form: the filtered customer keys
+    broadcast once (small side, ray.put); the order→lineitem semi-join
+    crosses the cluster as a Bloom filter + exact bucketed join (large
+    side); revenue pre-aggregates per block before ONE bucketed global
+    sum; top-k is per-block heads + a tiny driver merge — no global
+    sort anywhere."""
+    from .ops.sketch import BloomFilter
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    ckeys_ref = ray.put(np.sort(cust.to_pandas()["c_custkey"].to_numpy()))
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def open_building(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ckeys_ref)
+        m = (b["o_orderstatus"].to_numpy() == "O") \
+            & (np.searchsorted(keys, b["o_custkey"].to_numpy()) < len(keys))
+        m &= keys[np.minimum(np.searchsorted(keys, b["o_custkey"].to_numpy()),
+                             len(keys) - 1)] == b["o_custkey"].to_numpy()
+        return b.loc[m, ["o_orderkey"]]
+
+    okeys = orders.map_batches(open_building, batch_format="pandas")
+
+    log2_bits = 20
+
+    def block_bloom(b: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(log2_bits)
+        bf.add(b["o_orderkey"].to_numpy())
+        return pd.DataFrame({"words": [bf.words.tobytes()]})
+
+    merged = BloomFilter(log2_bits)
+    for row in okeys.map_batches(block_bloom,
+                                 batch_format="pandas").iter_rows():
+        merged.words |= np.frombuffer(row["words"], dtype=np.uint64)
+    words_ref = ray.put(merged.words)
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(log2_bits)
+        bf.words = ray.get(words_ref)
+        keep = b.loc[bf.contains(b["l_orderkey"].to_numpy())].copy()
+        keep["rev"] = keep["l_extendedprice"] * (1.0 - keep["l_discount"])
+        return keep[["l_orderkey", "rev"]]
+
+    survivors = li.map_batches(probe, batch_format="pandas")
+    right = okeys.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    exact = bucketed_hash_join(survivors, right, on="l_orderkey",
+                               right_cols=["l_orderkey"], num_buckets=16,
+                               restore_dtypes={"l_orderkey": "int64"})
+    agg = partial_then_global_sum(exact, keys=["l_orderkey"],
+                                  sums={"rev": "revenue"})
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = b["revenue"].round(2)
+        return b.sort_values(["revenue", "l_orderkey"],
+                             ascending=[False, True], kind="mergesort").head(k)
+
+    partials = agg.map_batches(head, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    return partials.sort_values(["revenue", "l_orderkey"],
+                                ascending=[False, True], kind="mergesort") \
+        .head(k).reset_index(drop=True)
+
+
+Q_JOIN3_TOPK_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_lag_diff(sf_dir: str):
+    """Per-key LAG + delta (value - previous value, event-time order):
+    one bucketed shuffle on the partition key, vectorized groupby.shift
+    per bucket.  Works in integer cents so the delta is exact."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    def lag(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "delta_cents": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        b["__c"] = cents
+        prev = b.groupby("user_id", sort=False)["__c"].shift(1)
+        b["delta_cents"] = (b["__c"] - prev).fillna(0).astype("int64")
+        return b[["event_id", "user_id", "delta_cents"]]
+
+    return grouped_map_buckets(events, ["user_id"], lag,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_LAG_DIFF_SQL = """
+SELECT event_id, user_id,
+       coalesce(CAST(round(value * 100) AS BIGINT)
+                - lag(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                0) AS delta_cents
+FROM events
+"""
+
+
+def q_rolling_mean(sf_dir: str, window: int = 4):
+    """Per-key rolling mean over the last ``window`` rows (ROWS BETWEEN
+    3 PRECEDING AND CURRENT ROW): bucketed shuffle + per-bucket
+    cumsum-difference kernel (exact float64 windows, no incremental
+    drift), rounded to 6 dp on both engines."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "roll_mean": pd.Series(dtype="float64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        g = b.groupby("user_id", sort=False)["value"]
+        b["roll_mean"] = g.rolling(window, min_periods=1).mean() \
+            .round(6).to_numpy()
+        return b[["event_id", "user_id", "roll_mean"]]
+
+    return grouped_map_buckets(events, ["user_id"], roll,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_ROLLING_MEAN_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             6) AS roll_mean
+FROM events
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid, long format (label, dim, val):
+    each block folds its vectors into per-label (64-dim sum, count)
+    partials; ONE bucketed global sum finishes the mean.  The vectors
+    never cross the wire — only O(labels x dim x blocks) partial rows
+    do.  The building block for class prototypes / IVF training at
+    100 TB."""
+    emb = _pq(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        labels = b["label"].to_numpy()
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv)
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "vsum": sums.ravel(),
+            "n": np.repeat(counts.astype(np.int64), d)})
+
+    parts = emb.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+    agg = partial_then_global_sum(parts, keys=["label", "dim"],
+                                  sums={"vsum": "vsum", "n": "n"},
+                                  num_buckets=8)
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            "label": b["label"].astype("int64"),
+            "dim": b["dim"].astype("int64"),
+            "val": (b["vsum"] / b["n"]).round(6)}),
+        batch_format="pandas")
+
+
+Q_LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS dim,
+       round(avg(embedding[CAST(d.d AS INTEGER) + 1]), 6) AS val
+FROM embeddings, range(64) d(d)
+GROUP BY label, d.d
+"""
+
+
+def q_images_thumbnail(sf_dir: str, limit: int = 500):
+    """Image thumbnail pipeline: synthesize the image table from
+    documents → decode (png/raw/lossy-DCT) → bilinear 8x8 thumbnail →
+    per-thumbnail stats + pHash, all inside one map_batches chain over
+    binary columns.  Deterministic end to end; rows-only (image decode
+    is not SQL-expressible) — tests/test_images.py covers the resize
+    kernels exactly."""
+    from .images.codec import decode_image, phash64, resize_bilinear
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+
+    def thumb(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"image_id": [], "fmt": [], "thumb_mean": [],
+               "thumb_phash": []}
+        for img_id, data, fmt, w, h in zip(
+                b["image_id"], b["bytes"], b["fmt"], b["w"], b["h"]):
+            px = decode_image(data, fmt, int(w), int(h))
+            t = resize_bilinear(px, 8, 8)
+            out["image_id"].append(img_id)
+            out["fmt"].append(fmt)
+            out["thumb_mean"].append(round(float(t.mean()), 4))
+            out["thumb_phash"].append(np.int64(np.uint64(phash64(t))
+                                               .astype(np.int64)))
+        return pd.DataFrame(out)
+
+    return imgs.map_batches(thumb, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2329,6 +2556,11 @@ QUERIES = {
     "approx_heavy_hitters": q_approx_heavy_hitters,
     "kmeans": q_kmeans,
     "tfidf_topk": q_tfidf_topk,
+    "join3_topk": q_join3_topk,
+    "lag_diff": q_lag_diff,
+    "rolling_mean": q_rolling_mean,
+    "label_centroids": q_label_centroids,
+    "images_thumbnail": q_images_thumbnail,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2385,6 +2617,10 @@ ORACLES = {
     "join_full_outer": Q_JOIN_FULL_OUTER_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "tfidf_topk": Q_TFIDF_TOPK_SQL,
+    "join3_topk": Q_JOIN3_TOPK_SQL,
+    "lag_diff": Q_LAG_DIFF_SQL,
+    "rolling_mean": Q_ROLLING_MEAN_SQL,
+    "label_centroids": Q_LABEL_CENTROIDS_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
