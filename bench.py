@@ -92,6 +92,11 @@ def run_suite(sf_dir: str) -> dict:
     bench("heavy_hitters", lambda: q.q_heavy_hitters(sf_dir))
     bench("global_quantiles", lambda: q.q_global_quantiles(sf_dir))
     bench("set_except", lambda: q.q_set_except(sf_dir))
+    bench("join3_topk", lambda: q.q_join3_topk(sf_dir))
+    bench("tfidf_topk", lambda: q.q_tfidf_topk(sf_dir))
+    bench("rolling_mean", lambda: q.q_rolling_mean(sf_dir))
+    bench("label_centroids", lambda: q.q_label_centroids(sf_dir))
+    bench("images_thumbnail", lambda: q.q_images_thumbnail(sf_dir))
     return {"timings": timings, "rows": rows}
 
 
