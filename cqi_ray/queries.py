@@ -1045,6 +1045,35 @@ SELECT id AS doc_id, min(rep) AS cluster_rep FROM r GROUP BY id
 """
 
 
+def q_dedup_phash_cc(sf_dir: str, max_hamming: int = 10):
+    """Fully distributed variant of q_dedup_phash_clusters: the
+    union-find over duplicate pairs runs as min-label propagation with
+    pointer doubling (ops/graph.py::connected_components) — NO
+    driver-side pair set or cluster map; every stage is a bounded
+    co-partitioned shuffle.  The scale path when the near-dup graph
+    itself no longer fits one machine.  Same oracle as the clusters
+    query (DuckDB recursive min-label propagation)."""
+    from .ops.graph import connected_components
+
+    pairs = q_dedup_phash(sf_dir, max_hamming=max_hamming)
+    labels = connected_components(pairs, src="a", dst="b")
+    labels = labels.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["vertex"].astype("int64"),
+                                "cluster_rep": b["component"].astype("int64")}),
+        batch_format="pandas")
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    joined = bucketed_hash_join(docs, labels, on="doc_id",
+                                right_cols=["doc_id", "cluster_rep"],
+                                num_buckets=16, how="left")
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "cluster_rep": pd.to_numeric(b["cluster_rep"])
+                .fillna(b["doc_id"]).astype("int64")}),
+        batch_format="pandas")
+
+
 def q_audio_features(sf_dir: str):
     """Audio actor-pool stage over a deterministic synthetic clip table
     (codec stubbed; plumbing real — see images/multimodal.py)."""
@@ -2568,6 +2597,7 @@ QUERIES = {
     "dedup_phash": q_dedup_phash,
     "dedup_phash_images": q_dedup_phash_images,
     "dedup_phash_clusters": q_dedup_phash_clusters,
+    "dedup_phash_cc": q_dedup_phash_cc,
     "dedup_embedding": q_dedup_embedding,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
@@ -2627,6 +2657,7 @@ ORACLES = {
     "dedup_ngram": Q_DEDUP_NGRAM_SQL,
     "dedup_phash": Q_DEDUP_PHASH_SQL,
     "dedup_phash_clusters": Q_DEDUP_PHASH_CLUSTERS_SQL,
+    "dedup_phash_cc": Q_DEDUP_PHASH_CLUSTERS_SQL,  # same semantics, CC plan
     "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "audio_features": Q_AUDIO_FEATURES_SQL,
     "video_frames": Q_VIDEO_FRAMES_SQL,

@@ -80,3 +80,61 @@ class TestGlobalExactQuantiles:
             _ds(pd.DataFrame({"x": pd.Series(dtype="float64")}), 1),
             "x", [0.5], num_bins=8)
         assert np.isnan(out["val"]).all()
+
+
+class TestConnectedComponents:
+    def _reference(self, edges: pd.DataFrame) -> dict:
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(edges["a"], edges["b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        members = {}
+        for v in set(edges["a"]) | set(edges["b"]):
+            members.setdefault(find(v), []).append(v)
+        return {v: min(mem) for mem in members.values() for v in mem}
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        from cqi_ray.ops.graph import connected_components
+
+        rng = np.random.RandomState(23)
+        edges = pd.DataFrame({"a": rng.randint(0, 500, 300),
+                              "b": rng.randint(0, 500, 300)})
+        edges = edges[edges["a"] != edges["b"]]
+        got = connected_components(
+            rd.from_pandas(edges).repartition(4)).to_pandas()
+        want = self._reference(edges)
+        gotmap = dict(zip(got["vertex"], got["component"]))
+        assert gotmap == want
+
+    def test_long_chains_converge_logarithmically(self, ray_session):
+        from cqi_ray.ops.graph import connected_components
+
+        rows = [(base + i, base + i + 1)
+                for base in (0, 1000) for i in range(60)]
+        edges = pd.DataFrame(rows, columns=["a", "b"])
+        # pointer doubling: diameter-60 chains must converge well inside
+        # 12 iterations (plain propagation would need 60)
+        got = connected_components(rd.from_pandas(edges).repartition(3),
+                                   max_iters=12).to_pandas()
+        m = dict(zip(got["vertex"], got["component"]))
+        assert all(m[base + i] == base for base in (0, 1000)
+                   for i in range(61))
+
+    def test_cc_clusters_query_equals_union_find_query(self, ray_session):
+        from cqi_ray.queries import q_dedup_phash_cc, q_dedup_phash_clusters
+
+        sf = "/root/testdata/sf0.001"
+        a = q_dedup_phash_cc(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = q_dedup_phash_clusters(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
