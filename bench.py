@@ -91,6 +91,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("window_running", lambda: q.q_window_running(sf_dir))
     bench("heavy_hitters", lambda: q.q_heavy_hitters(sf_dir))
     bench("global_quantiles", lambda: q.q_global_quantiles(sf_dir))
+    bench("approx_quantiles", lambda: q.q_approx_quantiles(sf_dir))
     bench("set_except", lambda: q.q_set_except(sf_dir))
     bench("join3_topk", lambda: q.q_join3_topk(sf_dir))
     bench("tfidf_topk", lambda: q.q_tfidf_topk(sf_dir))

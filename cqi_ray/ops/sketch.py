@@ -221,3 +221,98 @@ class CountMinSketch:
         assert (self.depth, self.width) == (other.depth, other.width)
         self.table += other.table
         return self
+
+
+class TDigest:
+    """Deterministic merging t-digest (Dunning & Ertl 2019, the
+    buffer-and-merge variant): centroids are (mean, weight) pairs kept
+    sorted by mean; compression merges adjacent centroids while the
+    merged weight stays under the k1 scale-function bound, which caps
+    the digest at O(delta) centroids with relative rank error ~1/delta
+    at the tails.  One-pass and MERGEABLE: per-block digests union by
+    concatenating centroid lists and re-compressing — the quantile
+    companion to HLL/CMS when the two-pass exact
+    ``relational.global_exact_quantiles`` would cost an extra scan.
+
+    Deterministic: insertion sorts by (mean, weight), compression scans
+    left-to-right — independent of input order after compression of the
+    same value multiset, and reproducible across runs for a fixed
+    partitioning.
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.zeros(0)
+        self.weights = np.zeros(0, dtype=np.int64)
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        # k1 scale function: asin-based, tail-accurate
+        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.lexsort((weights, means))
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        if total == 0:
+            self.means, self.weights = means[:0], weights[:0]
+            return
+        out_m, out_w = [], []
+        cur_m, cur_w = float(means[0]), int(weights[0])
+        w_before = 0
+        for m, w in zip(means[1:], weights[1:]):
+            q0 = w_before / total
+            q2 = (w_before + cur_w + w) / total
+            if self._k(np.array([q2])) - self._k(np.array([q0])) <= 1.0:
+                cur_m = (cur_m * cur_w + float(m) * int(w)) / (cur_w + int(w))
+                cur_w += int(w)
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_before += cur_w
+                cur_m, cur_w = float(m), int(w)
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w, dtype=np.int64)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        if not len(v):
+            return self
+        # pre-collapse duplicates for determinism + speed
+        uniq, counts = np.unique(v, return_counts=True)
+        self._compress(np.concatenate([self.means, uniq]),
+                       np.concatenate([self.weights,
+                                       counts.astype(np.int64)]))
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta
+        self._compress(np.concatenate([self.means, other.means]),
+                       np.concatenate([self.weights, other.weights]))
+        return self
+
+    def quantile(self, q: float) -> float:
+        if not len(self.means):
+            return float("nan")
+        total = int(self.weights.sum())
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target)) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def to_row(self) -> dict:
+        return {"means": self.means.tobytes(),
+                "weights": self.weights.tobytes()}
+
+    @classmethod
+    def from_row(cls, row: dict, delta: int = 200) -> "TDigest":
+        d = cls(delta)
+        d.means = np.frombuffer(row["means"], dtype=np.float64).copy()
+        d.weights = np.frombuffer(row["weights"], dtype=np.int64).copy()
+        return d

@@ -2304,6 +2304,35 @@ SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn FROM ranked WHERE rn <= 3
 """
 
 
+def q_approx_quantiles(sf_dir: str):
+    """ONE-PASS approximate global quantiles via a mergeable t-digest
+    (ops/sketch.py): each block folds its values into one bounded
+    centroid list (~delta rows), the driver merges the digests and reads
+    the quantiles off — a single streaming scan where
+    q_global_quantiles' exact histogram refinement needs three.
+    Approximate BY DESIGN (rank error ~1/delta) -> no SQL hash oracle;
+    tests/test_ops.py bounds the rank error against the exact path."""
+    from .ops.sketch import TDigest
+
+    li = _pq(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest().add(b["l_extendedprice"].to_numpy())
+        row = d.to_row()
+        return pd.DataFrame({"means": [row["means"]],
+                             "weights": [row["weights"]]})
+
+    merged = None
+    for row in li.map_batches(partial, batch_format="pandas",
+                              batch_size=None).iter_rows():
+        d = TDigest.from_row(row)
+        merged = d if merged is None else merged.merge(d)
+    qs = [0.25, 0.5, 0.9, 0.99]
+    return pd.DataFrame({
+        "q": qs,
+        "val": [round(merged.quantile(q), 2) for q in qs]})
+
+
 def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed spherical k-means over the embeddings table
     (ops/ann.py::kmeans_distributed): Lloyd iterations where only
@@ -2585,6 +2614,7 @@ QUERIES = {
     "approx_heavy_hitters": q_approx_heavy_hitters,
     "kmeans": q_kmeans,
     "tfidf_topk": q_tfidf_topk,
+    "approx_quantiles": q_approx_quantiles,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,

@@ -322,6 +322,55 @@ class TestCountMinSketch:
         assert len(overlap) >= 15
 
 
+class TestTDigest:
+    def test_rank_error_bounded(self):
+        from cqi_ray.ops.sketch import TDigest
+
+        rng = np.random.RandomState(11)
+        vals = rng.lognormal(3.0, 1.2, 50_000)
+        d = TDigest(delta=200)
+        for chunk in np.array_split(vals, 7):
+            d.add(chunk)
+        sv = np.sort(vals)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = d.quantile(q)
+            # rank of the estimate in the true data vs requested rank
+            rank = np.searchsorted(sv, est) / len(sv)
+            assert abs(rank - q) < 0.01, (q, rank)
+
+    def test_merge_matches_single_digest_quantiles(self):
+        from cqi_ray.ops.sketch import TDigest
+
+        rng = np.random.RandomState(3)
+        vals = rng.normal(0, 1, 20_000)
+        a = TDigest().add(vals[:8_000])
+        b = TDigest().add(vals[8_000:])
+        merged = a.merge(b)
+        one = TDigest().add(vals)
+        for q in (0.1, 0.5, 0.9):
+            assert abs(merged.quantile(q) - one.quantile(q)) < 0.05
+
+    def test_row_roundtrip(self):
+        from cqi_ray.ops.sketch import TDigest
+
+        d = TDigest().add(np.arange(1000, dtype=np.float64))
+        d2 = TDigest.from_row(d.to_row())
+        assert np.array_equal(d.means, d2.means)
+        assert np.array_equal(d.weights, d2.weights)
+
+    def test_query_tracks_exact_quantiles(self, ray_session):
+        from cqi_ray.queries import q_approx_quantiles
+
+        sf = "/root/testdata/sf0.001"
+        res = q_approx_quantiles(sf)
+        li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_extendedprice"])
+        v = np.sort(li["l_extendedprice"].to_numpy())
+        for q, est in zip(res["q"], res["val"]):
+            rank = np.searchsorted(v, est) / len(v)
+            assert abs(rank - q) < 0.02, (q, rank)
+
+
 class TestDistributedKMeans:
     def _local_reference(self, ids, mat, k, iters):
         """Single-process run of the identical algorithm (seed = k
