@@ -94,6 +94,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("approx_quantiles", lambda: q.q_approx_quantiles(sf_dir))
     bench("set_except", lambda: q.q_set_except(sf_dir))
     bench("join3_topk", lambda: q.q_join3_topk(sf_dir))
+    bench("window_rank", lambda: q.q_window_rank(sf_dir))
+    bench("group_mode", lambda: q.q_group_mode(sf_dir))
     bench("tfidf_topk", lambda: q.q_tfidf_topk(sf_dir))
     bench("rolling_mean", lambda: q.q_rolling_mean(sf_dir))
     bench("label_centroids", lambda: q.q_label_centroids(sf_dir))

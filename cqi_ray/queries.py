@@ -2333,6 +2333,148 @@ def q_approx_quantiles(sf_dir: str):
         "val": [round(merged.quantile(q), 2) for q in qs]})
 
 
+def q_window_rank(sf_dir: str, n: int = 2):
+    """RANK() with ties (gaps) per key, filtered to rank <= n, without a
+    global sort.  Combiner: a block keeps only rows whose value is among
+    the block's top-n DISTINCT values for their key — safe because a row
+    with global rank <= n has one of the n highest distinct global
+    values, and such a row can never see n distinct larger values inside
+    its own block; conversely every row with a strictly larger surviving
+    value also survives, so ranks computed on the pruned set are exact
+    for the rows that pass the filter.  One bucketed shuffle finishes
+    each key group."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_orderkey", "l_linenumber",
+                      "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = b.groupby("l_suppkey", sort=False)["l_quantity"] \
+            .rank(method="dense", ascending=False)
+        return b[r <= n]
+
+    def rank_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            out = bucket.copy()
+            out["rnk"] = pd.Series(dtype="int64")
+            return out
+        b = bucket.sort_values(
+            ["l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"],
+            ascending=[True, False, True, True], kind="mergesort")
+        rnk = b.groupby("l_suppkey", sort=False)["l_quantity"] \
+            .rank(method="min", ascending=False).astype("int64")
+        b = b[rnk <= n].copy()
+        b["rnk"] = rnk[rnk <= n]
+        return b
+
+    pruned = li.map_batches(partial, batch_format="pandas")
+    return grouped_map_buckets(pruned, ["l_suppkey"], rank_bucket,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_WINDOW_RANK_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, rnk FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         CAST(rank() OVER (PARTITION BY l_suppkey
+                           ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+  FROM lineitem) WHERE rnk <= 2
+"""
+
+
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(a, b): hierarchical subtotals computed from ONE
+    distributed scan — the finest level aggregates with the partial->
+    bucketed-global-sum shape, and the coarser levels re-aggregate the
+    (tiny: |a|x|b| rows) finest result on the driver, so no second pass
+    over the data.  NULL subtotal markers are encoded as 'ALL' on both
+    sides (the input columns are non-null) to keep the comparison
+    hash-stable."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    finest = partial_then_global_sum(
+        li, keys=["l_returnflag", "l_linestatus"],
+        sums={"l_quantity": "sum_qty"}, counts="cnt").to_pandas()
+
+    lvl1 = finest.groupby("l_returnflag", as_index=False, sort=False) \
+        [["sum_qty", "cnt"]].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                         "sum_qty": [finest["sum_qty"].sum()],
+                         "cnt": [finest["cnt"].sum()]})
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "cnt"]]
+
+
+Q_ROLLUP_AGG_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Wide -> long reshape (UNPIVOT / melt): each block melts its value
+    columns independently — embarrassingly parallel, no shuffle at all.
+    The schema-normalization step of feature pipelines (one (entity,
+    attribute, value) row per cell)."""
+    part = _pq(sf_dir, "part",
+               columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.astype({"p_size": "float64"})
+        out = b.melt(id_vars="p_partkey", var_name="attr", value_name="val")
+        out["val"] = out["val"].astype("float64")
+        return out
+
+    return part.map_batches(melt, batch_format="pandas")
+
+
+Q_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+"""
+
+
+def q_group_mode(sf_dir: str):
+    """Per-key MODE (most frequent value, deterministic min-value
+    tiebreak): per-block (key, value) counts are the combiner, ONE
+    bucketed shuffle on the pair key sums them globally, and a second
+    tiny bucketed pass on the key alone takes the argmax — input to the
+    argmax is at most |keys| x |distinct values| rows, never the raw
+    table."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    counts = partial_then_global_sum(
+        orders, keys=["o_custkey", "o_orderpriority"], sums={}, counts="cnt")
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return bucket
+        b = bucket.sort_values(["o_custkey", "cnt", "o_orderpriority"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+        b = b.groupby("o_custkey", sort=False).head(1).copy()
+        b["cnt"] = b["cnt"].astype("int64")
+        return b
+
+    return grouped_map_buckets(counts, ["o_custkey"], argmax,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_GROUP_MODE_SQL = """
+SELECT o_custkey, o_orderpriority, cnt FROM (
+  SELECT o_custkey, o_orderpriority, cnt,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2))
+WHERE rn = 1
+"""
+
+
 def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed spherical k-means over the embeddings table
     (ops/ann.py::kmeans_distributed): Lloyd iterations where only
@@ -2615,6 +2757,10 @@ QUERIES = {
     "kmeans": q_kmeans,
     "tfidf_topk": q_tfidf_topk,
     "approx_quantiles": q_approx_quantiles,
+    "window_rank": q_window_rank,
+    "rollup_agg": q_rollup_agg,
+    "unpivot": q_unpivot,
+    "group_mode": q_group_mode,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,
@@ -2703,4 +2849,8 @@ ORACLES = {
     "knn_assign": Q_KNN_ASSIGN_SQL,
     "spatial_join_rtree": Q_SPATIAL_JOIN_RTREE_SQL,
     "tiles": Q_TILES_SQL,
+    "window_rank": Q_WINDOW_RANK_SQL,
+    "rollup_agg": Q_ROLLUP_AGG_SQL,
+    "unpivot": Q_UNPIVOT_SQL,
+    "group_mode": Q_GROUP_MODE_SQL,
 }
