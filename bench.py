@@ -100,6 +100,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("rolling_mean", lambda: q.q_rolling_mean(sf_dir))
     bench("label_centroids", lambda: q.q_label_centroids(sf_dir))
     bench("images_thumbnail", lambda: q.q_images_thumbnail(sf_dir))
+    bench("images_quality", lambda: q.q_images_quality(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -2720,6 +2720,49 @@ def q_images_thumbnail(sf_dir: str, limit: int = 500):
     return imgs.map_batches(thumb, batch_format="pandas")
 
 
+def q_images_quality(sf_dir: str, limit: int = 500):
+    """Image quality-filter pipeline: decode → per-image sharpness
+    (Laplacian variance), exposure/contrast stats, 16-bin entropy, and a
+    difference hash, then the vectorized keep/drop decision — the image
+    analogue of q_text_quality for training-data curation.  One
+    map_batches chain over binary columns; scores are per-image scalars
+    so the stage output is tiny regardless of payload size.  Rows-only
+    (decode is not SQL-expressible); tests/test_images.py pins the
+    kernel semantics on synthetic frames."""
+    from .images.analysis import (dhash64, image_stats, laplacian_var,
+                                  quality_flags, to_gray)
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        sharp = np.empty(n)
+        mean = np.empty(n)
+        std = np.empty(n)
+        ent = np.empty(n)
+        dh = np.empty(n, dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            g = to_gray(decode_image(data, fmt, int(w), int(h)))
+            sharp[i] = laplacian_var(g)
+            mean[i], std[i], ent[i] = image_stats(g)
+            dh[i] = np.uint64(dhash64(g)).astype(np.int64)
+        return pd.DataFrame({
+            "image_id": b["image_id"].to_numpy(),
+            "fmt": b["fmt"].to_numpy(),
+            "sharpness": np.round(sharp, 4),
+            "mean_px": np.round(mean, 4),
+            "std_px": np.round(std, 4),
+            "entropy": np.round(ent, 4),
+            "dhash": dh,
+            "keep": quality_flags(sharp, mean, std, ent),
+        })
+
+    return imgs.map_batches(analyze, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2761,6 +2804,7 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "unpivot": q_unpivot,
     "group_mode": q_group_mode,
+    "images_quality": q_images_quality,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,

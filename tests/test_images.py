@@ -218,3 +218,90 @@ class TestResize:
         out = resize_bilinear(grad, 6, 4)
         rows = out[:, :, 0]
         assert (np.diff(rows, axis=1) >= 0).all()
+
+
+class TestAnalysisKernels:
+    def _sharp(self):
+        # checkerboard: maximal local contrast
+        y, x = np.mgrid[0:32, 0:32]
+        return (((y + x) % 2) * 255).astype(np.uint8)
+
+    def test_laplacian_var_orders_sharp_vs_flat(self):
+        from cqi_ray.images import analysis
+
+        flat = np.full((32, 32), 128, dtype=np.uint8)
+        sharp = self._sharp()
+        # box-blur the checkerboard -> mid-gray everywhere -> low response
+        blurred = np.full((32, 32), 127.5)
+        assert analysis.laplacian_var(flat) == 0.0
+        assert analysis.laplacian_var(sharp) > 1000.0
+        assert analysis.laplacian_var(blurred) < 1.0
+
+    def test_image_stats(self):
+        from cqi_ray.images import analysis
+
+        mean, std, ent = analysis.image_stats(np.full((16, 16), 200.0))
+        assert (mean, std, ent) == (200.0, 0.0, 0.0)
+        # two equally-likely bins -> 1 bit of entropy
+        two = np.zeros((16, 16))
+        two[:, 8:] = 255.0
+        _, _, e2 = analysis.image_stats(two)
+        assert abs(e2 - 1.0) < 1e-9
+
+    def test_dhash_deterministic_and_discriminates(self):
+        from cqi_ray.images import analysis
+
+        a = synth._pixels_for(5, 48, 48)
+        g = analysis.to_gray(a)
+        assert analysis.dhash64(g) == analysis.dhash64(g)
+        # horizontal flip reverses every gradient comparison
+        flipped = analysis.dhash64(g[:, ::-1])
+        d = codec.hamming64(
+            np.array([np.uint64(analysis.dhash64(g)).astype(np.int64)]),
+            np.array([np.uint64(flipped).astype(np.int64)]))[0]
+        assert d > 10
+
+    def test_dhash_robust_to_brightness_shift(self):
+        from cqi_ray.images import analysis
+
+        g = analysis.to_gray(synth._pixels_for(7, 40, 40))
+        shifted = np.clip(g + 10.0, 0, 255)
+        d = codec.hamming64(
+            np.array([np.uint64(analysis.dhash64(g)).astype(np.int64)]),
+            np.array([np.uint64(analysis.dhash64(shifted)).astype(np.int64)]))[0]
+        assert d <= 6
+
+    def test_quality_flags_vectorized(self):
+        from cqi_ray.images import analysis
+
+        keep = analysis.quality_flags(
+            sharpness=np.array([50.0, 0.1, 50.0, 50.0, 50.0]),
+            mean=np.array([120.0, 120.0, 2.0, 120.0, 120.0]),
+            std=np.array([30.0, 30.0, 30.0, 0.5, 30.0]),
+            entropy=np.array([3.0, 3.0, 3.0, 3.0, 0.1]))
+        assert list(keep) == [True, False, False, False, False]
+
+    def test_query_runs_and_flags(self, ray_session):
+        from cqi_ray.queries import q_images_quality
+
+        out = q_images_quality("/root/testdata/sf0.001", limit=64).to_pandas()
+        assert len(out) == 64
+        assert set(out.columns) == {"image_id", "fmt", "sharpness",
+                                    "mean_px", "std_px", "entropy",
+                                    "dhash", "keep"}
+        # the synthetic corpus mixes pure linear ramps (Laplacian == 0 ->
+        # "blurred") with striped frames: the filter must discriminate
+        assert 0 < out["keep"].sum() < len(out)
+        # keep is exactly the vectorized flag recomputed from the columns
+        from cqi_ray.images.analysis import quality_flags
+        expect = quality_flags(out["sharpness"].to_numpy(),
+                               out["mean_px"].to_numpy(),
+                               out["std_px"].to_numpy(),
+                               out["entropy"].to_numpy())
+        assert (out["keep"].to_numpy() == expect).all()
+        # determinism across runs
+        out2 = q_images_quality("/root/testdata/sf0.001", limit=64).to_pandas()
+        a = out.sort_values("image_id").reset_index(drop=True)
+        b = out2.sort_values("image_id").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
