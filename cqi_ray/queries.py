@@ -843,8 +843,10 @@ def q_dedup_phash(sf_dir: str, max_hamming: int = 10, bands: int = 11):
     bytes exist).
 
     band LSH (bands = max_hamming + 1 => guaranteed recall by pigeonhole)
-    -> groupby(band, band_hash) -> hamming verify -> distinct pairs."""
-    from .ops.dedup import hamming64_u, hash_band_rows, planted_phash64
+    -> groupby(band, band_hash) -> hamming verify (exact-dup-pile-safe
+    vectorized pair expansion) -> distinct pairs."""
+    from .ops.dedup import (hamming_dup_pairs_grouped, hash_band_rows,
+                            planted_phash64, run_bounds)
 
     docs = _pq(sf_dir, "documents", columns=["doc_id"])
 
@@ -860,25 +862,15 @@ def q_dedup_phash(sf_dir: str, max_hamming: int = 10, bands: int = 11):
                               "b": pd.Series(dtype="int64")})
         if not len(bucket):
             return empty
-        band = bucket["band_id"].to_numpy()
-        bh = bucket["band_hash"].to_numpy()
-        ids = bucket["doc_id"].to_numpy()
-        hashes = bucket["phash"].to_numpy()
-        change = (np.diff(band) != 0) | (np.diff(bh) != 0)
-        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
-        rows = {"a": [], "b": []}
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            order = np.argsort(ids[s:e], kind="stable")
-            gi, gh = ids[s:e][order], hashes[s:e][order]
-            for i in range(len(gi)):
-                d = hamming64_u(np.full(len(gi) - i - 1, gh[i]), gh[i + 1:])
-                for j in np.nonzero(d <= max_hamming)[0]:
-                    if gi[i] != gi[i + 1 + j]:
-                        rows["a"].append(int(gi[i]))
-                        rows["b"].append(int(gi[i + 1 + j]))
-        return pd.DataFrame(rows) if rows["a"] else empty
+        bounds = run_bounds(bucket["band_id"].to_numpy(),
+                            bucket["band_hash"].to_numpy())
+        a, b = hamming_dup_pairs_grouped(bucket["doc_id"].to_numpy(),
+                                         bucket["phash"].to_numpy(),
+                                         bounds, max_hamming)
+        if not len(a):
+            return empty
+        return pd.DataFrame({"a": a.astype(np.int64),
+                             "b": b.astype(np.int64)})
 
     banded = docs.map_batches(to_bands, batch_format="pandas")
     pairs = grouped_map_buckets(banded, ["band_id", "band_hash"],
@@ -892,7 +884,8 @@ def q_dedup_phash_images(sf_dir: str, max_hamming: int = 10):
     table (real decode -> phash64 bytes path; approximate recall with 4
     bands, see ops.dedup.phash_band_rows).  Rows-only driver check; the
     oracle-checked LSH machinery is `dedup_phash`."""
-    from .ops.dedup import phash_band_rows, phash_dup_pairs_in_bucket
+    from .ops.dedup import (hamming_dup_pairs_grouped, phash_band_rows,
+                            run_bounds)
     from .pipelines.flagship import build_images
 
     images = build_images(sf_dir).select_columns(["image_id", "phash"])
@@ -908,21 +901,14 @@ def q_dedup_phash_images(sf_dir: str, max_hamming: int = 10):
                               "b": pd.Series(dtype=object)})
         if not len(bucket):
             return empty
-        band = bucket["band_id"].to_numpy()
-        bh = bucket["band_hash"].to_numpy()
-        ids = bucket["doc_id"].to_numpy()
-        hashes = bucket["phash"].to_numpy()
-        change = (np.diff(band) != 0) | (np.diff(bh) != 0)
-        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
-        rows = {"a": [], "b": []}
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            for a, b, _ in phash_dup_pairs_in_bucket(
-                    ids[s:e], hashes[s:e], max_hamming=max_hamming):
-                rows["a"].append(a)
-                rows["b"].append(b)
-        return pd.DataFrame(rows) if rows["a"] else empty
+        bounds = run_bounds(bucket["band_id"].to_numpy(),
+                            bucket["band_hash"].to_numpy())
+        a, b = hamming_dup_pairs_grouped(bucket["doc_id"].to_numpy(),
+                                         bucket["phash"].to_numpy(),
+                                         bounds, max_hamming)
+        if not len(a):
+            return empty
+        return pd.DataFrame({"a": a, "b": b})
 
     pairs = grouped_map_buckets(
         images.map_batches(to_bands, batch_format="pandas"),
@@ -975,29 +961,19 @@ def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10):
 
     # near-dup pairs among the (small) distinct-hash rep set: reuse the
     # guaranteed-recall banding locally (rep set is bounded)
-    from .ops.dedup import hamming64_u, hash_band_rows
+    from .ops.dedup import (hamming_dup_pairs_grouped, hash_band_rows,
+                            run_bounds)
 
     banded = hash_band_rows(reps["phash"].to_numpy().astype(np.uint64),
                             reps["rep"].to_numpy(), bands=max_hamming + 1)
     banded["phash"] = np.tile(reps["phash"].to_numpy(), max_hamming + 1)
     banded = banded.sort_values(["band_id", "band_hash"], kind="mergesort")
-    band = banded["band_id"].to_numpy()
-    bh = banded["band_hash"].to_numpy()
-    change = (np.diff(band) != 0) | (np.diff(bh) != 0)
-    bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(band)]])
-    rep_ids = banded["doc_id"].to_numpy()
-    rep_h = banded["phash"].to_numpy()
-    pairs = set()
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        gi, gh = rep_ids[s:e], rep_h[s:e]
-        for i in range(len(gi)):
-            d = hamming64_u(np.full(len(gi) - i - 1, gh[i]), gh[i + 1:])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                if gi[i] != gi[i + 1 + j]:
-                    pairs.add((int(min(gi[i], gi[i + 1 + j])),
-                               int(max(gi[i], gi[i + 1 + j]))))
+    bounds = run_bounds(banded["band_id"].to_numpy(),
+                        banded["band_hash"].to_numpy())
+    pa, pb = hamming_dup_pairs_grouped(banded["doc_id"].to_numpy(),
+                                       banded["phash"].to_numpy(),
+                                       bounds, max_hamming)
+    pairs = set(zip(pa.astype(np.int64).tolist(), pb.astype(np.int64).tolist()))
 
     # union-find over representative pairs (tiny)
     parent: dict = {}

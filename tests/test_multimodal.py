@@ -144,3 +144,47 @@ class TestPhashClusters:
         ka = a.sort_values("doc_id").reset_index(drop=True)
         kb = b.sort_values("doc_id").reset_index(drop=True)
         assert ka.equals(kb)
+
+
+class TestGroupedHammingPairs:
+    """hamming_dup_pairs_grouped (exact-dup-pile-safe vectorized form)
+    must equal the naive per-row loop on every group."""
+
+    def test_differential_vs_naive(self):
+        from cqi_ray.ops.dedup import (hamming_dup_pairs_grouped,
+                                       phash_dup_pairs_in_bucket,
+                                       run_bounds)
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        # 3 groups: random hashes, a near-dup chain, a big exact-dup pile
+        base = rng.randint(0, 1 << 32, size=30).astype(np.uint64)
+        g0 = base
+        g1 = np.array([100, 101, 102, 103], dtype=np.uint64)  # tiny hamming
+        g2 = np.full(50, 0xDEADBEEF, dtype=np.uint64)         # exact pile
+        hashes = np.concatenate([g0, g1, g2]).astype(np.int64)
+        ids = np.arange(len(hashes), dtype=np.int64)
+        band = np.concatenate([np.zeros(30), np.ones(4), np.full(50, 2)])
+        bounds = run_bounds(band)
+
+        a, b = hamming_dup_pairs_grouped(ids, hashes, bounds, max_hamming=6)
+        got = set(zip(a.tolist(), b.tolist()))
+
+        expect = set()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            for x, y, _ in phash_dup_pairs_in_bucket(
+                    ids[s:e], hashes[s:e], max_hamming=6):
+                expect.add((min(int(x), int(y)), max(int(x), int(y))))
+        assert got == expect
+        # the exact pile contributes all C(50,2) pairs
+        assert len([1 for x, y in got if x >= 34]) == 50 * 49 // 2
+
+    def test_empty_and_singletons(self):
+        from cqi_ray.ops.dedup import hamming_dup_pairs_grouped, run_bounds
+        import numpy as np
+
+        ids = np.array([1, 2, 3], dtype=np.int64)
+        h = np.array([10, 20, 30], dtype=np.int64)
+        bounds = run_bounds(np.array([0, 1, 2]))  # all singleton groups
+        a, b = hamming_dup_pairs_grouped(ids, h, bounds, max_hamming=1)
+        assert len(a) == 0 and len(b) == 0
