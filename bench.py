@@ -113,6 +113,10 @@ def run_suite(sf_dir: str) -> dict:
     bench("label_centroids", lambda: q.q_label_centroids(sf_dir))
     bench("images_thumbnail", lambda: q.q_images_thumbnail(sf_dir))
     bench("images_quality", lambda: q.q_images_quality(sf_dir))
+    bench("passage_dedup", lambda: q.q_passage_dedup(sf_dir))
+    bench("repetition_filter", lambda: q.q_repetition_filter(sf_dir))
+    bench("decontaminate", lambda: q.q_decontaminate(sf_dir))
+    bench("corr_stats", lambda: q.q_corr_stats(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -2740,6 +2740,241 @@ def q_images_quality(sf_dir: str, limit: int = 500):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: passage dedup / repetition / decontamination / stats
+# ---------------------------------------------------------------------------
+
+def q_passage_dedup(sf_dir: str, passage_words: int = 8):
+    """CCNet-style passage-level exact dedup, keep-first: documents are
+    split into consecutive 8-word passages; every passage that appeared
+    earlier in corpus order (min (doc_id, pidx)) is dropped; surviving
+    passages are reassembled per doc.  The distributed shape is two
+    bucketed shuffles, both on bounded keys:
+
+      docs -> passage explode (map_batches, vectorized)
+           -> groupby(passage) keep-first via min((doc_id << 16) | pidx)
+              computed per bucket, winners emitted in-bucket (the passage
+              string itself never travels twice)
+           -> groupby(doc_id): ordered reassembly + counts.
+
+    Docs whose every passage is a dup vanish (same as the SQL GROUP BY
+    over kept occurrences)."""
+    from .ops.curation import passage_rows
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    occ = docs.map_batches(
+        lambda b: passage_rows(b, passage_words=passage_words),
+        batch_format="pandas")
+
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return bucket
+        bucket = bucket.reset_index(drop=True)
+        ordv = (bucket["doc_id"].to_numpy(dtype=np.int64) << 16) \
+            | bucket["pidx"].to_numpy(dtype=np.int64)
+        b = bucket.assign(_ord=ordv)
+        win = b.loc[b.groupby("passage", sort=False)["_ord"].idxmin()]
+        return win.drop(columns=["_ord"])
+
+    kept = grouped_map_buckets(occ, ["passage"], keep_first,
+                               num_buckets=32, whole_bucket=True)
+
+    def reassemble(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "text_kept": pd.Series(dtype=object),
+                                 "n_kept": pd.Series(dtype="int64"),
+                                 "n_total": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["doc_id", "pidx"], kind="mergesort")
+        g = b.groupby("doc_id", sort=True)
+        return pd.DataFrame({
+            "doc_id": np.asarray(list(g.groups), dtype=np.int64),
+            "text_kept": g["passage"].agg(" ".join).to_numpy(),
+            "n_kept": g.size().to_numpy(dtype=np.int64),
+            "n_total": g["n_total"].first().to_numpy(dtype=np.int64),
+        })
+
+    return grouped_map_buckets(kept, ["doc_id"], reassemble,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_PASSAGE_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, i AS pidx,
+         array_to_string(ws[i*8+1 : i*8+8], ' ') AS passage,
+         CAST(ceil(len(ws)/8.0) AS BIGINT) AS n_total
+  FROM w, unnest(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)),
+win AS (SELECT passage, min(doc_id * 65536 + pidx) AS mo
+        FROM occ GROUP BY passage),
+kept AS (SELECT o.* FROM occ o JOIN win
+         ON o.passage = win.passage
+         AND o.doc_id * 65536 + o.pidx = win.mo)
+SELECT doc_id,
+       string_agg(passage, ' ' ORDER BY pidx) AS text_kept,
+       count(*) AS n_kept,
+       any_value(n_total) AS n_total
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_repetition_filter(sf_dir: str, max_top_bigram_frac: float = 0.18,
+                        min_distinct_frac: float = 0.2):
+    """Gopher-style repetition quality signals per document — distinct
+    word fraction and most-frequent-bigram fraction — plus the keep
+    decision.  Entirely shuffle-free: each doc's signals depend only on
+    its own text, so this is ONE vectorized map_batches over the corpus
+    (the cheapest possible shape at 100 TB)."""
+    from .ops.curation import repetition_stats
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_stats(b)
+        out["keep"] = ((out["top_bigram_frac"] <= max_top_bigram_frac)
+                       & (out["distinct_frac"] >= min_distinct_frac)) \
+            .astype(np.int64)
+        return out
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+Q_REPETITION_FILTER_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM w, unnest(range(1, len(ws))) AS t(i)),
+m AS (SELECT doc_id, max(cnt) AS maxc FROM
+        (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg)
+      GROUP BY doc_id),
+d AS (SELECT doc_id, len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct FROM w)
+SELECT d.doc_id, d.n_words,
+       round(d.n_distinct / greatest(d.n_words, 1), 6) AS distinct_frac,
+       round(coalesce(m.maxc, 0) / greatest(d.n_words - 1, 1), 6)
+         AS top_bigram_frac,
+       CAST(round(coalesce(m.maxc, 0) / greatest(d.n_words - 1, 1), 6)
+              <= 0.18
+            AND round(d.n_distinct / greatest(d.n_words, 1), 6) >= 0.2
+            AS BIGINT) AS keep
+FROM d LEFT JOIN m USING (doc_id)
+"""
+
+
+def q_decontaminate(sf_dir: str, gram_words: int = 5, bench_mod: int = 97):
+    """Benchmark decontamination: flag every document containing any
+    'benchmark' word 5-gram.  The benchmark set here is deterministic —
+    the first 5 words of every doc with doc_id % 97 == 0 — standing in
+    for an eval-suite n-gram list.  The shape is the canonical
+    broadcast-small-side pattern: the benchmark set is collected once,
+    ``ray.put`` once, and every batch task streams its docs' n-grams
+    against the in-memory set — NO shuffle of the corpus, and the big
+    side never materializes."""
+    from .ops.curation import explode_words, ngram_strings
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # benchmark set: tiny by construction (eval suites are small);
+    # collected via a pruned filter + map, not a full-corpus materialize
+    def first_gram(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["doc_id"] % bench_mod == 0]
+        _, _, words = explode_words(b)
+        return pd.DataFrame({
+            "g": [" ".join(w[:gram_words]) for w in words]})
+
+    bench = set(docs.map_batches(first_gram, batch_format="pandas")
+                .to_pandas()["g"])
+    ref = ray.put(frozenset(bench))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(ref)
+        gram_doc, grams = ngram_strings(b, n=gram_words)
+        hit = grams.isin(bset).to_numpy()
+        n_matches = np.bincount(gram_doc[hit], minlength=len(b)) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+            "n_matches": n_matches,
+            "contaminated": (n_matches > 0).astype(np.int64),
+        })
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+Q_DECONTAMINATE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bench AS (SELECT DISTINCT array_to_string(ws[1:5], ' ') AS g
+          FROM w WHERE doc_id % 97 = 0),
+grams AS (SELECT doc_id, array_to_string(ws[i : i+4], ' ') AS g
+          FROM w, unnest(range(1, len(ws) - 3)) AS t(i)),
+hits AS (SELECT doc_id, count(*) AS n FROM grams JOIN bench USING (g)
+         GROUP BY doc_id)
+SELECT w.doc_id,
+       coalesce(hits.n, 0) AS n_matches,
+       CAST(coalesce(hits.n, 0) > 0 AS BIGINT) AS contaminated
+FROM w LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_corr_stats(sf_dir: str):
+    """Per-group correlation + least-squares fit as ONE-PASS mergeable
+    sufficient statistics: each block computes partial
+    (n, Σx, Σy, Σxx, Σyy, Σxy) per key inside map_batches, a tiny
+    groupby sums the partials, and the final map applies the closed
+    forms — the pattern for ANY algebraic aggregate (variance, corr,
+    regression, cosine) at 100 TB: the shuffle carries 6 doubles per
+    key, never the data."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].astype(np.float64)
+        y = b["l_extendedprice"].astype(np.float64)
+        t = pd.DataFrame({"l_returnflag": b["l_returnflag"], "n": 1.0,
+                          "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                          "sxy": x * y})
+        return t.groupby("l_returnflag", as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    summed = li.map_batches(partials, batch_format="pandas") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy()
+        sx, sy = b["sx"].to_numpy(), b["sy"].to_numpy()
+        sxx, syy, sxy = b["sxx"].to_numpy(), b["syy"].to_numpy(), \
+            b["sxy"].to_numpy()
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        slope = cov / vx
+        # round(4): the partial-sum order differs from DuckDB's stream, so
+        # the last ~2 of 16 significant digits can differ — 4 decimals on
+        # O(10^3) magnitudes leaves ~6 orders of fp headroom
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n_rows": n.astype(np.int64),
+            "corr_xy": np.round(cov / np.sqrt(vx * vy), 4),
+            "slope": np.round(slope, 4),
+            "intercept": np.round(sy / n - slope * sx / n, 4),
+        })
+
+    return summed.map_batches(final, batch_format="pandas")
+
+
+Q_CORR_STATS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(corr(l_extendedprice, l_quantity), 4) AS corr_xy,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2781,6 +3016,10 @@ QUERIES = {
     "unpivot": q_unpivot,
     "group_mode": q_group_mode,
     "images_quality": q_images_quality,
+    "passage_dedup": q_passage_dedup,
+    "repetition_filter": q_repetition_filter,
+    "decontaminate": q_decontaminate,
+    "corr_stats": q_corr_stats,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,
@@ -2873,4 +3112,8 @@ ORACLES = {
     "rollup_agg": Q_ROLLUP_AGG_SQL,
     "unpivot": Q_UNPIVOT_SQL,
     "group_mode": Q_GROUP_MODE_SQL,
+    "passage_dedup": Q_PASSAGE_DEDUP_SQL,
+    "repetition_filter": Q_REPETITION_FILTER_SQL,
+    "decontaminate": Q_DECONTAMINATE_SQL,
+    "corr_stats": Q_CORR_STATS_SQL,
 }
