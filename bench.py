@@ -117,6 +117,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("repetition_filter", lambda: q.q_repetition_filter(sf_dir))
     bench("decontaminate", lambda: q.q_decontaminate(sf_dir))
     bench("corr_stats", lambda: q.q_corr_stats(sf_dir))
+    bench("pagerank", lambda: q.q_pagerank(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -2974,6 +2974,125 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85):
+    """Distributed PageRank over the supplier->customer shipment graph
+    (edges = distinct (l_suppkey, o_custkey) pairs through orders;
+    customer ids offset by 1e6 into a shared node space).  The leak
+    variant: dangling-node mass is not redistributed — identical on both
+    sides, so ranks stay oracle-exact.
+
+    Per iteration (the canonical iterative-graph shape on Ray Data):
+      ranks ⋈ out-edges on src  (bucketed hash join — co-partitioned)
+      -> per-batch partial sum of rank/outdeg by dst
+      -> tiny groupby(dst) global sum
+      -> left join back onto the node set, damp + teleport
+      -> materialize() (cuts the lineage so iteration k+1 re-reads a
+         small concrete rank table, not a k-deep plan).
+    Every structure that scales with the graph (edges, degrees, ranks)
+    stays a Dataset; the driver only holds N (one int)."""
+    from ray.data.aggregate import Sum
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ords = orders.map_batches(
+        lambda b: pd.DataFrame({"l_orderkey": b["o_orderkey"].astype("int64"),
+                                "dst": b["o_custkey"].astype("int64")
+                                + 1_000_000}),
+        batch_format="pandas")
+    joined = bucketed_hash_join(li, ords, on="l_orderkey",
+                                right_cols=["l_orderkey", "dst"],
+                                num_buckets=16)
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({"src": b["l_suppkey"].astype("int64"),
+                                "dst": b["dst"].astype("int64")}),
+        batch_format="pandas")
+    edges = distinct_rows(edges, ["src", "dst"], num_buckets=16)
+
+    def _node_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["src"].to_numpy(dtype=np.int64),
+             b["dst"].to_numpy(dtype=np.int64)])})
+
+    nodes = distinct_rows(edges.map_batches(_node_col, batch_format="pandas"),
+                          ["node"], num_buckets=8).materialize()
+    n_nodes = nodes.count()
+    teleport = (1.0 - damping) / n_nodes
+
+    def _deg_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("src", as_index=False, sort=False) \
+                .size().rename(columns={"size": "outdeg"})
+
+    deg = edges.map_batches(_deg_part, batch_format="pandas") \
+        .groupby("src").aggregate(Sum("outdeg", alias_name="outdeg"))
+    e2 = bucketed_hash_join(edges, deg, on="src",
+                            right_cols=["src", "outdeg"],
+                            num_buckets=16).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
+                                "rank": np.full(len(b), 1.0 / n_nodes)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        rsrc = ranks.map_batches(
+            lambda b: pd.DataFrame({"src": b["node"].astype("int64"),
+                                    "rank": b["rank"].astype("float64")}),
+            batch_format="pandas")
+        withr = bucketed_hash_join(e2, rsrc, on="src",
+                                   right_cols=["src", "rank"],
+                                   num_buckets=16)
+
+        def _contrib_part(b: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame({
+                "node": b["dst"].astype("int64"),
+                "c": b["rank"].astype("float64")
+                / b["outdeg"].astype("float64")})
+            return t.groupby("node", as_index=False, sort=False).sum()
+
+        contrib = withr.map_batches(_contrib_part, batch_format="pandas") \
+            .groupby("node").aggregate(Sum("c", alias_name="c"))
+        cj = bucketed_hash_join(nodes, contrib, on="node",
+                                right_cols=["node", "c"],
+                                num_buckets=8, how="left")
+        ranks = cj.map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"].astype("int64"),
+                "rank": teleport + damping
+                * pd.to_numeric(b["c"]).fillna(0.0).to_numpy()}),
+            batch_format="pandas").materialize()
+
+    return ranks.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
+                                "rank": b["rank"].round(9)}),
+        batch_format="pandas")
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    ctes = ["""
+e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT count(*) AS cnt FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+pr{k} AS (
+  SELECT nd.node,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(p.rank / d.outdeg), 0.0) AS rank
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.node
+  LEFT JOIN pr{k - 1} p ON p.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY nd.node)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, round(rank, 9) AS rank FROM pr{iters}")
+
+
+Q_PAGERANK_SQL = _pagerank_sql(5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3020,6 +3139,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "decontaminate": q_decontaminate,
     "corr_stats": q_corr_stats,
+    "pagerank": q_pagerank,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,
@@ -3116,4 +3236,5 @@ ORACLES = {
     "repetition_filter": Q_REPETITION_FILTER_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
     "corr_stats": Q_CORR_STATS_SQL,
+    "pagerank": Q_PAGERANK_SQL,
 }
