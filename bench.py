@@ -118,6 +118,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("decontaminate", lambda: q.q_decontaminate(sf_dir))
     bench("corr_stats", lambda: q.q_corr_stats(sf_dir))
     bench("pagerank", lambda: q.q_pagerank(sf_dir))
+    bench("tiles_vectorize", lambda: q.q_tiles_vectorize(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

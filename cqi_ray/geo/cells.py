@@ -205,3 +205,16 @@ def lonlat_to_tile_pixel(lon, lat, z: int, x: int, y: int, tile_size: int = 256)
     lat_rad = np.radians(lat)
     fy = (1.0 - np.arcsinh(np.tan(lat_rad)) / np.pi) / 2.0 * n - y
     return fx * tile_size, fy * tile_size
+
+
+def tile_pixel_to_lonlat(px, py, z: int, x: int, y: int,
+                         tile_size: int = 256):
+    """Inverse of ``lonlat_to_tile_pixel``: pixel coordinates inside tile
+    (z, x, y) -> (lon, lat) degrees (Web Mercator)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = 1 << z
+    lon = (x + px / tile_size) / n * 360.0 - 180.0
+    merc = np.pi * (1.0 - 2.0 * (y + py / tile_size) / n)
+    lat = np.degrees(np.arctan(np.sinh(merc)))
+    return lon, lat

@@ -151,3 +151,82 @@ def render_tiles(scored_ways: rd.Dataset, zooms: Iterable[int] = (14, 15, 16),
     return grouped_map_buckets(
         exploded, ["z", "x", "y"],
         lambda g: render_tile_group(g, tile_size), num_buckets=64)
+
+
+# raster -> vector: the inverse direction of the pyramid.  Exact because
+# the renderer draws hard class colors with no anti-aliasing, so every
+# pixel maps back to exactly one index class (or background).
+VECTOR_RUN_COLS = ["z", "x", "y", "cls", "row_px", "col0", "col1",
+                   "lon0", "lon1", "lat", "n_px"]
+_ALL_COLORS = np.concatenate([INDEX_COLORS, NO_INDEX_COLOR[None, :]])
+
+
+def classify_pixels(img: np.ndarray) -> np.ndarray:
+    """(S, S, 3) uint8 -> (S, S) int8 class matrix: 0..10 = index class,
+    11 = no-index color, -1 = background.  Vectorized: one packed uint32
+    per pixel, matched against the 12 known colors."""
+    packed = (img[:, :, 0].astype(np.uint32) << 16) \
+        | (img[:, :, 1].astype(np.uint32) << 8) | img[:, :, 2]
+    out = np.full(img.shape[:2], -1, dtype=np.int8)
+    for i, c in enumerate(_ALL_COLORS):
+        key = (np.uint32(c[0]) << 16) | (np.uint32(c[1]) << 8) | np.uint32(c[2])
+        out[packed == key] = i
+    return out
+
+
+def vectorize_tile_batch(batch: pd.DataFrame,
+                         tile_size: int = 256) -> pd.DataFrame:
+    """Tiles (z, x, y, png) -> horizontal RLE run segments with lon/lat
+    endpoints — polygonize-lite.  Per-tile independent (NO shuffle); the
+    run extraction is one diff over the sentinel-padded class matrix.
+    Lossless on the class raster: re-drawing every run reproduces the
+    decoded class matrix exactly (tests assert this round-trip)."""
+    rows = {c: [] for c in VECTOR_RUN_COLS}
+    for t in batch.itertuples(index=False):
+        img = codec.png_decode(t.png)
+        cls = classify_pixels(img)
+        s = cls.shape[1]
+        # sentinel column breaks runs at row boundaries
+        padded = np.concatenate(
+            [cls, np.full((cls.shape[0], 1), -1, dtype=np.int8)], axis=1).ravel()
+        change = np.flatnonzero(np.diff(padded) != 0) + 1
+        bounds = np.concatenate([[0], change, [len(padded)]])
+        starts, ends = bounds[:-1], bounds[1:]
+        vals = padded[starts]
+        keep = vals >= 0
+        starts, ends, vals = starts[keep], ends[keep], vals[keep]
+        row_px = starts // (s + 1)
+        col0 = starts % (s + 1)
+        col1 = ends - starts + col0  # exclusive
+        lon0, _ = cells.tile_pixel_to_lonlat(col0.astype(np.float64),
+                                             row_px + 0.5, t.z, t.x, t.y,
+                                             tile_size)
+        lon1, lat = cells.tile_pixel_to_lonlat(col1.astype(np.float64),
+                                               row_px + 0.5, t.z, t.x, t.y,
+                                               tile_size)
+        n = len(vals)
+        rows["z"].append(np.full(n, t.z, dtype=np.int64))
+        rows["x"].append(np.full(n, t.x, dtype=np.int64))
+        rows["y"].append(np.full(n, t.y, dtype=np.int64))
+        rows["cls"].append(vals.astype(np.int64))
+        rows["row_px"].append(row_px.astype(np.int64))
+        rows["col0"].append(col0.astype(np.int64))
+        rows["col1"].append(col1.astype(np.int64))
+        rows["lon0"].append(lon0)
+        rows["lon1"].append(lon1)
+        rows["lat"].append(lat)
+        rows["n_px"].append((col1 - col0).astype(np.int64))
+    if not rows["z"]:
+        return pd.DataFrame({c: pd.Series(dtype="float64" if c in
+                                          ("lon0", "lon1", "lat") else "int64")
+                             for c in VECTOR_RUN_COLS})
+    return pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
+
+
+def vectorize_tiles(tiles: rd.Dataset, tile_size: int = 256) -> rd.Dataset:
+    """Raster tile pyramid -> vector run segments (the raster->vector
+    half of raster<->vector).  Pure map_batches — scales linearly with
+    tile count, no exchange."""
+    return tiles.map_batches(
+        lambda b: vectorize_tile_batch(b, tile_size=tile_size),
+        batch_format="pandas")

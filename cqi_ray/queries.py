@@ -2974,6 +2974,20 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
+    """raster->vector: render the CQI tile pyramid, then extract vector
+    run segments (class + lon/lat endpoints) back out of the PNGs — the
+    inverse direction of the raster<->vector pair.  Pure map_batches
+    after the render's (z,x,y) shuffle; exact on the class raster
+    (tests/test_spatial.py asserts the pixel-level round-trip).
+    Rows-only driver check (PNG decode is not SQL-expressible)."""
+    from .pipelines.flagship import build_scored_ways
+    from .pipelines.tiles import render_tiles, vectorize_tiles
+
+    tiles = render_tiles(build_scored_ways(n_ways), zooms=(15,))
+    return vectorize_tiles(tiles)
+
+
 def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85):
     """Distributed PageRank over the supplier->customer shipment graph
     (edges = distinct (l_suppkey, o_custkey) pairs through orders;
@@ -3140,6 +3154,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "corr_stats": q_corr_stats,
     "pagerank": q_pagerank,
+    "tiles_vectorize": q_tiles_vectorize,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,

@@ -247,3 +247,42 @@ class TestSimplifyPolyline:
         assert np.array_equal(s[[0, -1]], pts[[0, -1]])
         two = np.array([[0.0, 0.0], [3.0, 4.0]])
         assert np.array_equal(simplify_polyline(two, 10.0), two)
+
+
+class TestVectorizeTiles:
+    def test_roundtrip_lossless_on_class_raster(self, ray_session):
+        """raster->vector is exact: re-drawing every extracted run
+        reproduces the decoded class matrix pixel-for-pixel."""
+        import numpy as np
+        from cqi_ray.images import codec
+        from cqi_ray.pipelines.flagship import build_scored_ways
+        from cqi_ray.pipelines.tiles import (classify_pixels, render_tiles,
+                                             vectorize_tiles)
+
+        tiles = render_tiles(build_scored_ways(16), zooms=(15,)).materialize()
+        tdf = tiles.to_pandas()
+        runs = vectorize_tiles(tiles).to_pandas()
+        assert len(runs) > 0
+        assert (runs["n_px"] > 0).all()
+        for t in tdf.itertuples(index=False):
+            cls = classify_pixels(codec.png_decode(t.png))
+            rebuilt = np.full_like(cls, -1)
+            r = runs[(runs.z == t.z) & (runs.x == t.x) & (runs.y == t.y)]
+            for seg in r.itertuples(index=False):
+                rebuilt[seg.row_px, seg.col0:seg.col1] = seg.cls
+            assert (rebuilt == cls).all()
+
+    def test_run_lonlat_inside_tile_bounds(self, ray_session):
+        from cqi_ray.geo.cells import tile_bounds
+        from cqi_ray.pipelines.flagship import build_scored_ways
+        from cqi_ray.pipelines.tiles import render_tiles, vectorize_tiles
+
+        tiles = render_tiles(build_scored_ways(16), zooms=(15,))
+        runs = vectorize_tiles(tiles).to_pandas()
+        for (z, x, y), g in runs.groupby(["z", "x", "y"]):
+            lon_min, lat_min, lon_max, lat_max = tile_bounds(int(z), int(x), int(y))
+            eps = 1e-9
+            assert (g["lon0"] >= lon_min - eps).all()
+            assert (g["lon1"] <= lon_max + eps).all()
+            assert (g["lat"] >= lat_min - eps).all()
+            assert (g["lat"] <= lat_max + eps).all()
