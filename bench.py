@@ -119,6 +119,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("corr_stats", lambda: q.q_corr_stats(sf_dir))
     bench("pagerank", lambda: q.q_pagerank(sf_dir))
     bench("tiles_vectorize", lambda: q.q_tiles_vectorize(sf_dir))
+    bench("global_sort", lambda: q.q_global_sort(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

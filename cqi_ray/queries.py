@@ -2974,6 +2974,87 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_global_sort(sf_dir: str, parts: int = 32):
+    """Range-partitioned global sort with exact global row numbers — the
+    canonical distributed sort, built from primitives instead of
+    ``ds.sort()``:
+
+      1. deterministic per-block stride sample -> driver picks parts-1
+         split points (bounded: ~64 keys/block, one tiny collect)
+      2. count pass: rows per range partition (searchsorted per batch,
+         partial counts, driver folds parts ints -> rank offsets)
+      3. shuffle on the partition id (equal keys never straddle a split:
+         side='right' searchsorted), per-partition mergesort, global
+         row_number = partition offset + local position.
+
+    Skew note: sample-based splits bound partition size to ~N/parts
+    except under heavy key duplication, where equal keys co-locate by
+    construction (the same property the rank semantics need)."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def stride_sample(b: pd.DataFrame) -> pd.DataFrame:
+        step = max(1, len(b) // 64)
+        return b.iloc[::step][["o_totalprice"]]
+
+    samp = np.sort(orders.map_batches(stride_sample, batch_format="pandas")
+                   .to_pandas()["o_totalprice"].to_numpy())
+    idx = np.linspace(0, len(samp) - 1, parts + 1).astype(np.int64)[1:-1]
+    splits = samp[idx]
+    splits_ref = ray.put(splits)
+
+    def count_parts(b: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        p = np.searchsorted(sp, b["o_totalprice"].to_numpy(), side="right")
+        c = np.bincount(p, minlength=parts)
+        return pd.DataFrame({"part": np.arange(parts, dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    cdf = orders.map_batches(count_parts, batch_format="pandas",
+                             batch_size=None).to_pandas() \
+        .groupby("part")["n"].sum().reindex(range(parts), fill_value=0)
+    offsets = np.zeros(parts, dtype=np.int64)
+    offsets[1:] = np.cumsum(cdf.to_numpy())[:-1]
+    off_ref = ray.put(offsets)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_totalprice": b["o_totalprice"].astype("float64"),
+            "part": np.searchsorted(sp, b["o_totalprice"].to_numpy(),
+                                    side="right").astype(np.int64)})
+
+    with_part = orders.map_batches(add_part, batch_format="pandas")
+
+    def sort_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                              "o_totalprice": pd.Series(dtype="float64"),
+                              "rn": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        off = ray.get(off_ref)
+        outs = []
+        for p, g in bucket.groupby("part", sort=True):
+            gs = g.sort_values(["o_totalprice", "o_orderkey"],
+                               kind="mergesort")
+            outs.append(pd.DataFrame({
+                "o_orderkey": gs["o_orderkey"].to_numpy(),
+                "o_totalprice": gs["o_totalprice"].to_numpy(),
+                "rn": off[int(p)]
+                + np.arange(1, len(gs) + 1, dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_map_buckets(with_part, ["part"], sort_bucket,
+                               num_buckets=parts, whole_bucket=True)
+
+
+Q_GLOBAL_SORT_SQL = """
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+FROM orders
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3155,6 +3236,7 @@ QUERIES = {
     "corr_stats": q_corr_stats,
     "pagerank": q_pagerank,
     "tiles_vectorize": q_tiles_vectorize,
+    "global_sort": q_global_sort,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,
@@ -3252,4 +3334,5 @@ ORACLES = {
     "decontaminate": Q_DECONTAMINATE_SQL,
     "corr_stats": Q_CORR_STATS_SQL,
     "pagerank": Q_PAGERANK_SQL,
+    "global_sort": Q_GLOBAL_SORT_SQL,
 }
