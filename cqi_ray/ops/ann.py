@@ -210,3 +210,77 @@ def kmeans_distributed(ds, k: int = 8, iters: int = 5,
             "cluster": np.argmax(x @ cents.T, axis=1).astype(np.int64)})
 
     return centroids, ds.map_batches(assign_final, batch_format="pandas")
+
+
+class PQCodebook:
+    """Product quantizer for compressed in-list scoring (IVF-PQ): split
+    the (normalized) embedding into M contiguous subspaces, k-means each
+    subspace to ``ksub`` codes, store each vector as M uint8 codes
+    (M bytes instead of dim x 8 — 64x smaller at dim=64/M=8).  Scoring
+    is ADC: per query precompute the (M, ksub) table of subspace dot
+    contributions once, then every candidate's approximate score is M
+    table lookups + a sum (pure numpy ``take`` + ``sum``), no float
+    vector ever touched.  Deterministic end-to-end (seeded kmeans_fit,
+    argmin ties to the lowest code id)."""
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (M, ksub, dsub)
+        self.M, self.ksub, self.dsub = self.codebooks.shape
+
+    @classmethod
+    def fit(cls, mat: np.ndarray, M: int = 8, ksub: int = 16,
+            iters: int = 10, seed: int = 42) -> "PQCodebook":
+        x = normalize_rows(mat)
+        dim = x.shape[1]
+        assert dim % M == 0, "dim must divide into M subspaces"
+        dsub = dim // M
+        books = np.empty((M, ksub, dsub))
+        for m in range(M):
+            sub = x[:, m * dsub:(m + 1) * dsub]
+            # plain (non-spherical) subspace k-means: L2 assignment
+            rng = np.random.default_rng(seed + m)
+            cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                                   replace=False)].copy()
+            for _ in range(iters):
+                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d, axis=1)
+                for c in range(len(cents)):
+                    members = sub[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            books[m, :len(cents)] = cents
+            if len(cents) < ksub:  # tiny training sets: repeat last centroid
+                books[m, len(cents):] = cents[-1]
+        return cls(books)
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, M) uint8 codes (L2 assignment per subspace)."""
+        x = normalize_rows(mat)
+        n = len(x)
+        codes = np.empty((n, self.M), dtype=np.uint8)
+        for m in range(self.M):
+            sub = x[:, m * self.dsub:(m + 1) * self.dsub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 constant per row
+            dots = sub @ self.codebooks[m].T
+            cn = (self.codebooks[m] ** 2).sum(axis=1)
+            codes[:, m] = np.argmin(cn[None, :] - 2 * dots, axis=1)
+        return codes
+
+    def adc_table(self, queries: np.ndarray) -> np.ndarray:
+        """(nq, dim) -> (nq, M, ksub) subspace dot contributions: the
+        approximate cosine of query q and a vector with codes c is
+        sum_m table[q, m, c_m]."""
+        q = normalize_rows(queries)
+        nq = len(q)
+        table = np.empty((nq, self.M, self.ksub))
+        for m in range(self.M):
+            table[:, m, :] = q[:, m * self.dsub:(m + 1) * self.dsub] \
+                @ self.codebooks[m].T
+        return table
+
+    def adc_scores(self, codes: np.ndarray, table_q: np.ndarray) -> np.ndarray:
+        """codes (n, M) x one query's table (M, ksub) -> (n,) scores."""
+        acc = np.zeros(len(codes))
+        for m in range(self.M):
+            acc += table_q[m][codes[:, m]]
+        return acc

@@ -2974,6 +2974,87 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 4,
+                nlist: int = 16, nprobe: int = 4, m_sub: int = 8,
+                ksub: int = 16, shortlist: int = 32):
+    """IVF-PQ ANN — the compressed-index scale path: the coarse quantizer
+    prunes to ``nprobe`` lists and Product Quantization scores candidates
+    from M=8 uint8 codes per vector (64x smaller than the float rows), so
+    at 10^12 vectors the scan touches code bytes, not embeddings.  Two
+    stages inside one map_batches pass, no shuffle:
+
+      ADC shortlist (table lookups + sum over the probed lists)
+      -> exact re-rank of the per-batch shortlist with the true vectors
+      -> partial top-k per query -> tiny driver merge.
+
+    Approximate by construction (PQ is lossy): no SQL oracle; pytest
+    pins determinism and recall vs the brute-force baseline."""
+    import pyarrow.parquet as _pqt
+
+    from .ops.ann import (IVFIndex, PQCodebook, batch_topk_partials,
+                          kmeans_fit, merge_topk)
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pf = _pqt.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches = []
+    need = 2048
+    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        need -= rb.num_rows
+        if need <= 0:
+            break
+    import pyarrow as pa
+
+    sample = pa.Table.from_batches(batches).slice(0, 2048).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    index = IVFIndex(kmeans_fit(smat, nlist))
+    pq_cb = PQCodebook.fit(smat, M=m_sub, ksub=ksub)
+
+    qdf = sample[sample["vec_id"] < n_queries].sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    probes = index.probe(qmat, min(nprobe, nlist))
+    tables = pq_cb.adc_table(qmat)               # (nq, M, ksub)
+    ref = ray.put((index.centroids, pq_cb.codebooks, qmat, probes, tables))
+
+    class PQScore:
+        def __init__(self):
+            cents, books, self.qmat, self.probes, self.tables = ray.get(ref)
+            self.index = IVFIndex(cents)
+            self.pq = PQCodebook(books)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            lists = self.index.assign(mat)
+            codes = self.pq.encode(mat)
+            ids = batch["vec_id"].to_numpy()
+            frames = []
+            for qi in range(len(self.qmat)):
+                mask = np.isin(lists, self.probes[qi])
+                if not mask.any():
+                    continue
+                approx = self.pq.adc_scores(codes[mask], self.tables[qi])
+                n_short = min(shortlist, len(approx))
+                # deterministic shortlist: approx desc, vec_id asc
+                cand = np.lexsort((ids[mask], -approx))[:n_short]
+                sub_ids = ids[mask][cand]
+                part = batch_topk_partials(sub_ids, mat[mask][cand],
+                                           self.qmat[qi:qi + 1], k)
+                part["query_id"] = qi
+                frames.append(part)
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "vec_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+    partials = emb.map_batches(PQScore, batch_format="pandas",
+                               concurrency=(1, 8)).to_pandas()
+    top = merge_topk(partials, k)
+    top["query_id"] = qids[top["query_id"].to_numpy()]
+    return top[["query_id", "vec_id", "rank"]].astype("int64")
+
+
 def q_global_sort(sf_dir: str, parts: int = 32):
     """Range-partitioned global sort with exact global row numbers — the
     canonical distributed sort, built from primitives instead of
@@ -3237,6 +3318,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "tiles_vectorize": q_tiles_vectorize,
     "global_sort": q_global_sort,
+    "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
     "rolling_mean": q_rolling_mean,

@@ -412,3 +412,57 @@ class TestDistributedKMeans:
         # partial sums re-associate across partitionings: bitwise equality
         # is not guaranteed, agreement to float-noise level is
         np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+class TestIVFPQ:
+    def test_pq_encode_decode_shapes_and_determinism(self):
+        from cqi_ray.ops.ann import PQCodebook
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((400, 64))
+        pq1 = PQCodebook.fit(x, M=8, ksub=16)
+        pq2 = PQCodebook.fit(x, M=8, ksub=16)
+        assert (pq1.codebooks == pq2.codebooks).all()
+        c1, c2 = pq1.encode(x), pq2.encode(x)
+        assert c1.shape == (400, 8) and c1.dtype == np.uint8
+        assert (c1 == c2).all()
+
+    def test_pq_adc_orders_near_over_far(self):
+        from cqi_ray.ops.ann import PQCodebook, normalize_rows
+
+        rng = np.random.default_rng(4)
+        centers = rng.standard_normal((4, 64)) * 3
+        x = np.concatenate([c + rng.standard_normal((50, 64)) * 0.1
+                            for c in centers])
+        pq = PQCodebook.fit(x, M=8, ksub=16)
+        codes = pq.encode(x)
+        q = centers[0:1] + 0.01
+        table = pq.adc_table(q)[0]
+        scores = pq.adc_scores(codes, table)
+        # members of cluster 0 must dominate the ADC top-50
+        top = np.argsort(-scores)[:50]
+        assert (top < 50).mean() >= 0.9
+
+    def test_ivfpq_query_recall_and_determinism(self, ray_session):
+        from cqi_ray.queries import q_ann_ivfpq, q_ann_topk
+
+        sf = "/root/testdata/sf0.001"
+        exact = q_ann_topk(sf, k=5)
+        approx = q_ann_ivfpq(sf, k=5, nprobe=16)  # all lists probed
+        e = {(r.query_id, r.vec_id) for r in exact.itertuples(index=False)}
+        a = {(r.query_id, r.vec_id) for r in approx.itertuples(index=False)}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8, recall  # PQ-lossy shortlist + exact re-rank
+        again = q_ann_ivfpq(sf, k=5, nprobe=16)
+        pd.testing.assert_frame_equal(
+            approx.reset_index(drop=True), again.reset_index(drop=True))
+
+    def test_ivfpq_pruned_still_overlaps(self, ray_session):
+        from cqi_ray.queries import q_ann_ivfpq, q_ann_topk
+
+        sf = "/root/testdata/sf0.001"
+        exact = q_ann_topk(sf, k=5)
+        approx = q_ann_ivfpq(sf, k=5, nprobe=4)
+        e = {(r.query_id, r.vec_id) for r in exact.itertuples(index=False)}
+        a = {(r.query_id, r.vec_id) for r in approx.itertuples(index=False)}
+        assert len(e & a) / len(e) >= 0.5
