@@ -138,3 +138,22 @@ class TestConnectedComponents:
         b = q_dedup_phash_clusters(sf).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestPageRankPlans:
+    def test_broadcast_and_shuffled_plans_agree(self, ray_session):
+        """The broadcast-ranks fast path and the fully-shuffled scale
+        path must produce identical ranks."""
+        from cqi_ray.queries import q_pagerank
+
+        sf = "/root/testdata/sf0.001"
+        fast = q_pagerank(sf)  # broadcast path (160 nodes)
+        slow = q_pagerank(sf, broadcast_below=0)  # force shuffled path
+        import ray.data as rd
+        if isinstance(slow, rd.Dataset):
+            slow = slow.to_pandas()
+        if isinstance(fast, rd.Dataset):
+            fast = fast.to_pandas()
+        a = fast.sort_values("node").reset_index(drop=True)
+        b = slow.sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
