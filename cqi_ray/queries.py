@@ -1199,26 +1199,50 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 # similarity search
 # ---------------------------------------------------------------------------
 
+def _emb_head(sf_dir: str, n_rows: int) -> pd.DataFrame:
+    """Bounded LOCAL read of the embeddings file head (deterministic file
+    order) — the small-side collection for ANN queries and quantizer
+    training.  No Ray execution: the whole corpus is never scanned just
+    to pull a handful of query vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pqt
+
+    pf = _pqt.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches, need = [], n_rows
+    for rb in pf.iter_batches(batch_size=1024,
+                              columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        need -= rb.num_rows
+        if need <= 0:
+            break
+    return pa.Table.from_batches(batches).slice(0, n_rows).to_pandas()
+
+
+def _emb_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Query matrix + ids: the vectors with vec_id < n_queries (the
+    synthetic table is written in vec_id order, so they live in the file
+    head)."""
+    head = _emb_head(sf_dir, max(n_queries * 4, 256))
+    qdf = head[head["vec_id"] < n_queries].sort_values("vec_id")
+    assert len(qdf) == n_queries
+    return (np.stack(qdf["embedding"].to_numpy()).astype(np.float64),
+            qdf["vec_id"].to_numpy())
+
+
 def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 4):
     """Brute-force cosine top-k: broadcast query matrix, per-batch partial
-    top-k, tiny driver-side merge."""
+    top-k (stateless task pool), tiny driver-side merge.  ONE distributed
+    pass over the corpus; query vectors come from a bounded local read."""
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    qdf = qdf.sort_values("vec_id")
-    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    qids = qdf["vec_id"].to_numpy()
+    qmat, qids = _emb_queries(sf_dir, n_queries)
     ref = ray.put(qmat)
 
-    class Partial:
-        def __init__(self):
-            self.q = ray.get(ref)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(ref)
+        mat = np.stack(batch["embedding"].to_numpy())
+        return batch_topk_partials(batch["vec_id"].to_numpy(), mat, q, k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mat = np.stack(batch["embedding"].to_numpy())
-            return batch_topk_partials(batch["vec_id"].to_numpy(), mat, self.q, k)
-
-    partials = emb.map_batches(Partial, batch_format="pandas",
-                               concurrency=(1, 8)).to_pandas()
+    partials = emb.map_batches(partial, batch_format="pandas").to_pandas()
     top = merge_topk(partials, k)
     top["query_id"] = qids[top["query_id"].to_numpy()]
     return top[["query_id", "vec_id", "rank"]].astype("int64")
@@ -1250,10 +1274,7 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 4,
     from .ops.ann import HyperplaneLSH, batch_topk_partials, merge_topk
 
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    qdf = qdf.sort_values("vec_id")
-    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    qids = qdf["vec_id"].to_numpy()
+    qmat, qids = _emb_queries(sf_dir, n_queries)
     dim = qmat.shape[1]
     lsh = HyperplaneLSH(dim=dim, n_planes=n_planes)
     # bucket -> query indexes probing it
@@ -1311,27 +1332,14 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
     brute-force top-k regardless of the centroids (every list is scored),
     so the driver oracle is the brute-force SQL; the pruned nprobe<nlist
     configuration is the scale path, exercised in bench + recall tests."""
-    import pyarrow.parquet as _pqt
-
     from .ops.ann import IVFIndex, batch_topk_partials, kmeans_fit, merge_topk
 
     if nprobe is None:
         nprobe = nlist
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # train the coarse quantizer on a bounded sample: read only the first
-    # batches of the parquet file (no cluster pass, no global sort —
-    # deterministic file order)
-    pf = _pqt.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    batches = []
-    need = 2048
-    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
-        batches.append(rb)
-        need -= rb.num_rows
-        if need <= 0:
-            break
-    import pyarrow as pa
-
-    sample = pa.Table.from_batches(batches).slice(0, 2048).to_pandas()
+    # train the coarse quantizer on a bounded file-head sample (no cluster
+    # pass, no global sort — deterministic file order)
+    sample = _emb_head(sf_dir, 2048)
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     index = IVFIndex(kmeans_fit(smat, nlist))
 
@@ -2989,23 +2997,11 @@ def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 4,
 
     Approximate by construction (PQ is lossy): no SQL oracle; pytest
     pins determinism and recall vs the brute-force baseline."""
-    import pyarrow.parquet as _pqt
-
     from .ops.ann import (IVFIndex, PQCodebook, batch_topk_partials,
                           kmeans_fit, merge_topk)
 
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pf = _pqt.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    batches = []
-    need = 2048
-    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
-        batches.append(rb)
-        need -= rb.num_rows
-        if need <= 0:
-            break
-    import pyarrow as pa
-
-    sample = pa.Table.from_batches(batches).slice(0, 2048).to_pandas()
+    sample = _emb_head(sf_dir, 2048)
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     index = IVFIndex(kmeans_fit(smat, nlist))
     pq_cb = PQCodebook.fit(smat, M=m_sub, ksub=ksub)
