@@ -120,6 +120,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("pagerank", lambda: q.q_pagerank(sf_dir))
     bench("tiles_vectorize", lambda: q.q_tiles_vectorize(sf_dir))
     bench("global_sort", lambda: q.q_global_sort(sf_dir))
+    bench("ntile", lambda: q.q_ntile(sf_dir))
+    bench("percent_rank", lambda: q.q_percent_rank(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
     return {"timings": timings, "rows": rows}
 

@@ -29,7 +29,8 @@ from .ops.text import LangId, TextStats, fingerprint_batch
 from .relational import (broadcast_map_join, bucketed_anti_join,
                          bucketed_hash_join, bucketed_set_op, distinct_rows,
                          exact_dedup, global_exact_quantiles,
-                         grouped_map_buckets, partial_then_global_sum)
+                         global_row_number, grouped_map_buckets,
+                         partial_then_global_sum)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -3068,66 +3069,76 @@ def q_global_sort(sf_dir: str, parts: int = 32):
     except under heavy key duplication, where equal keys co-locate by
     construction (the same property the rank semantics need)."""
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-
-    def stride_sample(b: pd.DataFrame) -> pd.DataFrame:
-        step = max(1, len(b) // 64)
-        return b.iloc[::step][["o_totalprice"]]
-
-    samp = np.sort(orders.map_batches(stride_sample, batch_format="pandas")
-                   .to_pandas()["o_totalprice"].to_numpy())
-    idx = np.linspace(0, len(samp) - 1, parts + 1).astype(np.int64)[1:-1]
-    splits = samp[idx]
-    splits_ref = ray.put(splits)
-
-    def count_parts(b: pd.DataFrame) -> pd.DataFrame:
-        sp = ray.get(splits_ref)
-        p = np.searchsorted(sp, b["o_totalprice"].to_numpy(), side="right")
-        c = np.bincount(p, minlength=parts)
-        return pd.DataFrame({"part": np.arange(parts, dtype=np.int64),
-                             "n": c.astype(np.int64)})
-
-    cdf = orders.map_batches(count_parts, batch_format="pandas",
-                             batch_size=None).to_pandas() \
-        .groupby("part")["n"].sum().reindex(range(parts), fill_value=0)
-    offsets = np.zeros(parts, dtype=np.int64)
-    offsets[1:] = np.cumsum(cdf.to_numpy())[:-1]
-    off_ref = ray.put(offsets)
-
-    def add_part(b: pd.DataFrame) -> pd.DataFrame:
-        sp = ray.get(splits_ref)
-        return pd.DataFrame({
-            "o_orderkey": b["o_orderkey"].astype("int64"),
-            "o_totalprice": b["o_totalprice"].astype("float64"),
-            "part": np.searchsorted(sp, b["o_totalprice"].to_numpy(),
-                                    side="right").astype(np.int64)})
-
-    with_part = orders.map_batches(add_part, batch_format="pandas")
-
-    def sort_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                              "o_totalprice": pd.Series(dtype="float64"),
-                              "rn": pd.Series(dtype="int64")})
-        if not len(bucket):
-            return empty
-        off = ray.get(off_ref)
-        outs = []
-        for p, g in bucket.groupby("part", sort=True):
-            gs = g.sort_values(["o_totalprice", "o_orderkey"],
-                               kind="mergesort")
-            outs.append(pd.DataFrame({
-                "o_orderkey": gs["o_orderkey"].to_numpy(),
-                "o_totalprice": gs["o_totalprice"].to_numpy(),
-                "rn": off[int(p)]
-                + np.arange(1, len(gs) + 1, dtype=np.int64)}))
-        return pd.concat(outs, ignore_index=True)
-
-    return grouped_map_buckets(with_part, ["part"], sort_bucket,
-                               num_buckets=parts, whole_bucket=True)
+    ranked, _ = global_row_number(orders, "o_totalprice", "o_orderkey",
+                                  parts=parts)
+    return ranked
 
 
 Q_GLOBAL_SORT_SQL = """
 SELECT o_orderkey, o_totalprice,
        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+FROM orders
+"""
+
+
+def q_ntile(sf_dir: str, n: int = 8, parts: int = 32):
+    """NTILE(n) over a global order — built on the same range-partitioned
+    ROW_NUMBER core (relational.global_row_number): once every row knows
+    its exact 1-based global rank and the driver knows total N, the tile
+    id is pure per-batch arithmetic matching SQL NTILE semantics (the
+    first N % n tiles get one extra row).  No extra shuffle beyond the
+    single rank exchange."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked, total = global_row_number(orders, "o_totalprice", "o_orderkey",
+                                      parts=parts)
+    big, small = divmod(total, n)          # tile sizes: big+1 / big
+    cut = (big + 1) * small                # rows in the oversized tiles
+
+    def add_tile(b: pd.DataFrame) -> pd.DataFrame:
+        rn0 = b["rn"].to_numpy() - 1
+        tile = np.where(
+            rn0 < cut,
+            rn0 // (big + 1),
+            small + (rn0 - cut) // max(big, 1)).astype(np.int64) + 1
+        out = b[["o_orderkey", "o_totalprice"]].copy()
+        out["tile"] = tile
+        return out
+
+    return ranked.map_batches(add_tile, batch_format="pandas")
+
+
+Q_NTILE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+FROM orders
+"""
+
+
+def q_percent_rank(sf_dir: str, parts: int = 32):
+    """PERCENT_RANK / CUME_DIST over a global order — per-batch arithmetic
+    on the exact global rank (relational.global_row_number).  The ORDER BY
+    key (o_totalprice, o_orderkey) is unique per row, so RANK() ==
+    ROW_NUMBER() and CUME_DIST == rn/N exactly; with duplicate full keys
+    a tie-collapse pass (groupby key -> min rn) would be needed first."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked, total = global_row_number(orders, "o_totalprice", "o_orderkey",
+                                      parts=parts)
+    denom = max(total - 1, 1)
+
+    def add_pct(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["rn"].to_numpy().astype(np.float64)
+        out = b[["o_orderkey", "o_totalprice"]].copy()
+        out["pct_rank"] = (rn - 1.0) / denom
+        out["cume_dist"] = rn / max(total, 1)
+        return out
+
+    return ranked.map_batches(add_pct, batch_format="pandas")
+
+
+Q_PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_totalprice,
+       percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+       cume_dist()    OVER (ORDER BY o_totalprice, o_orderkey) AS cume_dist
 FROM orders
 """
 
@@ -3357,6 +3368,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "tiles_vectorize": q_tiles_vectorize,
     "global_sort": q_global_sort,
+    "ntile": q_ntile,
+    "percent_rank": q_percent_rank,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -3456,4 +3469,6 @@ ORACLES = {
     "corr_stats": Q_CORR_STATS_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "global_sort": Q_GLOBAL_SORT_SQL,
+    "ntile": Q_NTILE_SQL,
+    "percent_rank": Q_PERCENT_RANK_SQL,
 }

@@ -418,3 +418,78 @@ def global_exact_quantiles(ds: rd.Dataset, col: str,
     out.sort()
     return pd.DataFrame({"q": [q for q, _ in out],
                          "val": [v for _, v in out]})
+
+
+def global_row_number(ds: rd.Dataset, value_col: str, id_col: str,
+                      parts: int = 32):
+    """Range-partitioned global sort with exact global row numbers over
+    ``(value_col, id_col)`` — the distributed ROW_NUMBER() core shared by
+    the global-sort and NTILE queries (queries.q_global_sort documents
+    the three passes).  Returns ``(dataset, total_rows)`` where the
+    dataset has columns ``[id_col, value_col, 'rn']`` (rn is 1-based and
+    dense: ties broken by id_col, so the numbering is deterministic).
+
+      1. deterministic per-block stride sample -> parts-1 split points
+      2. count pass: rows per range partition -> rank offsets (+ total N)
+      3. shuffle on the partition id, per-partition mergesort,
+         rn = partition offset + local position.
+
+    Skew: sample-based splits bound partition size to ~N/parts except
+    under heavy key duplication, where equal keys co-locate by
+    construction (side='right' searchsorted keeps equal keys together)."""
+
+    def stride_sample(b: pd.DataFrame) -> pd.DataFrame:
+        step = max(1, len(b) // 64)
+        return b.iloc[::step][[value_col]]
+
+    samp = np.sort(ds.map_batches(stride_sample, batch_format="pandas")
+                   .to_pandas()[value_col].to_numpy())
+    idx = np.linspace(0, len(samp) - 1, parts + 1).astype(np.int64)[1:-1]
+    splits_ref = ray.put(samp[idx])
+
+    def count_parts(b: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        p = np.searchsorted(sp, b[value_col].to_numpy(), side="right")
+        c = np.bincount(p, minlength=parts)
+        return pd.DataFrame({"part": np.arange(parts, dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    cdf = ds.map_batches(count_parts, batch_format="pandas",
+                         batch_size=None).to_pandas() \
+        .groupby("part")["n"].sum().reindex(range(parts), fill_value=0)
+    counts = cdf.to_numpy()
+    total = int(counts.sum())
+    offsets = np.zeros(parts, dtype=np.int64)
+    offsets[1:] = np.cumsum(counts)[:-1]
+    off_ref = ray.put(offsets)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            value_col: b[value_col].astype("float64"),
+            "part": np.searchsorted(sp, b[value_col].to_numpy(),
+                                    side="right").astype(np.int64)})
+
+    with_part = ds.map_batches(add_part, batch_format="pandas")
+
+    def sort_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              value_col: pd.Series(dtype="float64"),
+                              "rn": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        off = ray.get(off_ref)
+        outs = []
+        for p, g in bucket.groupby("part", sort=True):
+            gs = g.sort_values([value_col, id_col], kind="mergesort")
+            outs.append(pd.DataFrame({
+                id_col: gs[id_col].to_numpy(),
+                value_col: gs[value_col].to_numpy(),
+                "rn": off[int(p)]
+                + np.arange(1, len(gs) + 1, dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    ranked = grouped_map_buckets(with_part, ["part"], sort_bucket,
+                                 num_buckets=parts, whole_bucket=True)
+    return ranked, total
