@@ -3207,6 +3207,63 @@ def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     n_nodes = nodes.count()
     teleport = (1.0 - damping) / n_nodes
 
+    if n_nodes <= broadcast_below:
+        # broadcast-ranks path: the rank vector fits comfortably in one
+        # object (16 B/node).  One prep task per edge block translates
+        # (src, dst) to node indices ONCE and returns a sparse outdeg
+        # partial; each iteration is then a single wave of raw Ray tasks
+        # over the prepped index arrays (bincount-with-weights), sparse
+        # per-node partials folded on the driver.  No shuffle at all, no
+        # degree join (the outdeg vector is bounded by n_nodes and
+        # broadcast like the ranks), no per-iteration Dataset execution.
+        from .runtime import materialized_block_refs
+
+        node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+        nodes_ref = ray.put(node_arr)
+
+        @ray.remote(num_returns=2)
+        def _prep(block, narr):
+            b = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+            if not len(b):        # empty bucket blocks carry no columns
+                z = np.zeros(0, dtype=np.int64)
+                return (z, z), (z, z)
+            si = np.searchsorted(narr, b["src"].to_numpy(dtype=np.int64))
+            di = np.searchsorted(narr, b["dst"].to_numpy(dtype=np.int64))
+            dsrc = np.bincount(si, minlength=len(narr))
+            nz = np.flatnonzero(dsrc)
+            # return 1 (stays remote): the block's index arrays;
+            # return 2 (driver-folded): its sparse outdeg partial
+            return (si.astype(np.int64), di.astype(np.int64)), \
+                (nz, dsrc[nz])
+
+        @ray.remote
+        def _contrib(prep, rv, deg, n):
+            si, di = prep
+            c = np.bincount(di, weights=rv[si] / deg[si], minlength=n)
+            nz = np.flatnonzero(c)
+            return nz, c[nz]
+
+        prepped = [_prep.remote(r, nodes_ref)
+                   for r in materialized_block_refs(edges.materialize())]
+        prep_refs = [idx for idx, _ in prepped]
+        deg_vec = np.zeros(n_nodes, dtype=np.float64)
+        for nz, cnt in ray.get([d for _, d in prepped]):
+            deg_vec[nz] += cnt
+        deg_ref = ray.put(deg_vec)
+
+        rank_vec = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(iters):
+            rref = ray.put(rank_vec)
+            c = np.zeros(n_nodes)
+            for nz, vals in ray.get([_contrib.remote(p, rref, deg_ref,
+                                                     n_nodes)
+                                     for p in prep_refs]):
+                c[nz] += vals
+            rank_vec = teleport + damping * c
+
+        return pd.DataFrame({"node": node_arr,
+                             "rank": np.round(rank_vec, 9)})
+
     def _deg_part(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("src", as_index=False, sort=False) \
                 .size().rename(columns={"size": "outdeg"})
@@ -3216,40 +3273,6 @@ def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     e2 = bucketed_hash_join(edges, deg, on="src",
                             right_cols=["src", "outdeg"],
                             num_buckets=16).materialize()
-
-    if n_nodes <= broadcast_below:
-        # broadcast-ranks path: the rank vector fits comfortably in one
-        # object (16 B/node) -> per iteration ONE distributed edge scan
-        # with the sorted node array + rank vector broadcast, partial
-        # (dst, contribution) sums per batch, driver folds the bounded
-        # per-node partials.  No shuffle at all; the edge set never
-        # moves after the one-time degree attach.
-        node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
-        rank_vec = np.full(n_nodes, 1.0 / n_nodes)
-        nodes_ref = ray.put(node_arr)
-
-        for _ in range(iters):
-            rref = ray.put(rank_vec)
-
-            def _contrib_part(b: pd.DataFrame) -> pd.DataFrame:
-                narr = ray.get(nodes_ref)
-                rv = ray.get(rref)
-                si = np.searchsorted(narr, b["src"].to_numpy(dtype=np.int64))
-                w = rv[si] / b["outdeg"].to_numpy(dtype=np.float64)
-                di = np.searchsorted(narr, b["dst"].to_numpy(dtype=np.int64))
-                c = np.zeros(len(narr))
-                np.add.at(c, di, w)
-                nz = np.flatnonzero(c)
-                return pd.DataFrame({"ni": nz.astype(np.int64), "c": c[nz]})
-
-            parts = e2.map_batches(_contrib_part, batch_format="pandas",
-                                   batch_size=None).to_pandas()
-            c = np.zeros(n_nodes)
-            np.add.at(c, parts["ni"].to_numpy(), parts["c"].to_numpy())
-            rank_vec = teleport + damping * c
-
-        return pd.DataFrame({"node": node_arr,
-                             "rank": np.round(rank_vec, 9)})
 
     # shuffled path (node set too large to broadcast): ranks stay a
     # Dataset; per iteration one bucketed join + one aggregate + one
