@@ -122,6 +122,10 @@ def run_suite(sf_dir: str) -> dict:
     bench("global_sort", lambda: q.q_global_sort(sf_dir))
     bench("ntile", lambda: q.q_ntile(sf_dir))
     bench("percent_rank", lambda: q.q_percent_rank(sf_dir))
+    bench("arg_extremum", lambda: q.q_arg_extremum(sf_dir))
+    bench("above_avg", lambda: q.q_above_avg(sf_dir))
+    bench("histogram", lambda: q.q_histogram(sf_dir))
+    bench("cube_agg", lambda: q.q_cube_agg(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
     return {"timings": timings, "rows": rows}
 

@@ -3143,6 +3143,179 @@ FROM orders
 """
 
 
+def q_arg_extremum(sf_dir: str):
+    """Per-key arg-extremum (first/last event_type by (ts, event_id) per
+    user) — the mergeable-argmin aggregate: each block reduces to one
+    (first, last) candidate row per user, ONE bucketed shuffle merges
+    candidates with the same comparison, so full events never move.
+    Timestamps are compared as int64 epoch-us (unit-pinned — see the
+    window queries' storage-unit note)."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(ts_us=b["ts"].astype("datetime64[us]").astype("int64"))
+        s = b.sort_values(["ts_us", "event_id"], kind="mergesort")
+        g = s.groupby("user_id", sort=False)
+        first = g.head(1).rename(columns={
+            "ts_us": "fts", "event_id": "feid", "event_type": "first_type"})
+        last = g.tail(1).rename(columns={
+            "ts_us": "lts", "event_id": "leid", "event_type": "last_type"})
+        n = g.size().rename("n_events").reset_index()
+        out = first[["user_id", "fts", "feid", "first_type"]] \
+            .merge(last[["user_id", "lts", "leid", "last_type"]],
+                   on="user_id").merge(n, on="user_id")
+        return out
+
+    def merge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.sort_values(["fts", "feid"], kind="mergesort") \
+            .groupby("user_id", as_index=False, sort=False) \
+            [["first_type"]].first()
+        l = b.sort_values(["lts", "leid"], kind="mergesort") \
+            .groupby("user_id", as_index=False, sort=False) \
+            [["last_type"]].last()
+        n = b.groupby("user_id", as_index=False, sort=False) \
+            ["n_events"].sum()
+        out = f.merge(l, on="user_id").merge(n, on="user_id")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+    return grouped_map_buckets(parts, ["user_id"], merge_bucket,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_ARG_EXTREMUM_SQL = """
+SELECT user_id,
+       first(event_type ORDER BY ts, event_id) AS first_type,
+       last(event_type ORDER BY ts, event_id)  AS last_type,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_above_avg(sf_dir: str):
+    """Decorrelated correlated subquery: orders priced above their own
+    customer's average.  The scalar subquery becomes a per-key aggregate
+    (combiner -> bucketed sum) joined back co-partitioned on the same
+    key — two passes over the narrow columns, no driver materialization
+    of the per-customer table.  The average accumulates in integer cents
+    (associative, partitioning-independent) so the boundary comparison is
+    bit-identical to the oracle regardless of summation order."""
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "c": np.round(b["o_totalprice"].to_numpy() * 100)
+            .astype("int64")}),
+        batch_format="pandas")
+    avg = partial_then_global_sum(cents, keys=["o_custkey"],
+                                  sums={"c": "s"}, counts="n")
+    avg = avg.map_batches(
+        lambda b: pd.DataFrame({"o_custkey": b["o_custkey"].astype("int64"),
+                                "cavg": b["s"] / (100.0 * b["n"])}),
+        batch_format="pandas")
+    j = bucketed_hash_join(orders, avg, on="o_custkey",
+                           right_cols=["o_custkey", "cavg"],
+                           num_buckets=16)
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["o_totalprice"] > b["cavg"],
+                    ["o_orderkey", "o_custkey", "o_totalprice"]]
+        return out.astype({"o_orderkey": "int64", "o_custkey": "int64",
+                           "o_totalprice": "float64"})
+
+    return j.map_batches(keep, batch_format="pandas")
+
+
+Q_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             / (100.0 * count(*))
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def q_histogram(sf_dir: str, bins: int = 16):
+    """Global fixed-width histogram: pass 1 folds per-block (min, max)
+    partials (two floats/block), pass 2 bincounts into the shared edges
+    per block and the driver folds ``bins`` ints — a histogram over any
+    input size with O(bins) driver state and zero shuffles."""
+    li = _pq(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def mm(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_extendedprice"].to_numpy()
+        return pd.DataFrame({"mn": [x.min()], "mx": [x.max()]}) if len(x) \
+            else pd.DataFrame({"mn": [], "mx": []})
+
+    mmp = li.map_batches(mm, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    mn, mx = float(mmp["mn"].min()), float(mmp["mx"].max())
+    w = (mx - mn) / bins
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_extendedprice"].to_numpy()
+        idx = np.minimum(np.floor((x - mn) / w), bins - 1).astype(np.int64)
+        c = np.bincount(idx, minlength=bins)
+        return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    folded = li.map_batches(counts, batch_format="pandas",
+                            batch_size=None).to_pandas() \
+        .groupby("bin", as_index=False)["n"].sum()
+    folded["n"] = folded["n"].astype("int64")
+    return folded
+
+
+Q_HISTOGRAM_SQL = """
+WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+           FROM lineitem)
+SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 16)), 15)
+            AS BIGINT) AS bin,
+       count(*) AS n
+FROM lineitem, b GROUP BY bin ORDER BY bin
+"""
+
+
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(a, b): all four grouping sets from ONE distributed
+    scan — finest level via the combiner->bucketed-sum shape, the three
+    coarser sets re-aggregated from the tiny (|a|x|b|) finest frame on
+    the driver (same driver-side trick as ROLLUP, plus the column-b
+    marginal ROLLUP lacks)."""
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    finest = partial_then_global_sum(
+        orders, keys=["o_orderstatus", "o_orderpriority"],
+        sums={"o_totalprice": "sum_price"}, counts="cnt").to_pandas()
+
+    by_a = finest.groupby("o_orderstatus", as_index=False, sort=False) \
+        [["sum_price", "cnt"]].sum()
+    by_a["o_orderpriority"] = "ALL"
+    by_b = finest.groupby("o_orderpriority", as_index=False, sort=False) \
+        [["sum_price", "cnt"]].sum()
+    by_b["o_orderstatus"] = "ALL"
+    total = pd.DataFrame({"o_orderstatus": ["ALL"],
+                          "o_orderpriority": ["ALL"],
+                          "sum_price": [finest["sum_price"].sum()],
+                          "cnt": [finest["cnt"].sum()]})
+    out = pd.concat([finest, by_a, by_b, total], ignore_index=True)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "sum_price", "cnt"]]
+
+
+Q_CUBE_AGG_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS cnt
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3393,6 +3566,10 @@ QUERIES = {
     "global_sort": q_global_sort,
     "ntile": q_ntile,
     "percent_rank": q_percent_rank,
+    "arg_extremum": q_arg_extremum,
+    "above_avg": q_above_avg,
+    "histogram": q_histogram,
+    "cube_agg": q_cube_agg,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -3494,4 +3671,8 @@ ORACLES = {
     "global_sort": Q_GLOBAL_SORT_SQL,
     "ntile": Q_NTILE_SQL,
     "percent_rank": Q_PERCENT_RANK_SQL,
+    "arg_extremum": Q_ARG_EXTREMUM_SQL,
+    "above_avg": Q_ABOVE_AVG_SQL,
+    "histogram": Q_HISTOGRAM_SQL,
+    "cube_agg": Q_CUBE_AGG_SQL,
 }
