@@ -3316,6 +3316,100 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_seq_pack(sf_dir: str, budget: int = 512, shards: int = 8):
+    """Training-sequence packing: concatenate documents in deterministic
+    (shard, doc_id) order and split at a token budget — each doc's
+    seq_id is the sequence its first token lands in (docs may straddle a
+    boundary; the writer handles the carry).  Shards pack independently
+    and in parallel: ONE bucketed shuffle on shard, per-shard cumsum.
+    The token convention matches q_token_count (whitespace split)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].str.strip()
+        n = t.str.split().str.len().fillna(0).astype("int64")
+        n[t == ""] = 0
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "shard": b["doc_id"].astype("int64") % shards,
+                             "n_tokens": n})
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in bucket.groupby("shard", sort=False):
+            gs = g.sort_values("doc_id", kind="mergesort")
+            start = gs["n_tokens"].cumsum() - gs["n_tokens"]
+            outs.append(gs.assign(
+                seq_id=(start // budget).astype("int64")))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "shard": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "seq_id": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    t = docs.map_batches(toks, batch_format="pandas")
+    return grouped_map_buckets(t, ["shard"], pack,
+                               num_buckets=shards, whole_bucket=True)
+
+
+Q_SEQ_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) / 512) AS BIGINT) AS seq_id
+FROM t
+"""
+
+
+def q_bigram_counts(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k word bigrams (n-gram LM statistics): per-block
+    Counter combiner (the block's bigram multiset collapses before any
+    exchange), ONE bucketed sum by bigram, bounded per-block heads +
+    tiny driver merge for the top-k — the heavy-hitters shape applied to
+    exploded text."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            w = t.split()
+            c.update(zip(w, w[1:]))
+        return pd.DataFrame({"bg": [a + " " + b2 for a, b2 in c.keys()],
+                             "n": np.fromiter(c.values(), dtype=np.int64,
+                                              count=len(c))})
+
+    def bucket_sum(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("bg", as_index=False, sort=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        # bounded head: only this bucket's k best candidates move on
+        return out.sort_values(["n", "bg"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    cand = grouped_map_buckets(parts, ["bg"], bucket_sum,
+                               num_buckets=32, whole_bucket=True).to_pandas()
+    top = cand.sort_values(["n", "bg"], ascending=[False, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    top["n"] = top["n"].astype("int64")
+    return top[["bg", "n"]]
+
+
+Q_BIGRAM_COUNTS_SQL = """
+WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+           FROM documents WHERE trim(text) <> ''),
+b AS (SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM t)
+SELECT bg, count(*) AS n FROM b GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3570,6 +3664,8 @@ QUERIES = {
     "above_avg": q_above_avg,
     "histogram": q_histogram,
     "cube_agg": q_cube_agg,
+    "seq_pack": q_seq_pack,
+    "bigram_counts": q_bigram_counts,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -3675,4 +3771,6 @@ ORACLES = {
     "above_avg": Q_ABOVE_AVG_SQL,
     "histogram": Q_HISTOGRAM_SQL,
     "cube_agg": Q_CUBE_AGG_SQL,
+    "seq_pack": Q_SEQ_PACK_SQL,
+    "bigram_counts": Q_BIGRAM_COUNTS_SQL,
 }
