@@ -615,7 +615,7 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
             out["sig"] = packed * bands
             return out
 
-    banded = docs.map_batches(Signer, batch_format="pandas", concurrency=(1, 8))
+    banded = docs.map_batches(Signer(), batch_format="pandas")
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs per (band_id, band_hash) run — ids only, no
@@ -1317,8 +1317,7 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 4,
                                      "score": pd.Series(dtype="float64")})
             return pd.concat(frames, ignore_index=True)
 
-    partials = emb.map_batches(BucketScore, batch_format="pandas",
-                               concurrency=(1, 8)).to_pandas()
+    partials = emb.map_batches(BucketScore(), batch_format="pandas").to_pandas()
     top = merge_topk(partials, k)
     top["query_id"] = qids[top["query_id"].to_numpy()]
     return top[["query_id", "vec_id", "rank"]].astype("int64")
@@ -1379,8 +1378,7 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
                                      "score": pd.Series(dtype="float64")})
             return pd.concat(frames, ignore_index=True)
 
-    partials = emb.map_batches(ListScore, batch_format="pandas",
-                               concurrency=(1, 8)).to_pandas()
+    partials = emb.map_batches(ListScore(), batch_format="pandas").to_pandas()
     top = merge_topk(partials, k)
     top["query_id"] = qids[top["query_id"].to_numpy()]
     return top[["query_id", "vec_id", "rank"]].astype("int64")
@@ -1392,7 +1390,7 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
 
 def q_token_count(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(TextStats, batch_format="pandas", concurrency=(1, 8))
+    out = docs.map_batches(TextStats(), batch_format="pandas")
     return out.select_columns(["doc_id", "n_tokens"])
 
 
@@ -1406,7 +1404,7 @@ FROM documents
 
 def q_text_quality(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(TextStats, batch_format="pandas", concurrency=(1, 8))
+    out = docs.map_batches(TextStats(), batch_format="pandas")
     return out.select_columns(["doc_id", "n_chars", "n_punct"])
 
 
@@ -1419,7 +1417,7 @@ FROM documents
 
 def q_lang_id(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+    out = docs.map_batches(LangId(), batch_format="pandas")
     return out.select_columns(["doc_id", "lang_pred"])
 
 
@@ -1639,8 +1637,7 @@ def q_knn_assign(sf_dir: str):
             return pd.DataFrame({"c_custkey": keys,
                                  "nearest_center": self.ck[best].astype("int64")})
 
-    return customer.map_batches(Assign, batch_format="pandas",
-                                concurrency=(1, 8))
+    return customer.map_batches(Assign(), batch_format="pandas")
 
 
 Q_KNN_ASSIGN_SQL = """
@@ -1779,8 +1776,7 @@ def q_spatial_join_rtree(sf_dir: str, radius: float = 120.0):
             return pd.DataFrame({"c_custkey": keys,
                                  "nearest_center": best})
 
-    return customer.map_batches(RtreeJoin, batch_format="pandas",
-                                concurrency=(1, 8))
+    return customer.map_batches(RtreeJoin(), batch_format="pandas")
 
 
 Q_SPATIAL_JOIN_RTREE_SQL = """
@@ -3045,8 +3041,7 @@ def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 4,
                                      "score": pd.Series(dtype="float64")})
             return pd.concat(frames, ignore_index=True)
 
-    partials = emb.map_batches(PQScore, batch_format="pandas",
-                               concurrency=(1, 8)).to_pandas()
+    partials = emb.map_batches(PQScore(), batch_format="pandas").to_pandas()
     top = merge_topk(partials, k)
     top["query_id"] = qids[top["query_id"].to_numpy()]
     return top[["query_id", "vec_id", "rank"]].astype("int64")
