@@ -128,6 +128,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("cube_agg", lambda: q.q_cube_agg(sf_dir))
     bench("seq_pack", lambda: q.q_seq_pack(sf_dir))
     bench("bigram_counts", lambda: q.q_bigram_counts(sf_dir))
+    bench("join_salted", lambda: q.q_join_salted(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
     return {"timings": timings, "rows": rows}
 

@@ -3405,6 +3405,42 @@ SELECT bg, count(*) AS n FROM b GROUP BY bg ORDER BY n DESC, bg LIMIT 20
 """
 
 
+def q_join_salted(sf_dir: str, salts: int = 8):
+    """Skew-resistant fact⨝dim join (relational.salted_hash_join): the
+    events log is heavy-tailed per user — a plain bucketed join would
+    serialize the hottest user's bucket.  Salting spreads each key over
+    ``salts`` co-partitions while the dimension side is replicated
+    salts× (cheap: it's the small side).  Result is identical to the
+    unsalted join — salt choice affects placement, never output."""
+    from .relational import salted_hash_join
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "value"])
+    ev = ev.map_batches(
+        lambda b: pd.DataFrame({"c_custkey": b["user_id"].astype("int64"),
+                                "value": b["value"].astype("float64")}),
+        batch_format="pandas")
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = salted_hash_join(ev, cust, on="c_custkey",
+                         right_cols=["c_custkey", "c_mktsegment"],
+                         num_buckets=16, salts=salts)
+    agg = partial_then_global_sum(j, keys=["c_mktsegment"],
+                                  sums={"value": "total"}, counts="n_events")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["total"] = b["total"].round(6)
+        b["n_events"] = b["n_events"].astype("int64")
+        return b
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+Q_JOIN_SALTED_SQL = """
+SELECT c_mktsegment, round(sum(value), 6) AS total, count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3661,6 +3697,7 @@ QUERIES = {
     "cube_agg": q_cube_agg,
     "seq_pack": q_seq_pack,
     "bigram_counts": q_bigram_counts,
+    "join_salted": q_join_salted,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -3768,4 +3805,5 @@ ORACLES = {
     "cube_agg": Q_CUBE_AGG_SQL,
     "seq_pack": Q_SEQ_PACK_SQL,
     "bigram_counts": Q_BIGRAM_COUNTS_SQL,
+    "join_salted": Q_JOIN_SALTED_SQL,
 }

@@ -190,6 +190,74 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return union.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                     right_cols: Iterable[str], num_buckets: int = 16,
+                     salts: int = 8, how: str = "inner") -> rd.Dataset:
+    """Skew-resistant partitioned hash join: a hot join key turns one
+    bucket of ``bucketed_hash_join`` into a straggler that serializes the
+    whole stage.  Here every LEFT row gets a salt (its position within
+    the block — salt choice only affects placement, never the join
+    result, so determinism of the OUTPUT is preserved), the RIGHT side
+    is replicated once per salt, and co-partitioning happens on
+    hash(key, salt): a key with N rows spreads over min(salts,
+    num_buckets) tasks instead of one.  Cost: right side moves
+    ``salts``x — use when right is the small/dimension side and the left
+    key distribution is heavy-tailed (the classic fact⨝dim shape)."""
+    right_cols = list(right_cols)
+    right_only = [c for c in right_cols if c != on]
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        salt = (np.arange(len(batch)) % salts).astype(np.uint64)
+        h = _splitmix64(_salt_key_hash(batch[on].to_numpy()) ^ salt)
+        batch["__salt"] = salt.astype(np.int64)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        batch["__side"] = "l"
+        return batch
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        rep = batch.loc[batch.index.repeat(salts)].reset_index(drop=True)
+        salt = np.tile(np.arange(salts, dtype=np.uint64), len(batch))
+        h = _splitmix64(_salt_key_hash(rep[on].to_numpy()) ^ salt)
+        rep["__salt"] = salt.astype(np.int64)
+        rep["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        rep["__side"] = "r"
+        return rep
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
+    union = lt.union(rt).repartition(num_buckets)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # join on (key, salt): each right original row has exactly ONE
+        # replica per salt value, so every left row meets every matching
+        # right row exactly once — correct for one-to-many right sides
+        # and immune to two salts of the same key sharing a bucket.
+        left_cols = [c for c in group.columns
+                     if c not in right_only and c not in ("__side", "__bucket")]
+        lhs = group.loc[group["__side"] == "l", left_cols]
+        rhs = group.loc[group["__side"] == "r",
+                        [c for c in right_cols if c in group.columns]
+                        + ["__salt"]]
+        merged = lhs.merge(rhs, on=[on, "__salt"], how=how) \
+            .drop(columns="__salt")
+        for c in right_cols:
+            if c not in merged.columns:
+                merged[c] = None
+        return merged
+
+    return union.groupby("__bucket").map_groups(merge_bucket,
+                                                batch_format="pandas")
+
+
+def _salt_key_hash(values) -> np.ndarray:
+    """uint64 key hash shared by both sides of salted_hash_join."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        return _splitmix64(arr)
+    return pd.util.hash_array(arr.astype(object), hash_key="0" * 16)
+
+
 def distinct_rows(ds: rd.Dataset, cols: list[str],
                   num_buckets: int = 16) -> rd.Dataset:
     """DISTINCT over ``cols`` via ONE bucketed shuffle + per-bucket

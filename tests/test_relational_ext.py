@@ -157,3 +157,43 @@ class TestPageRankPlans:
         a = fast.sort_values("node").reset_index(drop=True)
         b = slow.sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSaltedHashJoin:
+    """salted_hash_join must equal a plain pandas merge — salt choice
+    affects placement only, never the output — including on skewed keys
+    and one-to-many right sides."""
+
+    def _check(self, left, right, how="inner", salts=8):
+        from cqi_ray.relational import salted_hash_join
+
+        got = salted_hash_join(_ds(left), _ds(right, blocks=2), on="k",
+                               right_cols=list(right.columns),
+                               num_buckets=8, salts=salts, how=how) \
+            .to_pandas()
+        want = left.merge(right, on="k", how=how)
+        key = sorted(got.columns)
+        got = got[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+        want = want[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64"}), want.astype({"k": "int64"}),
+            check_dtype=False)
+
+    def test_skewed_inner(self, ray_session):
+        rng = np.random.RandomState(3)
+        # 90% of left rows share key 7 — the straggler-bucket case
+        k = np.where(rng.rand(2000) < 0.9, 7, rng.randint(0, 50, 2000))
+        left = pd.DataFrame({"k": k, "v": np.arange(2000)})
+        right = pd.DataFrame({"k": np.arange(50), "dim": [f"d{i}" for i in range(50)]})
+        self._check(left, right)
+
+    def test_one_to_many_right(self, ray_session):
+        left = pd.DataFrame({"k": [1, 1, 2, 3, 7, 7, 7], "v": range(7)})
+        right = pd.DataFrame({"k": [1, 1, 2, 2, 7],
+                              "dim": ["a", "b", "c", "d", "e"]})
+        self._check(left, right, salts=4)
+
+    def test_left_outer(self, ray_session):
+        left = pd.DataFrame({"k": [1, 2, 99], "v": [10, 20, 30]})
+        right = pd.DataFrame({"k": [1, 2], "dim": ["a", "b"]})
+        self._check(left, right, how="left", salts=3)
