@@ -129,6 +129,10 @@ def run_suite(sf_dir: str) -> dict:
     bench("seq_pack", lambda: q.q_seq_pack(sf_dir))
     bench("bigram_counts", lambda: q.q_bigram_counts(sf_dir))
     bench("join_salted", lambda: q.q_join_salted(sf_dir))
+    bench("json_extract", lambda: q.q_json_extract(sf_dir))
+    bench("redact", lambda: q.q_redact(sf_dir))
+    bench("doc_chunks", lambda: q.q_doc_chunks(sf_dir))
+    bench("funnel", lambda: q.q_funnel(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
     return {"timings": timings, "rows": rows}
 

@@ -3441,6 +3441,154 @@ GROUP BY c_mktsegment
 """
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured flattening: pull the numeric field out of the
+    events ``props`` JSON strings with a vectorized pandas regex
+    extract (no per-row json.loads), then a partial-sum aggregate by
+    event_type.  The standard log-ingestion shape: JSON stays opaque
+    bytes until ONE projection extracts the needed field, so only a
+    (type, k) pair ever reaches the shuffle."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "k": pd.to_numeric(k, errors="coerce").fillna(0).astype("int64"),
+        })
+
+    flat = ev.map_batches(extract, batch_format="pandas")
+    return partial_then_global_sum(flat, keys=["event_type"],
+                                   sums={"k": "sum_k"}, counts="n")
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       sum(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), '0')
+                AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_redact(sf_dir: str):
+    """PII-style scrubbing: replace every digit run in ``props`` with a
+    placeholder and count the hits — the same map shape as scrubbing
+    emails/phones/cards from a crawl (here the synthetic corpus only
+    carries numbers, so the pattern is the digit run).  Pure stateless
+    map_batches over pandas str kernels; embarrassingly parallel, no
+    shuffle at any scale."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "redacted": b["props"].str.replace(r"\d+", "<NUM>", regex=True),
+            "n_hits": b["props"].str.count(r"\d+").astype("int64"),
+        })
+
+    return ev.map_batches(scrub, batch_format="pandas")
+
+
+Q_REDACT_SQL = """
+SELECT event_id,
+       regexp_replace(props, '\\d+', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_split_to_array(props, '\\d+')) - 1 AS BIGINT) AS n_hits
+FROM events
+"""
+
+
+def q_doc_chunks(sf_dir: str, size: int = 200, stride: int = 150):
+    """Training-data chunking: split every document into overlapping
+    windows (``size`` chars every ``stride``) — the 1->N fan-out that
+    feeds context-window packing.  Vectorized: one str.slice per chunk
+    ordinal over the whole batch (the per-batch loop is bounded by
+    max_chunks ~ len/stride, not rows).  Stateless map, no shuffle;
+    each 100 TB input block expands locally to ~size/stride x."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.len().to_numpy()
+        out = []
+        max_chunks = 0 if not len(b) else int((n.max() - 1) // stride + 1)
+        for i in range(max_chunks):
+            live = n > i * stride
+            if not live.any():
+                break
+            piece = b.loc[live, ["doc_id"]].copy()
+            piece["chunk_id"] = np.int64(i)
+            piece["chunk"] = b.loc[live, "text"].str.slice(
+                i * stride, i * stride + size)
+            out.append(piece)
+        if not out:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "chunk_id": pd.Series(dtype="int64"),
+                                 "chunk": pd.Series(dtype="object")})
+        return pd.concat(out, ignore_index=True)
+
+    return docs.map_batches(chunk, batch_format="pandas")
+
+
+Q_DOC_CHUNKS_SQL = """
+SELECT doc_id, i AS chunk_id,
+       substring(text, CAST(150 * i + 1 AS BIGINT), 200) AS chunk
+FROM documents,
+     (SELECT unnest(generate_series(0, 63)) AS i) s
+WHERE length(text) > 150 * i
+"""
+
+
+def q_funnel(sf_dir: str, window_h: int = 24):
+    """Conversion funnel: per user, the minimum view->purchase lag where
+    the purchase lands within ``window_h`` hours after the view.  ONE
+    bucketed shuffle on user_id, then a per-bucket pandas merge_asof
+    (direction='forward', by=user_id) — nearest forward purchase per
+    view, min over views == min over all valid pairs.  Only converted
+    users are emitted (inner-funnel semantics)."""
+    ev = _pq(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    ev = ev.filter(expr="event_type == 'view' or event_type == 'purchase'")
+    tol = pd.Timedelta(hours=window_h)
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "min_lag_us": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        b = bucket.sort_values(["ts", "user_id"], kind="mergesort")
+        v = b[b["event_type"] == "view"][["ts", "user_id"]]
+        p = b[b["event_type"] == "purchase"][["ts", "user_id"]] \
+            .rename(columns={"ts": "p_ts"})
+        if not len(v) or not len(p):
+            return empty
+        m = pd.merge_asof(v, p, left_on="ts", right_on="p_ts",
+                          by="user_id", direction="forward",
+                          tolerance=tol, allow_exact_matches=True)
+        m = m.dropna(subset=["p_ts"])
+        if not len(m):
+            return empty
+        # unit-safe exact micros (ADVICE r1: never assume the storage
+        # unit; datetime64[us] cast is a no-op on us, exact on ns)
+        lag = (m["p_ts"].to_numpy().astype("datetime64[us]").astype("int64")
+               - m["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        out = pd.DataFrame({"user_id": m["user_id"].to_numpy(),
+                            "min_lag_us": lag})
+        return out.groupby("user_id", as_index=False)["min_lag_us"].min()
+
+    return grouped_map_buckets(ev, ["user_id"], fold,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       min(date_diff('microsecond', v.ts, p.ts)) AS min_lag_us
+FROM v JOIN p ON v.user_id = p.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+GROUP BY v.user_id
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3698,6 +3846,10 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "bigram_counts": q_bigram_counts,
     "join_salted": q_join_salted,
+    "json_extract": q_json_extract,
+    "redact": q_redact,
+    "doc_chunks": q_doc_chunks,
+    "funnel": q_funnel,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -3806,4 +3958,8 @@ ORACLES = {
     "seq_pack": Q_SEQ_PACK_SQL,
     "bigram_counts": Q_BIGRAM_COUNTS_SQL,
     "join_salted": Q_JOIN_SALTED_SQL,
+    "json_extract": Q_JSON_EXTRACT_SQL,
+    "redact": Q_REDACT_SQL,
+    "doc_chunks": Q_DOC_CHUNKS_SQL,
+    "funnel": Q_FUNNEL_SQL,
 }
