@@ -3589,6 +3589,104 @@ GROUP BY v.user_id
 """
 
 
+def q_rolling_time(sf_dir: str, window_h: int = 1):
+    """Time-RANGE windowed aggregate (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW) — the interval-frame sibling of the
+    row-frame q_rolling_mean.  One bucketed shuffle on user_id, then a
+    fully vectorized per-bucket kernel: users are mapped onto disjoint
+    int64 time segments so ONE pair of np.searchsorted calls finds
+    every row's frame across all users at once, and a cumsum
+    difference yields the exact frame sums (peers with equal ts are
+    included, per SQL RANGE semantics)."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+    window_us = np.int64(window_h) * 3_600_000_000
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "roll_mean_1h": pd.Series(dtype="float64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        t -= t.min()
+        uid = pd.factorize(b["user_id"], sort=False)[0].astype("int64")
+        seg_span = np.int64(t.max() + window_us + 1)
+        seg = uid * seg_span + t
+        cs = np.concatenate(([0.0], np.cumsum(b["value"].to_numpy())))
+        right = np.searchsorted(seg, seg, side="right")
+        left = np.searchsorted(seg, seg - window_us, side="left")
+        mean = (cs[right] - cs[left]) / (right - left)
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "user_id": b["user_id"].to_numpy(),
+                             "roll_mean_1h": np.round(mean, 6)})
+
+    return grouped_map_buckets(events, ["user_id"], roll,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_ROLLING_TIME_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW),
+             6) AS roll_mean_1h
+FROM events
+"""
+
+
+def q_zscore(sf_dir: str):
+    """Group-wise standardization (feature engineering): z-score each
+    event value against its user's population mean/stddev.  Two
+    passes, NO per-row shuffle: pass 1 folds each block into per-user
+    (n, sum, sumsq) partials and ONE tiny bucketed sum finishes the
+    moments; pass 2 broadcasts the per-user moment table (ray.put
+    once, O(users) not O(rows)) and normalizes inside map_batches.
+    The canonical "aggregate small, broadcast back" shape — the big
+    table never moves."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False)["value"]
+        out = g.agg(n="count", s="sum", s2=lambda x: float((x ** 2).sum()))
+        return out.reset_index()
+
+    moments = partial_then_global_sum(
+        events.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sums={"n": "n", "s": "s", "s2": "s2"})
+    mdf = moments.to_pandas()  # O(distinct users): small by contract
+    mean = (mdf["s"] / mdf["n"]).to_numpy()
+    var = np.maximum(mdf["s2"].to_numpy() / mdf["n"].to_numpy()
+                     - mean ** 2, 0.0)
+    lut = pd.DataFrame({"user_id": mdf["user_id"].to_numpy(),
+                        "mu": mean, "sd": np.sqrt(var)})
+    joined = broadcast_map_join(events, lut, on="user_id")
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        sd = b["sd"].to_numpy()
+        z = np.where(sd > 0,
+                     (b["value"].to_numpy() - b["mu"].to_numpy())
+                     / np.where(sd > 0, sd, 1.0), 0.0)
+        return pd.DataFrame({"event_id": b["event_id"].astype("int64"),
+                             "user_id": b["user_id"].astype("int64"),
+                             "z": np.round(z, 6)})
+
+    return joined.map_batches(normalize, batch_format="pandas")
+
+
+Q_ZSCORE_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN stddev_pop(value) OVER w = 0 THEN 0.0
+            ELSE round((value - avg(value) OVER w)
+                       / stddev_pop(value) OVER w, 6) END AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3850,6 +3948,8 @@ QUERIES = {
     "redact": q_redact,
     "doc_chunks": q_doc_chunks,
     "funnel": q_funnel,
+    "rolling_time": q_rolling_time,
+    "zscore": q_zscore,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -3962,4 +4062,6 @@ ORACLES = {
     "redact": Q_REDACT_SQL,
     "doc_chunks": Q_DOC_CHUNKS_SQL,
     "funnel": Q_FUNNEL_SQL,
+    "rolling_time": Q_ROLLING_TIME_SQL,
+    "zscore": Q_ZSCORE_SQL,
 }
