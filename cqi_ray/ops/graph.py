@@ -122,3 +122,118 @@ def connected_components(edges: rd.Dataset, src: str = "a", dst: str = "b",
     return labels.map_batches(
         lambda b: b.rename(columns={"lbl": "component"}),
         batch_format="pandas")
+
+
+def grouped_all_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized within-group all-pairs index generation: given
+    contiguous group sizes ``c_0..c_{g-1}`` over a flat array of
+    ``sum(c)`` elements, return (i, j) index arrays covering every
+    unordered pair (i < j) WITHIN each group — sum(c*(c-1)/2) pairs,
+    no Python loop over groups.  The fan-out primitive behind
+    co-occurrence pair mining and wedge generation."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    total = int(sizes.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    idx = np.arange(total, dtype=np.int64)
+    pos = idx - np.repeat(starts, sizes)            # position within group
+    fan = np.repeat(sizes, sizes) - 1 - pos          # pairs led by each i
+    i = np.repeat(idx, fan)
+    if not len(i):
+        return i, i.copy()
+    run_start = np.concatenate(([0], np.cumsum(fan)[:-1]))
+    j = np.arange(len(i), dtype=np.int64) - np.repeat(run_start, fan) + i + 1
+    return i, j
+
+
+def triangle_count(edges: rd.Dataset, a: str = "a", b: str = "b",
+                   num_buckets: int = 32) -> int:
+    """Exact triangle count of an undirected simple graph (edges given
+    once as a<b pairs, no self-loops).  Degree-oriented wedge counting
+    — the communication-optimal distributed plan:
+
+    1. one partial-sum pass computes every vertex's degree (bounded:
+       O(vertices), broadcast back as a rank LUT ordered by (deg, id));
+    2. each edge is oriented low-rank -> high-rank, capping every
+       vertex's out-degree at O(sqrt(m)) so no wedge task explodes on
+       hub vertices (the skew guard);
+    3. wedges (pairs of out-neighbors, rank-ordered) are generated per
+       source with the vectorized ``grouped_all_pairs`` fan-out after
+       ONE bucketed shuffle on the source vertex;
+    4. wedges ⋈ edges on the packed (lo,hi) key — a bucketed semi-join
+       count; each triangle closes exactly one wedge.
+
+    Vertex ids must fit 32 bits (keys are packed lo<<32|hi)."""
+    from ..relational import partial_then_global_sum
+
+    def degree_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        both = np.concatenate([bt[a].to_numpy(np.int64),
+                               bt[b].to_numpy(np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"v": u, "deg": c})
+
+    deg = partial_then_global_sum(
+        edges.map_batches(degree_partial, batch_format="pandas"),
+        keys=["v"], sums={"deg": "deg"}).to_pandas()
+    order = deg.sort_values(["deg", "v"], kind="mergesort")
+    rank = pd.Series(np.arange(len(order), dtype=np.int64),
+                     index=order["v"].to_numpy())
+    import ray
+    rank_ref = ray.put(rank)
+
+    def orient(bt: pd.DataFrame, _ref=rank_ref) -> pd.DataFrame:
+        r = ray.get(_ref) if not isinstance(_ref, pd.Series) else _ref
+        ra = r.reindex(bt[a].to_numpy(np.int64)).to_numpy()
+        rb = r.reindex(bt[b].to_numpy(np.int64)).to_numpy()
+        av, bv = bt[a].to_numpy(np.int64), bt[b].to_numpy(np.int64)
+        lo = np.where(ra <= rb, av, bv)       # rank orientation
+        hi = np.where(ra <= rb, bv, av)
+        rlo = np.minimum(ra, rb)
+        rhi = np.maximum(ra, rb)
+        return pd.DataFrame({"src": lo, "nbr": hi,
+                             "rs": rlo.astype(np.int64),
+                             "rn": rhi.astype(np.int64)})
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"key": pd.Series(dtype="uint64"),
+                                 "w": pd.Series(dtype="int64")})
+        s = bucket.sort_values(["src", "rn"], kind="mergesort")
+        srcs = s["src"].to_numpy()
+        sizes = np.diff(np.flatnonzero(
+            np.r_[True, srcs[1:] != srcs[:-1], True]))
+        i, j = grouped_all_pairs(sizes)
+        # neighbors sorted by rank within src, so (i, j) is already
+        # rank-ordered — matching the lo->hi edge orientation below
+        nb = s["nbr"].to_numpy(np.int64)
+        key = (nb[i].astype(np.uint64) << np.uint64(32)) \
+            | nb[j].astype(np.uint64)
+        return pd.DataFrame({"key": key,
+                             "w": np.ones(len(key), dtype=np.int64)})
+
+    wedge_keys = grouped_map_buckets(oriented, ["src"], wedges,
+                                     num_buckets=num_buckets,
+                                     whole_bucket=True)
+
+    def edge_keys(bt: pd.DataFrame) -> pd.DataFrame:
+        # oriented rows are already rank lo->hi, so src<<32|nbr IS the key
+        key = (bt["src"].to_numpy(np.uint64) << np.uint64(32)) \
+            | bt["nbr"].to_numpy(np.uint64)
+        return pd.DataFrame({"key": key,
+                             "w": np.zeros(len(bt), dtype=np.int64)})
+
+    ek = oriented.map_batches(edge_keys, batch_format="pandas")
+
+    def close_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        have = bucket.loc[bucket["w"] == 0, "key"].to_numpy()
+        wk = bucket.loc[bucket["w"] == 1, "key"].to_numpy()
+        n = int(np.isin(wk, have).sum()) if len(wk) and len(have) else 0
+        return pd.DataFrame({"n": [n]})
+
+    parts = grouped_map_buckets(wedge_keys.union(ek), ["key"], close_count,
+                                num_buckets=num_buckets, whole_bucket=True)
+    return int(parts.to_pandas()["n"].sum())

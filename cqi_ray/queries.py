@@ -3687,6 +3687,55 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (parts are
+    adjacent iff they share an order).  Edge derivation is two
+    distributed steps — per-order unique-part all-pairs fan-out
+    (vectorized grouped_all_pairs after ONE bucketed shuffle on
+    orderkey) then DISTINCT — and the count itself is degree-oriented
+    wedge counting (ops/graph.py::triangle_count): out-degrees capped
+    at O(sqrt(m)) by rank orientation, so hub parts cannot blow up a
+    wedge task; wedges close against edges in a bucketed semi-join.
+    Returns one row (n_triangles)."""
+    from .ops.graph import grouped_all_pairs, triangle_count
+    from .relational import distinct_rows, grouped_map_buckets
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def order_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        s = bucket.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = s["l_orderkey"].to_numpy()
+        pk = s["l_partkey"].to_numpy(np.int64)
+        sizes = np.diff(np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True]))
+        i, j = grouped_all_pairs(sizes)
+        if not len(i):
+            return empty
+        return pd.DataFrame({"a": pk[i], "b": pk[j]})  # sorted: a < b
+
+    pairs = grouped_map_buckets(li, ["l_orderkey"], order_pairs,
+                                num_buckets=32, whole_bucket=True)
+    edges = distinct_rows(pairs, ["a", "b"], num_buckets=32)
+    n = triangle_count(edges, a="a", b="b", num_buckets=32)
+    return pd.DataFrame({"n_triangles": [np.int64(n)]})
+
+
+Q_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey)
+SELECT count(*) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.u = e1.v
+JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
 def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
     """raster->vector: render the CQI tile pyramid, then extract vector
     run segments (class + lon/lat endpoints) back out of the PNGs — the
@@ -3950,6 +3999,7 @@ QUERIES = {
     "funnel": q_funnel,
     "rolling_time": q_rolling_time,
     "zscore": q_zscore,
+    "triangles": q_triangles,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -4064,4 +4114,5 @@ ORACLES = {
     "funnel": Q_FUNNEL_SQL,
     "rolling_time": Q_ROLLING_TIME_SQL,
     "zscore": Q_ZSCORE_SQL,
+    "triangles": Q_TRIANGLES_SQL,
 }

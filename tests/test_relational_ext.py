@@ -197,3 +197,47 @@ class TestSaltedHashJoin:
         left = pd.DataFrame({"k": [1, 2, 99], "v": [10, 20, 30]})
         right = pd.DataFrame({"k": [1, 2], "dim": ["a", "b"]})
         self._check(left, right, how="left", salts=3)
+
+
+class TestTriangleCount:
+    """triangle_count must equal the brute-force count on random simple
+    graphs, and grouped_all_pairs must enumerate exactly the within-
+    group index pairs."""
+
+    def test_grouped_all_pairs_random_sizes(self):
+        from cqi_ray.ops.graph import grouped_all_pairs
+
+        rng = np.random.RandomState(11)
+        sizes = rng.randint(0, 7, 40)
+        i, j = grouped_all_pairs(sizes)
+        want, off = [], 0
+        for c in sizes:
+            for x in range(c):
+                for y in range(x + 1, c):
+                    want.append((off + x, off + y))
+            off += c
+        assert list(zip(i.tolist(), j.tolist())) == want
+
+    def test_random_graph_matches_brute_force(self, ray_session):
+        from cqi_ray.ops.graph import triangle_count
+
+        rng = np.random.RandomState(7)
+        a = rng.randint(0, 60, 400)
+        b = rng.randint(0, 60, 400)
+        m = a != b
+        lo, hi = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+        edges = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        adj = np.zeros((60, 60), dtype=bool)
+        adj[edges["a"], edges["b"]] = True
+        adj |= adj.T
+        ai = adj.astype(np.int64)
+        want = int(np.einsum("ij,jk,ki->", ai, ai, ai)) // 6
+        got = triangle_count(_ds(edges, blocks=3), num_buckets=8)
+        assert got == want
+
+    def test_star_graph_has_no_triangles(self, ray_session):
+        from cqi_ray.ops.graph import triangle_count
+
+        edges = pd.DataFrame({"a": np.zeros(30, dtype=np.int64),
+                              "b": np.arange(1, 31, dtype=np.int64)})
+        assert triangle_count(_ds(edges, blocks=2), num_buckets=4) == 0
