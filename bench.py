@@ -136,6 +136,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("rolling_time", lambda: q.q_rolling_time(sf_dir))
     bench("zscore", lambda: q.q_zscore(sf_dir))
     bench("triangles", lambda: q.q_triangles(sf_dir))
+    bench("mixture_sample", lambda: q.q_mixture_sample(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
     return {"timings": timings, "rows": rows}
 

@@ -3687,6 +3687,35 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Deterministic data-mixing sampler: down/up-weight corpus sources
+    to target proportions by per-lang keep rates (en 1/2, de 1/4, fr
+    1/8, else 1/16 here) decided by each doc's md5 key hash — the
+    mixture-weighting step of LLM training-data prep.  Pure stateless
+    map (rate lookup + hash mod), reproducible across engines,
+    partitionings and runs; composes with any upstream filter without
+    a shuffle."""
+    rates = {"en": 2, "de": 4, "fr": 8}
+    default_mod = 16
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def samp(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_lower64(b["doc_id"].astype(str).tolist())
+        mod = b["lang"].map(rates).fillna(default_mod) \
+            .to_numpy(dtype=np.uint64)
+        return b.loc[(h % mod) == 0]
+
+    return docs.map_batches(samp, batch_format="pandas")
+
+
+Q_MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR))
+      % (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 4
+                   WHEN 'fr' THEN 8 ELSE 16 END) = 0
+"""
+
+
 def q_triangles(sf_dir: str):
     """Exact triangle count of the part co-purchase graph (parts are
     adjacent iff they share an order).  Edge derivation is two
@@ -4000,6 +4029,7 @@ QUERIES = {
     "rolling_time": q_rolling_time,
     "zscore": q_zscore,
     "triangles": q_triangles,
+    "mixture_sample": q_mixture_sample,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -4115,4 +4145,5 @@ ORACLES = {
     "rolling_time": Q_ROLLING_TIME_SQL,
     "zscore": Q_ZSCORE_SQL,
     "triangles": Q_TRIANGLES_SQL,
+    "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
 }
