@@ -137,6 +137,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("zscore", lambda: q.q_zscore(sf_dir))
     bench("triangles", lambda: q.q_triangles(sf_dir))
     bench("mixture_sample", lambda: q.q_mixture_sample(sf_dir))
+    bench("pca", lambda: q.q_pca(sf_dir))
+    bench("inverted_index", lambda: q.q_inverted_index(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
     return {"timings": timings, "rows": rows}
 

@@ -149,7 +149,8 @@ def grouped_all_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def triangle_count(edges: rd.Dataset, a: str = "a", b: str = "b",
-                   num_buckets: int = 32) -> int:
+                   num_buckets: int = 32,
+                   broadcast_below: int = 20_000_000) -> int:
     """Exact triangle count of an undirected simple graph (edges given
     once as a<b pairs, no self-loops).  Degree-oriented wedge counting
     — the communication-optimal distributed plan:
@@ -162,8 +163,16 @@ def triangle_count(edges: rd.Dataset, a: str = "a", b: str = "b",
     3. wedges (pairs of out-neighbors, rank-ordered) are generated per
        source with the vectorized ``grouped_all_pairs`` fan-out after
        ONE bucketed shuffle on the source vertex;
-    4. wedges ⋈ edges on the packed (lo,hi) key — a bucketed semi-join
-       count; each triangle closes exactly one wedge.
+    4. wedge closure against the edge set — two plans, chosen by edge
+       count (the same broadcast-vs-shuffle decision as PageRank):
+       * m <= ``broadcast_below``: the sorted packed edge-key array
+         (8 B/edge, e.g. 6 MB at 800k edges) is broadcast via ray.put
+         and wedges close INSIDE their generation task with one
+         searchsorted — the O(sum deg²) wedge set never leaves its
+         task, no second shuffle (measured 35 s -> ~5 s at sf0.1's
+         15M wedges / 800k edges);
+       * larger graphs: wedges ⋈ edges bucketed semi-join count on the
+         packed key; nothing driver-resident scales with the graph.
 
     Vertex ids must fit 32 bits (keys are packed lo<<32|hi)."""
     from ..relational import partial_then_global_sum
@@ -196,22 +205,54 @@ def triangle_count(edges: rd.Dataset, a: str = "a", b: str = "b",
                              "rs": rlo.astype(np.int64),
                              "rn": rhi.astype(np.int64)})
 
-    oriented = edges.map_batches(orient, batch_format="pandas")
+    oriented = edges.map_batches(orient, batch_format="pandas") \
+        .materialize()  # consumed by wedge gen AND edge-key extraction
+    m_edges = oriented.count()
 
-    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
-        if not len(bucket):
-            return pd.DataFrame({"key": pd.Series(dtype="uint64"),
-                                 "w": pd.Series(dtype="int64")})
+    def _wedge_arrays(bucket: pd.DataFrame):
         s = bucket.sort_values(["src", "rn"], kind="mergesort")
         srcs = s["src"].to_numpy()
         sizes = np.diff(np.flatnonzero(
             np.r_[True, srcs[1:] != srcs[:-1], True]))
         i, j = grouped_all_pairs(sizes)
         # neighbors sorted by rank within src, so (i, j) is already
-        # rank-ordered — matching the lo->hi edge orientation below
+        # rank-ordered — matching the lo->hi edge orientation
         nb = s["nbr"].to_numpy(np.int64)
-        key = (nb[i].astype(np.uint64) << np.uint64(32)) \
+        return (nb[i].astype(np.uint64) << np.uint64(32)) \
             | nb[j].astype(np.uint64)
+
+    if m_edges <= broadcast_below:
+        # broadcast plan: close wedges where they are born
+        def all_edge_keys(bt: pd.DataFrame) -> pd.DataFrame:
+            key = (bt["src"].to_numpy(np.uint64) << np.uint64(32)) \
+                | bt["nbr"].to_numpy(np.uint64)
+            return pd.DataFrame({"key": key})
+
+        ekeys = np.sort(oriented.map_batches(
+            all_edge_keys, batch_format="pandas").to_pandas()["key"]
+            .to_numpy(np.uint64))
+        ekeys_ref = ray.put(ekeys)
+
+        def close_local(bucket: pd.DataFrame, _ref=ekeys_ref) -> pd.DataFrame:
+            if not len(bucket):
+                return pd.DataFrame({"n": pd.Series(dtype="int64")})
+            wk = _wedge_arrays(bucket)
+            have = ray.get(_ref) if not isinstance(_ref, np.ndarray) else _ref
+            pos = np.searchsorted(have, wk)
+            pos[pos >= len(have)] = len(have) - 1 if len(have) else 0
+            n = int((have[pos] == wk).sum()) if len(have) else 0
+            return pd.DataFrame({"n": [n]})
+
+        parts = grouped_map_buckets(oriented, ["src"], close_local,
+                                    num_buckets=num_buckets,
+                                    whole_bucket=True)
+        return int(parts.to_pandas()["n"].sum())
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"key": pd.Series(dtype="uint64"),
+                                 "w": pd.Series(dtype="int64")})
+        key = _wedge_arrays(bucket)
         return pd.DataFrame({"key": key,
                              "w": np.ones(len(key), dtype=np.int64)})
 

@@ -3687,6 +3687,110 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def q_pca(sf_dir: str, k: int = 2):
+    """Distributed PCA projection: pass 1 folds each block into
+    (n, column-sum, upper-triangle XᵀX) partials in LONG format so ONE
+    tiny bucketed sum yields the exact global covariance — the vectors
+    never cross the wire, only O(d² x blocks) partial rows do.  The
+    driver eigendecomposes the bounded d x d matrix (d=64) and pass 2
+    projects every vector onto the top-``k`` components in a stateless
+    map.  Sign convention: each component's largest-|.|-coordinate is
+    made positive, so output is deterministic.  Rows-only driver check;
+    pytest asserts allclose vs single-machine numpy PCA."""
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        iu, ju = np.triu_indices(d)
+        gram = (mat.T @ mat)[iu, ju]
+        s = mat.sum(axis=0)
+        # i=-1 rows carry the column sums; (-1,-1) carries the count
+        return pd.DataFrame({
+            "i": np.concatenate([iu, np.full(d, -1), [-1]]).astype(np.int64),
+            "j": np.concatenate([ju, np.arange(d), [-1]]).astype(np.int64),
+            "val": np.concatenate([gram, s, [float(len(mat))]])})
+
+    parts = emb.map_batches(moments, batch_format="pandas",
+                            batch_size=None)
+    agg = partial_then_global_sum(parts, keys=["i", "j"],
+                                  sums={"val": "val"},
+                                  num_buckets=8).to_pandas()
+    n = float(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "val"].iloc[0])
+    srows = agg[(agg["i"] == -1) & (agg["j"] >= 0)].sort_values("j")
+    mu = srows["val"].to_numpy() / n
+    d = len(mu)
+    cov = np.zeros((d, d))
+    g = agg[agg["i"] >= 0]
+    cov[g["i"].to_numpy(np.int64), g["j"].to_numpy(np.int64)] = \
+        g["val"].to_numpy()
+    cov = cov + np.triu(cov, 1).T
+    cov = cov / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, np.argsort(w)[::-1][:k]]          # top-k eigenvectors
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0),
+                        np.arange(k)])
+    comp = comp * flip
+    mu_c, comp_c = mu, comp                        # small: ship in closure
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        p = (mat - mu_c) @ comp_c
+        out = {"vec_id": b["vec_id"].astype("int64")}
+        for c in range(p.shape[1]):
+            out[f"pc{c + 1}"] = np.round(p[:, c], 6)
+        return pd.DataFrame(out)
+
+    return emb.map_batches(project, batch_format="pandas")
+
+
+def q_inverted_index(sf_dir: str):
+    """Search-engine posting lists: explode (term, doc_id) pairs with
+    per-block dedup, ONE bucketed shuffle on term, then per-term sorted
+    unique doc-id lists + document frequency.  The block dedup is the
+    combiner that keeps the shuffle proportional to distinct pairs.  At
+    100 TB posting lists for stop-word-like terms get chunked by
+    doc-id range (here vocab is bounded, lists stay small)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        out = pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(np.int64),
+                                toks.str.len().to_numpy()),
+            "term": np.concatenate(toks.to_numpy())})
+        return out[out["term"] != ""].drop_duplicates()
+
+    pairs = docs.map_batches(explode, batch_format="pandas")
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "postings": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        u = bucket.drop_duplicates().sort_values(["term", "doc_id"],
+                                                 kind="mergesort")
+        g = u.groupby("term", sort=False)["doc_id"]
+        return pd.DataFrame({
+            "term": g.size().index,
+            "postings": g.agg(lambda s: ",".join(map(str, s))).to_numpy(),
+            "df": g.size().to_numpy(dtype=np.int64)})
+
+    return grouped_map_buckets(pairs, ["term"], fold,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_INVERTED_INDEX_SQL = """
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM raw)
+SELECT term,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       count(*) AS df
+FROM t WHERE term <> '' GROUP BY term
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic data-mixing sampler: down/up-weight corpus sources
     to target proportions by per-lang keep rates (en 1/2, de 1/4, fr
@@ -4030,6 +4134,8 @@ QUERIES = {
     "zscore": q_zscore,
     "triangles": q_triangles,
     "mixture_sample": q_mixture_sample,
+    "pca": q_pca,
+    "inverted_index": q_inverted_index,
     "ann_ivfpq": q_ann_ivfpq,
     "join3_topk": q_join3_topk,
     "lag_diff": q_lag_diff,
@@ -4146,4 +4252,5 @@ ORACLES = {
     "zscore": Q_ZSCORE_SQL,
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
+    "inverted_index": Q_INVERTED_INDEX_SQL,
 }

@@ -466,3 +466,31 @@ class TestIVFPQ:
         e = {(r.query_id, r.vec_id) for r in exact.itertuples(index=False)}
         a = {(r.query_id, r.vec_id) for r in approx.itertuples(index=False)}
         assert len(e & a) / len(e) >= 0.5
+
+
+class TestDistributedPCA:
+    """q_pca's distributed covariance (long-format XᵀX partials -> one
+    bucketed sum) must reproduce single-machine numpy PCA exactly (up
+    to the documented sign convention)."""
+
+    def test_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from cqi_ray.queries import q_pca
+
+        got = q_pca("/root/testdata/sf0.001", k=2).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas() \
+            .sort_values("vec_id")
+        mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        mu = mat.mean(axis=0)
+        cov = np.cov(mat, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(cov)
+        comp = v[:, np.argsort(w)[::-1][:2]]
+        comp = comp * np.sign(comp[np.abs(comp).argmax(axis=0),
+                                   np.arange(2)])
+        want = (mat - mu) @ comp
+        assert np.allclose(got[["pc1", "pc2"]].to_numpy(), want, atol=2e-6)
+        # variance must actually concentrate: pc1 var >= pc2 var
+        assert got["pc1"].var() >= got["pc2"].var()

@@ -232,8 +232,13 @@ class TestTriangleCount:
         adj |= adj.T
         ai = adj.astype(np.int64)
         want = int(np.einsum("ij,jk,ki->", ai, ai, ai)) // 6
+        # both plans must agree: broadcast edge-key close and the
+        # bucketed wedge⋈edge semi-join (broadcast_below=0 forces it)
         got = triangle_count(_ds(edges, blocks=3), num_buckets=8)
         assert got == want
+        got_shuffle = triangle_count(_ds(edges, blocks=3), num_buckets=8,
+                                     broadcast_below=0)
+        assert got_shuffle == want
 
     def test_star_graph_has_no_triangles(self, ray_session):
         from cqi_ray.ops.graph import triangle_count
