@@ -3650,9 +3650,11 @@ def q_zscore(sf_dir: str):
                  columns=["event_id", "user_id", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("user_id", sort=False)["value"]
-        out = g.agg(n="count", s="sum", s2=lambda x: float((x ** 2).sum()))
-        return out.reset_index()
+        v = b["value"].to_numpy()
+        t = pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                          "v": v, "v2": v * v})
+        return t.groupby("user_id", as_index=False, sort=False).agg(
+            n=("v", "count"), s=("v", "sum"), s2=("v2", "sum"))
 
     moments = partial_then_global_sum(
         events.map_batches(partial, batch_format="pandas"),
