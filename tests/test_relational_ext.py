@@ -198,6 +198,22 @@ class TestSaltedHashJoin:
         right = pd.DataFrame({"k": [1, 2], "dim": ["a", "b"]})
         self._check(left, right, how="left", salts=3)
 
+    def test_string_keys(self, ray_session):
+        left = pd.DataFrame({"k": ["x", "y", "x", "z"] * 5,
+                             "v": range(20)})
+        right = pd.DataFrame({"k": ["x", "y", "w"],
+                              "dim": ["a", "b", "c"]})
+        from cqi_ray.relational import salted_hash_join
+
+        got = salted_hash_join(_ds(left), _ds(right, blocks=2), on="k",
+                               right_cols=["k", "dim"], num_buckets=4,
+                               salts=3).to_pandas()
+        want = left.merge(right, on="k", how="inner")
+        key = sorted(got.columns)
+        got = got[key].sort_values(key).reset_index(drop=True)
+        want = want[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
 
 class TestTriangleCount:
     """triangle_count must equal the brute-force count on random simple
