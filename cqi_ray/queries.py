@@ -3637,6 +3637,58 @@ FROM events
 """
 
 
+def q_anomalies(sf_dir: str, window_h: int = 1, sigma: float = 1.1):
+    """Streaming anomaly detection: flag events whose value exceeds
+    mean + ``sigma``·stddev of the user's trailing ``window_h``-hour
+    window (window includes the current row and its ts-peers, SQL RANGE
+    semantics; sigma=1.1 keeps clear of the two-point-window z==1.0
+    float boundary where engines could disagree).  Same segment-packed searchsorted frame as
+    q_rolling_time plus a second cumsum over value² — exact windowed
+    moments, no per-row loop, ONE bucketed shuffle."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+    window_us = np.int64(window_h) * 3_600_000_000
+
+    def detect(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "user_id": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        t -= t.min()
+        uid = pd.factorize(b["user_id"], sort=False)[0].astype("int64")
+        seg_span = np.int64(t.max() + window_us + 1)
+        seg = uid * seg_span + t
+        v = b["value"].to_numpy()
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        right = np.searchsorted(seg, seg, side="right")
+        left = np.searchsorted(seg, seg - window_us, side="left")
+        n = (right - left).astype("float64")
+        mean = (cs[right] - cs[left]) / n
+        var = np.maximum((cs2[right] - cs2[left]) / n - mean * mean, 0.0)
+        sd = np.sqrt(var)
+        hot = (sd > 0) & ((v - mean) / np.where(sd > 0, sd, 1.0) > sigma)
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy()[hot],
+                             "user_id": b["user_id"].to_numpy()[hot]})
+
+    return grouped_map_buckets(events, ["user_id"], detect,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_ANOMALIES_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER win AS m, stddev_pop(value) OVER win AS sd
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id FROM w WHERE sd > 0 AND (value - m) / sd > 1.1
+"""
+
+
 def q_zscore(sf_dir: str):
     """Group-wise standardization (feature engineering): z-score each
     event value against its user's population mean/stddev.  Two
@@ -4134,6 +4186,7 @@ QUERIES = {
     "funnel": q_funnel,
     "rolling_time": q_rolling_time,
     "zscore": q_zscore,
+    "anomalies": q_anomalies,
     "triangles": q_triangles,
     "mixture_sample": q_mixture_sample,
     "pca": q_pca,
@@ -4252,6 +4305,7 @@ ORACLES = {
     "funnel": Q_FUNNEL_SQL,
     "rolling_time": Q_ROLLING_TIME_SQL,
     "zscore": Q_ZSCORE_SQL,
+    "anomalies": Q_ANOMALIES_SQL,
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "inverted_index": Q_INVERTED_INDEX_SQL,
