@@ -3637,6 +3637,43 @@ FROM events
 """
 
 
+def q_group_mad(sf_dir: str):
+    """Robust statistics: per-user median absolute deviation.  ONE
+    bucketed shuffle on user_id co-locates each user, then a
+    vectorized two-step per bucket: groupby median (interpolating,
+    matching DuckDB's quantile_cont median) and the median of absolute
+    residuals via transform — no second shuffle, no per-row loop."""
+    events = _pq(sf_dir, "events", columns=["user_id", "value"])
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "med": pd.Series(dtype="float64"),
+                                 "mad": pd.Series(dtype="float64")})
+        g = bucket.groupby("user_id", sort=False)["value"]
+        med = g.transform("median")
+        resid = (bucket["value"] - med).abs()
+        out = pd.DataFrame({"user_id": bucket["user_id"],
+                            "med": med, "resid": resid})
+        agg = out.groupby("user_id", as_index=False, sort=False).agg(
+            med=("med", "first"), mad=("resid", "median"))
+        agg["med"] = agg["med"].round(6)
+        agg["mad"] = agg["mad"].round(6)
+        return agg
+
+    return grouped_map_buckets(events, ["user_id"], fold,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_GROUP_MAD_SQL = """
+WITH med AS (SELECT user_id, median(value) AS m FROM events GROUP BY user_id)
+SELECT e.user_id, round(any_value(med.m), 6) AS med,
+       round(median(abs(e.value - med.m)), 6) AS mad
+FROM events e JOIN med USING (user_id)
+GROUP BY e.user_id
+"""
+
+
 def q_anomalies(sf_dir: str, window_h: int = 1, sigma: float = 1.1):
     """Streaming anomaly detection: flag events whose value exceeds
     mean + ``sigma``·stddev of the user's trailing ``window_h``-hour
@@ -4187,6 +4224,7 @@ QUERIES = {
     "rolling_time": q_rolling_time,
     "zscore": q_zscore,
     "anomalies": q_anomalies,
+    "group_mad": q_group_mad,
     "triangles": q_triangles,
     "mixture_sample": q_mixture_sample,
     "pca": q_pca,
@@ -4306,6 +4344,7 @@ ORACLES = {
     "rolling_time": Q_ROLLING_TIME_SQL,
     "zscore": Q_ZSCORE_SQL,
     "anomalies": Q_ANOMALIES_SQL,
+    "group_mad": Q_GROUP_MAD_SQL,
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "inverted_index": Q_INVERTED_INDEX_SQL,
