@@ -222,31 +222,59 @@ def triangle_count(edges: rd.Dataset, a: str = "a", b: str = "b",
             | nb[j].astype(np.uint64)
 
     if m_edges <= broadcast_below:
-        # broadcast plan: close wedges where they are born
-        def all_edge_keys(bt: pd.DataFrame) -> pd.DataFrame:
-            key = (bt["src"].to_numpy(np.uint64) << np.uint64(32)) \
-                | bt["nbr"].to_numpy(np.uint64)
+        # broadcast plan: relabel edges into RANK space — orientation is
+        # by rank, so the sorted (rank_lo<<32|rank_hi) key array IS a CSR
+        # adjacency (grouped by source rank, neighbors ascending, which
+        # is rank order).  Wedge counting then needs NO shuffle at all:
+        # one wave of raw tasks over wedge-balanced source ranges reads
+        # the broadcast CSR zero-copy, generates its wedges with
+        # grouped_all_pairs and closes them with one searchsorted.
+        # (Replaces a bucketed src shuffle + skewed bucket kernels:
+        # 8.7 s -> ~1.5 s for the 41M-wedge close at sf0.1.)
+        def rank_keys(bt: pd.DataFrame) -> pd.DataFrame:
+            key = (bt["rs"].to_numpy(np.uint64) << np.uint64(32)) \
+                | bt["rn"].to_numpy(np.uint64)
             return pd.DataFrame({"key": key})
 
         ekeys = np.sort(oriented.map_batches(
-            all_edge_keys, batch_format="pandas").to_pandas()["key"]
+            rank_keys, batch_format="pandas").to_pandas()["key"]
             .to_numpy(np.uint64))
+        if not len(ekeys):
+            return 0
+        srcs = (ekeys >> np.uint64(32)).astype(np.int64)
+        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1], True])
+        sizes = np.diff(bounds)
+        wedge_mass = (sizes * (sizes - 1) // 2).astype(np.int64)
+        total_w = int(wedge_mass.sum())
+        if total_w == 0:
+            return 0
+        n_tasks = min(max(1, num_buckets * 4), len(sizes))
+        cum = np.cumsum(wedge_mass)
+        cuts = np.unique(np.searchsorted(
+            cum, np.linspace(0, total_w, n_tasks + 1)[1:-1]))
+        group_ranges = np.concatenate(([0], cuts + 1, [len(sizes)]))
+        group_ranges = np.unique(group_ranges)
         ekeys_ref = ray.put(ekeys)
+        bounds_ref = ray.put(bounds)
 
-        def close_local(bucket: pd.DataFrame, _ref=ekeys_ref) -> pd.DataFrame:
-            if not len(bucket):
-                return pd.DataFrame({"n": pd.Series(dtype="int64")})
-            wk = _wedge_arrays(bucket)
-            have = ray.get(_ref) if not isinstance(_ref, np.ndarray) else _ref
-            pos = np.searchsorted(have, wk)
-            pos[pos >= len(have)] = len(have) - 1 if len(have) else 0
-            n = int((have[pos] == wk).sum()) if len(have) else 0
-            return pd.DataFrame({"n": [n]})
+        @ray.remote(num_cpus=1)
+        def count_range(ek, bd, glo: int, ghi: int) -> int:
+            # ObjectRef args auto-deref: ek/bd arrive as zero-copy arrays
+            lo, hi = int(bd[glo]), int(bd[ghi])
+            gsizes = np.diff(bd[glo:ghi + 1])
+            i, j = grouped_all_pairs(gsizes)
+            if not len(i):
+                return 0
+            nbr = ek[lo:hi] & np.uint64(0xFFFFFFFF)
+            wk = (nbr[i] << np.uint64(32)) | nbr[j]
+            pos = np.searchsorted(ek, wk)
+            pos[pos >= len(ek)] = len(ek) - 1
+            return int((ek[pos] == wk).sum())
 
-        parts = grouped_map_buckets(oriented, ["src"], close_local,
-                                    num_buckets=num_buckets,
-                                    whole_bucket=True)
-        return int(parts.to_pandas()["n"].sum())
+        futs = [count_range.remote(ekeys_ref, bounds_ref,
+                                   int(g0), int(g1))
+                for g0, g1 in zip(group_ranges[:-1], group_ranges[1:])]
+        return int(sum(ray.get(futs)))
 
     def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
