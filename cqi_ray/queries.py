@@ -3637,6 +3637,104 @@ FROM events
 """
 
 
+def q_transitions(sf_dir: str):
+    """Markov transition counts: (event_type -> next event_type) pairs
+    in per-user event-time order.  ONE bucketed shuffle on user_id,
+    vectorized per-bucket groupby.shift for the lead, then the
+    partial-sum combiner before the tiny (from,to) reduce — the
+    sequence-mining shape (session flows, n-gram user journeys)."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type"])
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"from_type": pd.Series(dtype="object"),
+                                 "to_type": pd.Series(dtype="object")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        nxt = b.groupby("user_id", sort=False)["event_type"].shift(-1)
+        keep = nxt.notna()
+        return pd.DataFrame({"from_type": b.loc[keep, "event_type"],
+                             "to_type": nxt[keep]})
+
+    p = grouped_map_buckets(events, ["user_id"], pairs,
+                            num_buckets=32, whole_bucket=True)
+    return partial_then_global_sum(p, keys=["from_type", "to_type"],
+                                   sums={}, counts="n")
+
+
+Q_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-seen epoch week
+    (cohort), counted distinct per (cohort, week-offset) cell.  Plan:
+    per-block (user, min_ts) partials -> ONE bucketed min -> broadcast
+    the bounded first-seen LUT back over the events (at 10^12 rows the
+    LUT side would flip to a bucketed join — same output) -> distinct
+    (user, cohort, offset) triples via the block-combiner dedup ->
+    partial-sum count.  Weeks are exact integer epoch-microsecond
+    arithmetic on both engines."""
+    week_us = np.int64(604_800) * 1_000_000
+    events = _pq(sf_dir, "events", columns=["ts", "user_id"])
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"user_id": b["user_id"].to_numpy(), "t": t})
+        return d.groupby("user_id", as_index=False, sort=False).min()
+
+    def first_reduce(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64")})
+        return bucket.groupby("user_id", as_index=False, sort=False).min()
+
+    first = grouped_map_buckets(
+        events.map_batches(first_partial, batch_format="pandas"),
+        ["user_id"], first_reduce, num_buckets=16,
+        whole_bucket=True).to_pandas()  # O(distinct users): bounded
+    lut = pd.DataFrame({
+        "user_id": first["user_id"].to_numpy(),
+        "cohort_week": (first["t"].to_numpy() // week_us).astype("int64")})
+    joined = broadcast_map_join(events, lut, on="user_id")
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        week = t // week_us
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "cohort_week": b["cohort_week"].astype("int64"),
+            "week_offset": (week - b["cohort_week"].to_numpy()
+                            ).astype("int64")})
+        return d.drop_duplicates()  # block combiner
+
+    triples = distinct_rows(
+        joined.map_batches(cells, batch_format="pandas"),
+        ["user_id", "cohort_week", "week_offset"], num_buckets=16)
+    return partial_then_global_sum(
+        triples, keys=["cohort_week", "week_offset"],
+        sums={}, counts="n_users")
+
+
+Q_RETENTION_SQL = """
+WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id)
+SELECT CAST(floor(epoch(f.fts) / 604800) AS BIGINT) AS cohort_week,
+       CAST(floor(epoch(e.ts) / 604800)
+            - floor(epoch(f.fts) / 604800) AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_group_mad(sf_dir: str):
     """Robust statistics: per-user median absolute deviation.  ONE
     bucketed shuffle on user_id co-locates each user, then a
@@ -4225,6 +4323,8 @@ QUERIES = {
     "zscore": q_zscore,
     "anomalies": q_anomalies,
     "group_mad": q_group_mad,
+    "transitions": q_transitions,
+    "retention": q_retention,
     "triangles": q_triangles,
     "mixture_sample": q_mixture_sample,
     "pca": q_pca,
@@ -4345,6 +4445,8 @@ ORACLES = {
     "zscore": Q_ZSCORE_SQL,
     "anomalies": Q_ANOMALIES_SQL,
     "group_mad": Q_GROUP_MAD_SQL,
+    "transitions": Q_TRANSITIONS_SQL,
+    "retention": Q_RETENTION_SQL,
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "inverted_index": Q_INVERTED_INDEX_SQL,
