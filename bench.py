@@ -138,6 +138,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("group_mad", lambda: q.q_group_mad(sf_dir))
     bench("transitions", lambda: q.q_transitions(sf_dir))
     bench("retention", lambda: q.q_retention(sf_dir))
+    bench("resample", lambda: q.q_resample(sf_dir))
     bench("zscore", lambda: q.q_zscore(sf_dir))
     bench("triangles", lambda: q.q_triangles(sf_dir))
     bench("mixture_sample", lambda: q.q_mixture_sample(sf_dir))

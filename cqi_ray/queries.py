@@ -3735,6 +3735,89 @@ GROUP BY 1, 2
 """
 
 
+def q_resample(sf_dir: str):
+    """Time-series resampling with last-observation-carried-forward:
+    for every user and every epoch week from the user's first event to
+    the corpus' last week, the value of the user's latest event before
+    the week boundary.  A tiny global (min,max)-week pre-pass, then ONE
+    bucketed shuffle on user_id; inside each bucket users are packed
+    into disjoint int64 segments so a single searchsorted resolves
+    every (user, week) grid point at once — no per-user loop.  Same-ts
+    duplicates resolve to the highest event_id on both engines."""
+    week_us = np.int64(604_800) * 1_000_000
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    span = events.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": [int(b["ts"].astype("datetime64[us]").astype("int64")
+                       .min() // week_us)],
+            "hi": [int(b["ts"].astype("datetime64[us]").astype("int64")
+                       .max() // week_us)]}),
+        batch_format="pandas").to_pandas()
+    hi = int(span["hi"].max())
+
+    def resample(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "week": pd.Series(dtype="int64"),
+                              "value": pd.Series(dtype="float64")})
+        if not len(bucket):
+            return empty
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        t_all = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        b = b.assign(__t=t_all).drop_duplicates(["user_id", "__t"],
+                                                keep="last")
+        t = b["__t"].to_numpy()
+        uid_codes, uid_vals = pd.factorize(b["user_id"], sort=False)
+        uid = uid_codes.astype("int64")
+        t0 = t.min()
+        # span must cover the furthest GRID boundary ((hi+1) weeks), not
+        # just the bucket's own time range — otherwise a user whose events
+        # end early would have late grid points spill into the next
+        # user's segment
+        seg_span = np.int64((hi + 1) * week_us - t0 + 2)
+        seg_t = uid * seg_span + (t - t0)
+        # per-user grid: first event week .. global hi week
+        first_idx = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        fw = t[first_idx] // week_us
+        counts = (hi - fw + 1).astype("int64")
+        total = int(counts.sum())
+        cum0 = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        w = np.repeat(fw, counts) \
+            + (np.arange(total, dtype=np.int64) - np.repeat(cum0, counts))
+        grid_uid = np.repeat(np.arange(len(fw), dtype=np.int64), counts)
+        bound = (w + 1) * week_us          # strict < boundary
+        grid_seg = grid_uid * seg_span + (bound - t0)
+        idx = np.searchsorted(seg_t, grid_seg, side="left") - 1
+        vals = b["value"].to_numpy()[idx]
+        return pd.DataFrame({
+            "user_id": np.asarray(uid_vals)[grid_uid].astype("int64"),
+            "week": w, "value": vals})
+
+    return grouped_map_buckets(events, ["user_id"], resample,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_RESAMPLE_SQL = """
+WITH b AS (SELECT CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS lo,
+                  CAST(floor(epoch(max(ts)) / 604800) AS BIGINT) AS hi
+           FROM events),
+s AS (SELECT unnest(generate_series(0, 63)) AS k),
+g AS (SELECT b.lo + s.k AS w FROM b, s WHERE b.lo + s.k <= b.hi),
+u AS (SELECT user_id, CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS fw
+      FROM events GROUP BY user_id),
+grid AS (SELECT u.user_id, g.w,
+                make_timestamp((g.w + 1) * 604800 * 1000000 - 1) AS gts
+         FROM u JOIN g ON g.w >= u.fw),
+ev AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+       FROM events GROUP BY user_id, ts)
+SELECT grid.user_id, grid.w AS week, e.value
+FROM grid ASOF JOIN ev e
+  ON grid.user_id = e.user_id AND grid.gts >= e.ts
+"""
+
+
 def q_group_mad(sf_dir: str):
     """Robust statistics: per-user median absolute deviation.  ONE
     bucketed shuffle on user_id co-locates each user, then a
@@ -4325,6 +4408,7 @@ QUERIES = {
     "group_mad": q_group_mad,
     "transitions": q_transitions,
     "retention": q_retention,
+    "resample": q_resample,
     "triangles": q_triangles,
     "mixture_sample": q_mixture_sample,
     "pca": q_pca,
@@ -4447,6 +4531,7 @@ ORACLES = {
     "group_mad": Q_GROUP_MAD_SQL,
     "transitions": Q_TRANSITIONS_SQL,
     "retention": Q_RETENTION_SQL,
+    "resample": Q_RESAMPLE_SQL,
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "inverted_index": Q_INVERTED_INDEX_SQL,

@@ -198,6 +198,24 @@ class TestSaltedHashJoin:
         right = pd.DataFrame({"k": [1, 2], "dim": ["a", "b"]})
         self._check(left, right, how="left", salts=3)
 
+    def test_salts_invariance(self, ray_session):
+        """Output must be identical for any salts setting (placement
+        only): salts=1 degenerates to the plain bucketed join."""
+        rng = np.random.RandomState(5)
+        left = pd.DataFrame({"k": rng.randint(0, 30, 500), "v": range(500)})
+        right = pd.DataFrame({"k": np.arange(30), "dim": np.arange(30) * 10})
+        from cqi_ray.relational import salted_hash_join
+
+        outs = []
+        for salts in (1, 4, 16):
+            got = salted_hash_join(_ds(left), _ds(right, blocks=2), on="k",
+                                   right_cols=["k", "dim"], num_buckets=8,
+                                   salts=salts).to_pandas()
+            key = sorted(got.columns)
+            outs.append(got[key].sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+        pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
+
     def test_string_keys(self, ray_session):
         left = pd.DataFrame({"k": ["x", "y", "x", "z"] * 5,
                              "v": range(20)})
