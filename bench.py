@@ -139,6 +139,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("transitions", lambda: q.q_transitions(sf_dir))
     bench("retention", lambda: q.q_retention(sf_dir))
     bench("resample", lambda: q.q_resample(sf_dir))
+    bench("debounce", lambda: q.q_debounce(sf_dir))
     bench("zscore", lambda: q.q_zscore(sf_dir))
     bench("triangles", lambda: q.q_triangles(sf_dir))
     bench("mixture_sample", lambda: q.q_mixture_sample(sf_dir))

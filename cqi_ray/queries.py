@@ -3735,6 +3735,50 @@ GROUP BY 1, 2
 """
 
 
+def q_debounce(sf_dir: str, gap_s: int = 300):
+    """Log debouncing: drop an event when the same user emitted the
+    same event_type within ``gap_s`` seconds before it — the standard
+    click-stream cleaning step.  ONE bucketed shuffle on user_id,
+    vectorized per-bucket groupby.shift on (user, type) and an exact
+    integer-microsecond gap test."""
+    gap_us = np.int64(gap_s) * 1_000_000
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type"])
+
+    def debounce(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "event_type": pd.Series(dtype="object")})
+        b = bucket.sort_values(["user_id", "event_type", "ts", "event_id"],
+                               kind="mergesort")
+        t = pd.Series(
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            index=b.index)
+        prev = t.groupby([b["user_id"], b["event_type"]], sort=False) \
+            .shift(1)
+        keep = prev.isna() | ((t - prev) > gap_us)
+        out = b.loc[keep, ["event_id", "user_id", "event_type"]]
+        out["event_id"] = out["event_id"].astype("int64")
+        return out
+
+    return grouped_map_buckets(events, ["user_id"], debounce,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_DEBOUNCE_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM s WHERE gap_us IS NULL OR gap_us > 300000000
+"""
+
+
 def q_resample(sf_dir: str):
     """Time-series resampling with last-observation-carried-forward:
     for every user and every epoch week from the user's first event to
@@ -4409,6 +4453,7 @@ QUERIES = {
     "transitions": q_transitions,
     "retention": q_retention,
     "resample": q_resample,
+    "debounce": q_debounce,
     "triangles": q_triangles,
     "mixture_sample": q_mixture_sample,
     "pca": q_pca,
@@ -4532,6 +4577,7 @@ ORACLES = {
     "transitions": Q_TRANSITIONS_SQL,
     "retention": Q_RETENTION_SQL,
     "resample": Q_RESAMPLE_SQL,
+    "debounce": Q_DEBOUNCE_SQL,
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "inverted_index": Q_INVERTED_INDEX_SQL,
