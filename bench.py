@@ -146,6 +146,11 @@ def run_suite(sf_dir: str) -> dict:
     bench("pca", lambda: q.q_pca(sf_dir))
     bench("inverted_index", lambda: q.q_inverted_index(sf_dir))
     bench("ann_ivfpq", lambda: q.q_ann_ivfpq(sf_dir))
+    bench("bfs_hops", lambda: q.q_bfs_hops(sf_dir))
+    bench("cell_rollup", lambda: q.q_cell_rollup(sf_dir))
+    bench("zonal_stats", lambda: q.q_zonal_stats(sf_dir))
+    bench("window_lead", lambda: q.q_window_lead(sf_dir))
+    bench("edit_distance", lambda: q.q_edit_distance(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -138,3 +138,66 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     batch["fingerprint"] = rolling_fingerprint(batch[text_col].tolist())
     batch["content_md5"] = md5_fingerprint(batch[text_col].tolist())
     return batch
+
+
+def banded_edit_distance(a_texts, b_texts, k: int) -> np.ndarray:
+    """Levenshtein distance for many (a, b) pairs at once, banded at
+    width 2k+1 (Ukkonen): cells farther than ``k`` off the diagonal can
+    never contribute to a distance <= k, so the DP sweeps len(a) rows x
+    (2k+1) band cells, vectorized with numpy ACROSS the pair axis.
+
+    Returns int64 distances; pairs whose true distance exceeds ``k``
+    report k+1 (the verify threshold semantics of a similarity join).
+    Pure numpy, no per-pair Python loop — the loop is over string
+    positions (bounded by max prefix length), not over pairs.
+    """
+    n = len(a_texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    enc_a = [str(t or "").encode("utf-8", "surrogatepass") for t in a_texts]
+    enc_b = [str(t or "").encode("utf-8", "surrogatepass") for t in b_texts]
+    la = np.fromiter((len(t) for t in enc_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(t) for t in enc_b), dtype=np.int64, count=n)
+    ml_a, ml_b = int(la.max()), int(lb.max())
+    big = np.int64(k + 1)
+    out = np.where(np.abs(la - lb) > k, big, -1).astype(np.int64)
+    if ml_a == 0 or ml_b == 0:
+        pend = out < 0
+        out[pend] = np.minimum(np.maximum(la, lb)[pend], big)
+        return out
+    A = np.zeros((n, ml_a), dtype=np.uint8)
+    B = np.zeros((n, ml_b), dtype=np.uint8)
+    for i, t in enumerate(enc_a):
+        A[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+    for i, t in enumerate(enc_b):
+        B[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+    W = 2 * k + 1
+    INF = np.int64(k + 2)
+    # band[:, c] holds D[i, j] with j = i + (c - k); row 0 = D[0, j] = j
+    band = np.arange(-k, k + 1, dtype=np.int64)[None, :].repeat(n, axis=0)
+    band = np.where((band < 0) | (band > lb[:, None]), INF, band)
+    for i in range(1, ml_a + 1):
+        j = i + np.arange(-k, k + 1, dtype=np.int64)[None, :]  # (1, W) + i
+        valid = (j >= 0) & (j <= lb[:, None]) & (i <= la[:, None])
+        # shift: new[c] aligns with old[c] (diag), old[c+1] (up=del from a),
+        # new[c-1] (left=insert).  up/diag come from the previous row.
+        up = np.concatenate([band[:, 1:], np.full((n, 1), INF)], axis=1)
+        diag = band
+        jj = np.clip(j - 1, 0, ml_b - 1)
+        ach = A[:, i - 1][:, None]
+        bch = np.take_along_axis(B, jj, axis=1)
+        sub = diag + np.where((j >= 1) & (ach == bch), 0, 1)
+        new = np.minimum(sub, up + 1)
+        # left neighbours resolve within the row: W is tiny, loop over it
+        for c in range(W):
+            left = new[:, c - 1] + 1 if c else INF
+            new[:, c] = np.minimum(new[:, c], left)
+        # pairs whose a is shorter than the batch max finished at i == la:
+        # freeze their band so the final read sees row la, not row ml_a
+        band = np.where((i <= la)[:, None],
+                        np.where(valid, np.minimum(new, INF), INF), band)
+    c_idx = np.clip(lb - la + k, 0, W - 1)  # cell for D[la, lb]: j = i + (c-k)
+    d = np.take_along_axis(band, c_idx[:, None], axis=1)[:, 0]
+    pend = out < 0
+    out[pend] = np.minimum(d, big)[pend]
+    return out

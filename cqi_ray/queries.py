@@ -4146,29 +4146,9 @@ def q_triangles(sf_dir: str):
     at O(sqrt(m)) by rank orientation, so hub parts cannot blow up a
     wedge task; wedges close against edges in a bucketed semi-join.
     Returns one row (n_triangles)."""
-    from .ops.graph import grouped_all_pairs, triangle_count
-    from .relational import distinct_rows, grouped_map_buckets
+    from .ops.graph import triangle_count
 
-    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def order_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64")})
-        if not len(bucket):
-            return empty
-        s = bucket.drop_duplicates(["l_orderkey", "l_partkey"]) \
-            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
-        ok = s["l_orderkey"].to_numpy()
-        pk = s["l_partkey"].to_numpy(np.int64)
-        sizes = np.diff(np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True]))
-        i, j = grouped_all_pairs(sizes)
-        if not len(i):
-            return empty
-        return pd.DataFrame({"a": pk[i], "b": pk[j]})  # sorted: a < b
-
-    pairs = grouped_map_buckets(li, ["l_orderkey"], order_pairs,
-                                num_buckets=32, whole_bucket=True)
-    edges = distinct_rows(pairs, ["a", "b"], num_buckets=32)
+    edges = _copurchase_edges(sf_dir, num_buckets=32)
     n = triangle_count(edges, a="a", b="b", num_buckets=32)
     return pd.DataFrame({"n_triangles": [np.int64(n)]})
 
@@ -4384,6 +4364,498 @@ pr{k} AS (
 Q_PAGERANK_SQL = _pagerank_sql(5)
 
 
+def _copurchase_edges(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Distinct part co-purchase edges (a < b): per-order unique-part
+    all-pairs fan-out (vectorized grouped_all_pairs after ONE bucketed
+    shuffle on orderkey) then DISTINCT.  Shared edge derivation for
+    q_triangles and q_bfs_hops."""
+    from .ops.graph import grouped_all_pairs
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def order_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        s = bucket.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = s["l_orderkey"].to_numpy()
+        pk = s["l_partkey"].to_numpy(np.int64)
+        sizes = np.diff(np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True]))
+        i, j = grouped_all_pairs(sizes)
+        if not len(i):
+            return empty
+        return pd.DataFrame({"a": pk[i], "b": pk[j]})  # sorted: a < b
+
+    pairs = grouped_map_buckets(li, ["l_orderkey"], order_pairs,
+                                num_buckets=num_buckets, whole_bucket=True)
+    return distinct_rows(pairs, ["a", "b"], num_buckets=num_buckets)
+
+
+def q_bfs_hops(sf_dir: str, max_hops: int = 3):
+    """Single-source BFS (shortest hop counts) over the undirected part
+    co-purchase graph, from the smallest part node.  The iterative
+    frontier expansion follows the adaptive broadcast plan PageRank uses
+    for bounded node sets: edge blocks are pinned once, a one-time prep
+    task per block turns (a, b) into symmetric node-index arrays, and
+    each BFS wave is ONE wave of raw Ray tasks — the frontier bitmask is
+    broadcast (1 B/node), each task returns only the frontier-adjacent
+    node indices it saw, and the driver folds visited/hops vectors
+    (driver memory O(n_nodes), documented bound; for unbounded graphs the
+    same waves run as bucketed joins like PageRank's shuffled path)."""
+    from .runtime import materialized_block_refs
+
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def _node_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(dtype=np.int64),
+             b["b"].to_numpy(dtype=np.int64)])})
+
+    nodes = distinct_rows(edges.map_batches(_node_col, batch_format="pandas"),
+                          ["node"], num_buckets=8)
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+    n = len(node_arr)
+    nref = ray.put(node_arr)
+
+    @ray.remote
+    def _prep(block, narr):
+        b = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(b):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        ai = np.searchsorted(narr, b["a"].to_numpy(dtype=np.int64))
+        bi = np.searchsorted(narr, b["b"].to_numpy(dtype=np.int64))
+        return (np.concatenate([ai, bi]).astype(np.int64),
+                np.concatenate([bi, ai]).astype(np.int64))
+
+    @ray.remote
+    def _expand(prep, fmask):
+        u, v = prep
+        return np.unique(v[fmask[u]])
+
+    preps = [_prep.remote(r, nref) for r in materialized_block_refs(edges)]
+    hops = np.full(n, -1, dtype=np.int64)
+    hops[0] = 0  # source = smallest node (node_arr is sorted)
+    frontier = np.zeros(n, dtype=bool)
+    frontier[0] = True
+    for h in range(1, max_hops + 1):
+        fref = ray.put(frontier)
+        nxt = np.zeros(n, dtype=bool)
+        for idx in ray.get([_expand.remote(p, fref) for p in preps]):
+            nxt[idx] = True
+        nxt &= hops < 0
+        if not nxt.any():
+            break
+        hops[nxt] = h
+        frontier = nxt
+    reach = hops >= 0
+    return pd.DataFrame({"node": node_arr[reach], "hops": hops[reach]})
+
+
+Q_BFS_HOPS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+walk AS (
+  SELECT (SELECT min(u) FROM e) AS node, 0 AS hops
+  UNION
+  SELECT e.v AS node, w.hops + 1 AS hops
+  FROM walk w JOIN e ON e.u = w.node WHERE w.hops < 3
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+def q_cell_rollup(sf_dir: str, levels: int = 3):
+    """Multi-resolution spatial rollup (the H3 parent-cell aggregation
+    shape): every point lands in its fine grid cell plus the parents at
+    1/16 and 1/256 resolution — integer shifts, so counts are exactly
+    re-aggregable bottom-up.  One map fans out (level, cell) rows, the
+    combiner pre-aggregates inside each batch, and only (level, cell,
+    partial_count) partials cross the ONE bucketed shuffle."""
+    events = _pq(sf_dir, "events", columns=["event_id"])
+
+    def fan(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(dtype=np.int64)
+        lon = 13.4 + (ids % 1000) * 0.0002
+        lat = 51.0 + ((ids // 1000) % 1000) * 0.0001
+        ix = np.floor((lon + 180.0) / 360.0 * _CELL_N).astype(np.int64)
+        iy = np.floor((lat + 90.0) / 180.0 * _CELL_N).astype(np.int64)
+        frames = []
+        for lvl in range(levels):
+            n_l = _CELL_N >> (4 * lvl)
+            frames.append(pd.DataFrame({
+                "level": np.full(len(ids), lvl, dtype=np.int64),
+                "cell": (ix >> (4 * lvl)) * n_l + (iy >> (4 * lvl))}))
+        return pd.concat(frames, ignore_index=True)
+
+    fanned = events.map_batches(fan, batch_format="pandas")
+    return partial_then_global_sum(fanned, keys=["level", "cell"],
+                                   sums={}, counts="n_events")
+
+
+Q_CELL_ROLLUP_SQL = f"""
+WITH pts AS (
+  SELECT CAST(floor((13.4 + (event_id % 1000) * 0.0002 + 180.0)
+              / 360.0 * {_CELL_N}) AS BIGINT) AS ix,
+         CAST(floor((51.0 + ((event_id // 1000) % 1000) * 0.0001 + 90.0)
+              / 180.0 * {_CELL_N}) AS BIGINT) AS iy
+  FROM events),
+lv AS (SELECT 0 AS level UNION ALL SELECT 1 UNION ALL SELECT 2)
+SELECT CAST(level AS BIGINT) AS level,
+       (ix >> (4 * level)) * ({_CELL_N} >> (4 * level)) + (iy >> (4 * level))
+         AS cell,
+       count(*) AS n_events
+FROM pts CROSS JOIN lv
+GROUP BY 1, 2
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics per coarse cell (count / bbox / coordinate sums —
+    the raster zonal-stats shape over vector points).  All-integer
+    mergeable aggregates: per-batch partials (min/max/sum/count) then one
+    bucketed merge, so the shuffle carries O(cells) rows, not points."""
+    events = _pq(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(dtype=np.int64)
+        lon = 13.4 + (ids % 1000) * 0.0002
+        lat = 51.0 + ((ids // 1000) % 1000) * 0.0001
+        ix = np.floor((lon + 180.0) / 360.0 * _CELL_N).astype(np.int64)
+        iy = np.floor((lat + 90.0) / 180.0 * _CELL_N).astype(np.int64)
+        df = pd.DataFrame({"cell": (ix >> 4) * (_CELL_N >> 4) + (iy >> 4),
+                           "ix": ix, "iy": iy})
+        return df.groupby("cell", as_index=False, sort=False).agg(
+            n_points=("ix", "size"), min_ix=("ix", "min"),
+            max_ix=("ix", "max"), min_iy=("iy", "min"),
+            max_iy=("iy", "max"), sum_ix=("ix", "sum"),
+            sum_iy=("iy", "sum"))
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("cell", "n_points", "min_ix", "max_ix",
+                                  "min_iy", "max_iy", "sum_ix", "sum_iy")})
+        return bucket.groupby("cell", as_index=False, sort=False).agg(
+            n_points=("n_points", "sum"), min_ix=("min_ix", "min"),
+            max_ix=("max_ix", "max"), min_iy=("min_iy", "min"),
+            max_iy=("max_iy", "max"), sum_ix=("sum_ix", "sum"),
+            sum_iy=("sum_iy", "sum"))
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    return grouped_map_buckets(partials, ["cell"], combine,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_ZONAL_STATS_SQL = f"""
+WITH pts AS (
+  SELECT CAST(floor((13.4 + (event_id % 1000) * 0.0002 + 180.0)
+              / 360.0 * {_CELL_N}) AS BIGINT) AS ix,
+         CAST(floor((51.0 + ((event_id // 1000) % 1000) * 0.0001 + 90.0)
+              / 180.0 * {_CELL_N}) AS BIGINT) AS iy
+  FROM events)
+SELECT (ix >> 4) * ({_CELL_N} >> 4) + (iy >> 4) AS cell,
+       count(*) AS n_points,
+       min(ix) AS min_ix, max(ix) AS max_ix,
+       min(iy) AS min_iy, max(iy) AS max_iy,
+       CAST(sum(ix) AS BIGINT) AS sum_ix, CAST(sum(iy) AS BIGINT) AS sum_iy
+FROM pts GROUP BY cell
+"""
+
+
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((a, b), (b), ()): the non-hierarchical
+    subtotal shape ROLLUP can't express.  Like q_rollup_agg, ONE
+    distributed scan computes the finest level with the partial->
+    bucketed-global-sum shape; the other sets re-aggregate the tiny
+    finest result on the driver.  NULL markers encode as 'ALL'."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    finest = partial_then_global_sum(
+        li, keys=["l_returnflag", "l_linestatus"],
+        sums={"l_quantity": "sum_qty"}, counts="cnt").to_pandas()
+
+    by_ls = finest.groupby("l_linestatus", as_index=False, sort=False) \
+        [["sum_qty", "cnt"]].sum()
+    by_ls["l_returnflag"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          "sum_qty": [finest["sum_qty"].sum()],
+                          "cnt": [finest["cnt"].sum()]})
+    out = pd.concat([finest, by_ls, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "cnt"]]
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def q_window_lead(sf_dir: str):
+    """LEAD + FIRST_VALUE/LAST_VALUE over event-time partitions: the
+    forward-looking companions of q_lag_diff.  One bucketed shuffle on
+    the partition key; per bucket a vectorized sort + groupby shift(-1)
+    / transform(first|last).  Gaps are exact integer microseconds
+    (unit-safe epoch conversion); values in integer cents."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    def lead(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "next_gap_us": pd.Series(dtype="int64"),
+                "first_cents": pd.Series(dtype="int64"),
+                "last_cents": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        b["__us"] = us
+        b["__c"] = np.round(b["value"].to_numpy() * 100).astype("int64")
+        g = b.groupby("user_id", sort=False)
+        nxt = g["__us"].shift(-1)
+        b["next_gap_us"] = (nxt - b["__us"]).fillna(0).astype("int64")
+        b["first_cents"] = g["__c"].transform("first").astype("int64")
+        b["last_cents"] = g["__c"].transform("last").astype("int64")
+        return b[["event_id", "user_id", "next_gap_us",
+                  "first_cents", "last_cents"]]
+
+    return grouped_map_buckets(events, ["user_id"], lead,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_WINDOW_LEAD_SQL = """
+SELECT event_id, user_id,
+       coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts), 0) AS next_gap_us,
+       first_value(CAST(round(value * 100) AS BIGINT)) OVER w AS first_cents,
+       last_value(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_edit_distance(sf_dir: str, k: int = 2, q: int = 2,
+                    prefix_chars: int = 24):
+    """Edit-distance similarity join (Levenshtein <= k) over document
+    prefixes — the ED-Join / prefix-filter shape, end-to-end distributed:
+
+    1. one aggregate pass builds the global q-gram frequency table
+       (domain <= 256^q distinct grams -> tiny, broadcast via ray.put);
+    2. each doc indexes only its k*q+1 RAREST distinct grams under the
+       (freq, gram) total order — the prefix-filter lemma guarantees any
+       pair within distance k shares an indexed gram on both sides
+       (|A ∩ B| >= max(|A|,|B|) - k*q gram types survive k edits);
+    3. candidate pairs = per-gram all-pairs after ONE bucketed shuffle
+       on the gram, pruned by |len_a - len_b| <= k, then DISTINCT;
+    4. prefixes join back by doc_id (two bucketed hash joins — no corpus
+       broadcast), and a banded 2k+1 Levenshtein DP vectorized ACROSS
+       pairs (ops/text.py::banded_edit_distance) verifies exactly.
+
+    Prefixes too short for the filter bound (< q + k*q + 2 chars) are
+    collected (bounded, typically empty) and verified against every doc
+    in one broadcast map.  ASCII corpus assumed (byte == char edits)."""
+    from .ops.graph import grouped_all_pairs
+    from .ops.text import banded_edit_distance
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    min_len = q + k * q + 2
+    n_idx = k * q + 1  # prefix-filter size
+
+    def prefixes(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("").str.slice(0, prefix_chars)
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "prefix": t,
+                             "plen": t.str.len().astype("int64")})
+
+    pref = docs.map_batches(prefixes, batch_format="pandas")
+
+    def _gram_matrix(texts: pd.Series):
+        """(n, prefix_chars-q+1) int32 gram ids (b0*256+b1), -1 = invalid
+        or duplicate-within-row.  Fully vectorized."""
+        n = len(texts)
+        W = prefix_chars - q + 1
+        M = np.zeros((n, prefix_chars), dtype=np.uint8)
+        lens = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(texts):
+            bs = s.encode("utf-8", "surrogatepass")[:prefix_chars]
+            M[i, :len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+            lens[i] = len(bs)
+        gids = (M[:, :W].astype(np.int32) * 256
+                + M[:, 1:W + 1].astype(np.int32))
+        pos_ok = np.arange(W)[None, :] < (lens - q + 1)[:, None]
+        gids = np.where(pos_ok, gids, -1)
+        # distinct per row: sort, mask repeats
+        srt = np.sort(gids, axis=1)
+        dup = np.zeros_like(srt, dtype=bool)
+        dup[:, 1:] = srt[:, 1:] == srt[:, :-1]
+        return np.where(dup | (srt < 0), -1, srt)
+
+    # pass 1: global gram frequencies (bounded domain -> driver -> ray.put)
+    def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gm = _gram_matrix(batch["prefix"])
+        flat = gm[gm >= 0]
+        cnt = np.bincount(flat, minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"gram": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    freq = partial_then_global_sum(
+        pref.map_batches(gram_partial, batch_format="pandas"),
+        keys=["gram"], sums={"n": "n"}, num_buckets=8).to_pandas()
+    rank = np.full(65536, np.iinfo(np.int64).max, dtype=np.int64)
+    order = freq.sort_values(["n", "gram"], kind="mergesort")
+    rank[order["gram"].to_numpy(dtype=np.int64)] = np.arange(len(order))
+    rank_ref = ray.put(rank)
+
+    # pass 2: emit each (long-enough) doc's n_idx rarest distinct grams
+    class EmitPrefixGrams:
+        def __init__(self):
+            self.rank = ray.get(rank_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["plen"] >= min_len]
+            if not len(b):
+                return pd.DataFrame({"gram": pd.Series(dtype="int64"),
+                                     "doc_id": pd.Series(dtype="int64"),
+                                     "plen": pd.Series(dtype="int64")})
+            gm = _gram_matrix(b["prefix"])
+            r = np.where(gm >= 0, self.rank[np.clip(gm, 0, None)],
+                         np.iinfo(np.int64).max)
+            takes = min(n_idx, r.shape[1])
+            sel = np.argsort(r, axis=1, kind="stable")[:, :takes]
+            g = np.take_along_axis(gm, sel, axis=1)
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            pl = b["plen"].to_numpy(dtype=np.int64)
+            keep = g >= 0
+            rows = np.repeat(np.arange(len(b)), takes).reshape(-1, takes)
+            return pd.DataFrame({
+                "gram": g[keep].astype(np.int64),
+                "doc_id": ids[rows[keep]],
+                "plen": pl[rows[keep]]})
+
+    grams_ds = pref.map_batches(EmitPrefixGrams(), batch_format="pandas")
+
+    def per_gram_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        s = bucket.sort_values(["gram", "doc_id"], kind="mergesort")
+        gr = s["gram"].to_numpy()
+        ids = s["doc_id"].to_numpy(dtype=np.int64)
+        pl = s["plen"].to_numpy(dtype=np.int64)
+        sizes = np.diff(np.flatnonzero(np.r_[True, gr[1:] != gr[:-1], True]))
+        i, j = grouped_all_pairs(sizes)
+        if not len(i):
+            return empty
+        ok = np.abs(pl[i] - pl[j]) <= k
+        i, j = i[ok], j[ok]
+        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})  # a < b
+
+    cand = grouped_map_buckets(grams_ds, ["gram"], per_gram_pairs,
+                               num_buckets=32, whole_bucket=True)
+    cand = distinct_rows(cand, ["id_a", "id_b"], num_buckets=16)
+
+    pa = pref.map_batches(
+        lambda b: pd.DataFrame({"id_a": b["doc_id"], "prefix_a": b["prefix"]}),
+        batch_format="pandas")
+    pb = pref.map_batches(
+        lambda b: pd.DataFrame({"id_b": b["doc_id"], "prefix_b": b["prefix"]}),
+        batch_format="pandas")
+    # restore_dtypes: the union shuffle NaN-fills the other side's columns,
+    # upcasting id_b to float64 — which would then hash differently from
+    # pb's int64 keys in the second join (silent empty result)
+    j1 = bucketed_hash_join(cand, pa, on="id_a",
+                            right_cols=["id_a", "prefix_a"], num_buckets=16,
+                            restore_dtypes={"id_b": "int64"})
+    j2 = bucketed_hash_join(j1, pb, on="id_b",
+                            right_cols=["id_b", "prefix_b"], num_buckets=16,
+                            restore_dtypes={"id_a": "int64"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        d = banded_edit_distance(batch["prefix_a"].tolist(),
+                                 batch["prefix_b"].tolist(), k)
+        keep = d <= k
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy(dtype=np.int64)[keep],
+            "id_b": batch["id_b"].to_numpy(dtype=np.int64)[keep],
+            "dist": d[keep]})
+
+    main = j2.map_batches(verify, batch_format="pandas", batch_size=None)
+
+    # degenerate short prefixes: bounded set, broadcast vs every doc
+    shorts = pref.filter(expr=f"plen < {min_len}").to_pandas()
+    if not len(shorts):
+        return main
+    sref = ray.put((shorts["doc_id"].to_numpy(dtype=np.int64),
+                    shorts["prefix"].tolist(),
+                    shorts["plen"].to_numpy(dtype=np.int64)))
+
+    class ShortVerify:
+        def __init__(self):
+            self.sid, self.stxt, self.slen = ray.get(sref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_d = [], [], []
+            ids = batch["doc_id"].to_numpy(dtype=np.int64)
+            pl = batch["plen"].to_numpy(dtype=np.int64)
+            txt = batch["prefix"].tolist()
+            for g in range(len(self.sid)):
+                ok = (np.abs(pl - self.slen[g]) <= k) \
+                    & (ids != self.sid[g])
+                if not ok.any():
+                    continue
+                idx = np.flatnonzero(ok)
+                d = banded_edit_distance([self.stxt[g]] * len(idx),
+                                         [txt[i] for i in idx], k)
+                hit = d <= k
+                oid = ids[idx[hit]]
+                out_a.append(np.minimum(oid, self.sid[g]))
+                out_b.append(np.maximum(oid, self.sid[g]))
+                out_d.append(d[hit])
+            if not out_a:
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64"),
+                                     "dist": pd.Series(dtype="int64")})
+            return pd.DataFrame({"id_a": np.concatenate(out_a),
+                                 "id_b": np.concatenate(out_b),
+                                 "dist": np.concatenate(out_d)})
+
+    extra = distinct_rows(
+        pref.map_batches(ShortVerify(), batch_format="pandas"),
+        ["id_a", "id_b", "dist"], num_buckets=4)
+    return main.union(extra)
+
+
+Q_EDIT_DISTANCE_SQL = """
+WITH s AS (SELECT doc_id AS id, substr(text, 1, 24) AS p FROM documents)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE abs(length(a.p) - length(b.p)) <= 2
+  AND levenshtein(a.p, b.p) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4490,6 +4962,12 @@ QUERIES = {
     "images_assign": q_images_assign,
     "images_assign_rtree": q_images_assign_rtree,
     "tiles": q_tiles,
+    "bfs_hops": q_bfs_hops,
+    "cell_rollup": q_cell_rollup,
+    "zonal_stats": q_zonal_stats,
+    "grouping_sets": q_grouping_sets,
+    "window_lead": q_window_lead,
+    "edit_distance": q_edit_distance,
 }
 
 ORACLES = {
@@ -4581,4 +5059,10 @@ ORACLES = {
     "triangles": Q_TRIANGLES_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "inverted_index": Q_INVERTED_INDEX_SQL,
+    "bfs_hops": Q_BFS_HOPS_SQL,
+    "cell_rollup": Q_CELL_ROLLUP_SQL,
+    "zonal_stats": Q_ZONAL_STATS_SQL,
+    "grouping_sets": Q_GROUPING_SETS_SQL,
+    "window_lead": Q_WINDOW_LEAD_SQL,
+    "edit_distance": Q_EDIT_DISTANCE_SQL,
 }

@@ -494,3 +494,56 @@ class TestDistributedPCA:
         assert np.allclose(got[["pc1", "pc2"]].to_numpy(), want, atol=2e-6)
         # variance must actually concentrate: pc1 var >= pc2 var
         assert got["pc1"].var() >= got["pc2"].var()
+
+
+class TestBandedEditDistance:
+    """ops/text.py::banded_edit_distance vs a scalar reference DP —
+    the verify kernel behind q_edit_distance."""
+
+    @staticmethod
+    def _ref(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        D = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, D[0] = D[0], i
+            for j in range(1, lb + 1):
+                prev, D[j] = D[j], min(D[j] + 1, D[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return D[lb]
+
+    def test_differential(self):
+        import random
+
+        from cqi_ray.ops.text import banded_edit_distance
+
+        rng = random.Random(7)
+        alpha = "abc "
+        pairs = []
+        for _ in range(400):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            b = list(a)
+            for _ in range(rng.randint(0, 5)):
+                op = rng.choice("sid")
+                if op == "s" and b:
+                    b[rng.randrange(len(b))] = rng.choice(alpha)
+                elif op == "i":
+                    b.insert(rng.randrange(len(b) + 1), rng.choice(alpha))
+                elif op == "d" and b:
+                    b.pop(rng.randrange(len(b)))
+            pairs.append((a, "".join(b)))
+        for _ in range(200):
+            pairs.append(
+                ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 10))),
+                 "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))))
+        for k in (1, 2, 3):
+            got = banded_edit_distance([p[0] for p in pairs],
+                                       [p[1] for p in pairs], k)
+            exp = np.array([min(self._ref(a, b), k + 1) for a, b in pairs])
+            assert (got == exp).all()
+
+    def test_empty_and_exact(self):
+        from cqi_ray.ops.text import banded_edit_distance
+
+        assert banded_edit_distance([], [], 2).tolist() == []
+        assert banded_edit_distance(["", "x", "same"],
+                                    ["", "", "same"], 2).tolist() == [0, 1, 0]
