@@ -4649,32 +4649,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-def q_edit_distance(sf_dir: str, k: int = 2, q: int = 2,
-                    prefix_chars: int = 24):
+def q_edit_distance(sf_dir: str, k: int = 2, prefix_chars: int = 24):
     """Edit-distance similarity join (Levenshtein <= k) over document
-    prefixes — the ED-Join / prefix-filter shape, end-to-end distributed:
+    prefixes — the PassJoin partition scheme, end-to-end distributed:
 
-    1. one aggregate pass builds the global q-gram frequency table
-       (domain <= 256^q distinct grams -> tiny, broadcast via ray.put);
-    2. each doc indexes only its k*q+1 RAREST distinct grams under the
-       (freq, gram) total order — the prefix-filter lemma guarantees any
-       pair within distance k shares an indexed gram on both sides
-       (|A ∩ B| >= max(|A|,|B|) - k*q gram types survive k edits);
-    3. candidate pairs = per-gram all-pairs after ONE bucketed shuffle
-       on the gram, pruned by |len_a - len_b| <= k, then DISTINCT;
-    4. prefixes join back by doc_id (two bucketed hash joins — no corpus
-       broadcast), and a banded 2k+1 Levenshtein DP vectorized ACROSS
-       pairs (ops/text.py::banded_edit_distance) verifies exactly.
+    1. every prefix splits into k+1 SEGMENTS; by pigeonhole an optimal
+       alignment leaves >= 1 segment edit-free, so any string within
+       distance k contains that segment VERBATIM, shifted by at most k
+       positions (net indels).  Exact substring keys are far more
+       selective than q-gram prefixes on small-alphabet corpora (the
+       gram-frequency variant produced 6.5M candidates on 5k word-soup
+       docs; segments produce ~10^4).
+    2. one map emits, per doc, both roles into the SAME bucketed
+       shuffle: its k+1 (la, seg_i, segment) index keys, and its probe
+       substrings (la, seg_i, prefix[p : p+len_i]) for every indexable
+       length la within +-k of its own and every position p within +-k
+       of segment i's start under la's layout;
+    3. per key, candidates = index-role x probe-role ids (self-pairs
+       dropped), then DISTINCT — the cross product is bounded by
+       duplicate-content pile sizes, which are true output pairs anyway;
+    4. prefixes join back by doc_id (two bucketed hash joins, keys
+       re-pinned int64 — no corpus broadcast), and a banded 2k+1
+       Levenshtein DP vectorized ACROSS pairs
+       (ops/text.py::banded_edit_distance) verifies exactly.
 
-    Prefixes too short for the filter bound (< q + k*q + 2 chars) are
-    collected (bounded, typically empty) and verified against every doc
-    in one broadcast map.  ASCII corpus assumed (byte == char edits)."""
-    from .ops.graph import grouped_all_pairs
+    Prefixes shorter than ``min_len`` (tiny segments match everywhere)
+    are collected (bounded, typically empty) and verified against every
+    doc in one broadcast map.  ASCII corpus assumed (byte == char)."""
     from .ops.text import banded_edit_distance
 
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    min_len = q + k * q + 2
-    n_idx = k * q + 1  # prefix-filter size
+    min_len = 2 + 2 * k * (k + 1)  # segments stay >= ~2k chars: selective
 
     def prefixes(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["text"].fillna("").str.slice(0, prefix_chars)
@@ -4684,123 +4689,124 @@ def q_edit_distance(sf_dir: str, k: int = 2, q: int = 2,
 
     pref = docs.map_batches(prefixes, batch_format="pandas")
 
-    def _gram_matrix(texts: pd.Series):
-        """(n, prefix_chars-q+1) int32 gram ids (b0*256+b1), -1 = invalid
-        or duplicate-within-row.  Fully vectorized."""
-        n = len(texts)
-        W = prefix_chars - q + 1
-        M = np.zeros((n, prefix_chars), dtype=np.uint8)
-        lens = np.zeros(n, dtype=np.int64)
-        for i, s in enumerate(texts):
-            bs = s.encode("utf-8", "surrogatepass")[:prefix_chars]
-            M[i, :len(bs)] = np.frombuffer(bs, dtype=np.uint8)
-            lens[i] = len(bs)
-        gids = (M[:, :W].astype(np.int32) * 256
-                + M[:, 1:W + 1].astype(np.int32))
-        pos_ok = np.arange(W)[None, :] < (lens - q + 1)[:, None]
-        gids = np.where(pos_ok, gids, -1)
-        # distinct per row: sort, mask repeats
-        srt = np.sort(gids, axis=1)
-        dup = np.zeros_like(srt, dtype=bool)
-        dup[:, 1:] = srt[:, 1:] == srt[:, :-1]
-        return np.where(dup | (srt < 0), -1, srt)
+    def _seg_layout(la: int):
+        """k+1 segment (start, length) pairs for a string of length la:
+        first la % (k+1) segments get the extra char."""
+        base, extra = divmod(la, k + 1)
+        starts, lens_, s = [], [], 0
+        for i in range(k + 1):
+            ln = base + (1 if i < extra else 0)
+            starts.append(s)
+            lens_.append(ln)
+            s += ln
+        return starts, lens_
 
-    # pass 1: global gram frequencies (bounded domain -> driver -> ray.put)
-    def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        gm = _gram_matrix(batch["prefix"])
-        flat = gm[gm >= 0]
-        cnt = np.bincount(flat, minlength=65536)
-        nz = np.flatnonzero(cnt)
-        return pd.DataFrame({"gram": nz.astype(np.int64),
-                             "n": cnt[nz].astype(np.int64)})
+    def _key_hash(sub: pd.Series, la: int, seg: int) -> np.ndarray:
+        """(la, seg, substring) -> one int64 key.  Collisions only ADD
+        candidate pairs, which the exact verify removes — lossless."""
+        from .relational import _splitmix64
 
-    freq = partial_then_global_sum(
-        pref.map_batches(gram_partial, batch_format="pandas"),
-        keys=["gram"], sums={"n": "n"}, num_buckets=8).to_pandas()
-    rank = np.full(65536, np.iinfo(np.int64).max, dtype=np.int64)
-    order = freq.sort_values(["n", "gram"], kind="mergesort")
-    rank[order["gram"].to_numpy(dtype=np.int64)] = np.arange(len(order))
-    rank_ref = ray.put(rank)
+        h = pd.util.hash_array(sub.to_numpy(dtype=object),
+                               hash_key="0" * 16)
+        return _splitmix64(h ^ np.uint64(la * 131 + seg)) \
+            .astype(np.int64)
 
-    # pass 2: emit each (long-enough) doc's n_idx rarest distinct grams
-    class EmitPrefixGrams:
-        def __init__(self):
-            self.rank = ray.get(rank_ref)
+    _KEY_EMPTY = {"key": pd.Series(dtype="int64"),
+                  "doc_id": pd.Series(dtype="int64"),
+                  "role": pd.Series(dtype="int64"),
+                  "prefix": pd.Series(dtype="object")}
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[batch["plen"] >= min_len]
-            if not len(b):
-                return pd.DataFrame({"gram": pd.Series(dtype="int64"),
-                                     "doc_id": pd.Series(dtype="int64"),
-                                     "plen": pd.Series(dtype="int64")})
-            gm = _gram_matrix(b["prefix"])
-            r = np.where(gm >= 0, self.rank[np.clip(gm, 0, None)],
-                         np.iinfo(np.int64).max)
-            takes = min(n_idx, r.shape[1])
-            sel = np.argsort(r, axis=1, kind="stable")[:, :takes]
-            g = np.take_along_axis(gm, sel, axis=1)
-            ids = b["doc_id"].to_numpy(dtype=np.int64)
-            pl = b["plen"].to_numpy(dtype=np.int64)
-            keep = g >= 0
-            rows = np.repeat(np.arange(len(b)), takes).reshape(-1, takes)
-            return pd.DataFrame({
-                "gram": g[keep].astype(np.int64),
-                "doc_id": ids[rows[keep]],
-                "plen": pl[rows[keep]]})
+    def emit_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["plen"] >= min_len]
+        if not len(b):
+            return pd.DataFrame(_KEY_EMPTY)
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        pl = b["plen"].to_numpy(dtype=np.int64)
+        txt = b["prefix"]
+        keys, docs_, roles, prefs = [], [], [], []
 
-    grams_ds = pref.map_batches(EmitPrefixGrams(), batch_format="pandas")
+        def _push(key_arr, id_arr, role, pref_arr):
+            keys.append(key_arr)
+            docs_.append(id_arr)
+            roles.append(np.full(len(id_arr), role, dtype=np.int64))
+            prefs.append(pref_arr)
 
-    def per_gram_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        for plen_val in np.unique(pl):
+            m = pl == plen_val
+            sub_ids, sub_txt = ids[m], txt[m]
+            own = sub_txt.to_numpy(dtype=object)
+            # index role: own segments under own layout
+            starts, lens_ = _seg_layout(int(plen_val))
+            for si, (st, ln) in enumerate(zip(starts, lens_)):
+                _push(_key_hash(sub_txt.str.slice(st, st + ln),
+                                int(plen_val), si), sub_ids, 0, own)
+            # probe role: substrings for every indexer length within +-k
+            for la in range(int(plen_val) - k, int(plen_val) + k + 1):
+                if la < min_len:
+                    continue
+                pstarts, plens = _seg_layout(la)
+                for si, (st, ln) in enumerate(zip(pstarts, plens)):
+                    lo = max(0, st - k)
+                    hi = min(int(plen_val) - ln, st + k)
+                    for p in range(lo, hi + 1):
+                        _push(_key_hash(sub_txt.str.slice(p, p + ln),
+                                        la, si), sub_ids, 1, own)
+        return pd.DataFrame({"key": np.concatenate(keys),
+                             "doc_id": np.concatenate(docs_),
+                             "role": np.concatenate(roles),
+                             "prefix": np.concatenate(prefs)})
+
+    keys_ds = pref.map_batches(emit_keys, batch_format="pandas")
+
+    def per_key_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Pairs + inline banded verify: the full prefix travels on the
+        key rows (24 B — same order as the ids), so no join back and no
+        second shuffle; duplicate candidates across keys re-verify (cheap,
+        vectorized) and collapse in the final DISTINCT."""
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64")})
+                              "id_b": pd.Series(dtype="int64"),
+                              "dist": pd.Series(dtype="int64")})
         if not len(bucket):
             return empty
-        s = bucket.sort_values(["gram", "doc_id"], kind="mergesort")
-        gr = s["gram"].to_numpy()
+        s = bucket.drop_duplicates(["key", "role", "doc_id"]) \
+            .sort_values(["key", "role", "doc_id"], kind="mergesort")
+        ky = s["key"].to_numpy(dtype=np.int64)
+        rl = s["role"].to_numpy()
         ids = s["doc_id"].to_numpy(dtype=np.int64)
-        pl = s["plen"].to_numpy(dtype=np.int64)
-        sizes = np.diff(np.flatnonzero(np.r_[True, gr[1:] != gr[:-1], True]))
-        i, j = grouped_all_pairs(sizes)
-        if not len(i):
+        txt = s["prefix"].to_numpy(dtype=object)
+        bounds = np.r_[np.flatnonzero(np.r_[True, ky[1:] != ky[:-1]]),
+                       len(s)]
+        ii, jj = [], []
+        for gs, ge in zip(bounds[:-1], bounds[1:]):
+            n0 = int(np.searchsorted(rl[gs:ge], 1))  # 0s sort before 1s
+            if n0 == 0 or n0 == ge - gs:
+                continue  # need both roles present
+            a = np.repeat(np.arange(gs, gs + n0), ge - gs - n0)
+            b = np.tile(np.arange(gs + n0, ge), n0)
+            ne = ids[a] != ids[b]
+            ii.append(a[ne])
+            jj.append(b[ne])
+        if not ii:
             return empty
-        ok = np.abs(pl[i] - pl[j]) <= k
-        i, j = i[ok], j[ok]
-        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})  # a < b
-
-    cand = grouped_map_buckets(grams_ds, ["gram"], per_gram_pairs,
-                               num_buckets=32, whole_bucket=True)
-    cand = distinct_rows(cand, ["id_a", "id_b"], num_buckets=16)
-
-    pa = pref.map_batches(
-        lambda b: pd.DataFrame({"id_a": b["doc_id"], "prefix_a": b["prefix"]}),
-        batch_format="pandas")
-    pb = pref.map_batches(
-        lambda b: pd.DataFrame({"id_b": b["doc_id"], "prefix_b": b["prefix"]}),
-        batch_format="pandas")
-    # restore_dtypes: the union shuffle NaN-fills the other side's columns,
-    # upcasting id_b to float64 — which would then hash differently from
-    # pb's int64 keys in the second join (silent empty result)
-    j1 = bucketed_hash_join(cand, pa, on="id_a",
-                            right_cols=["id_a", "prefix_a"], num_buckets=16,
-                            restore_dtypes={"id_b": "int64"})
-    j2 = bucketed_hash_join(j1, pb, on="id_b",
-                            right_cols=["id_b", "prefix_b"], num_buckets=16,
-                            restore_dtypes={"id_a": "int64"})
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "dist": pd.Series(dtype="int64")})
-        d = banded_edit_distance(batch["prefix_a"].tolist(),
-                                 batch["prefix_b"].tolist(), k)
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        cand = pd.DataFrame({"id_a": np.minimum(ids[i], ids[j]),
+                             "id_b": np.maximum(ids[i], ids[j]),
+                             "__i": i, "__j": j}) \
+            .drop_duplicates(["id_a", "id_b"])
+        d = banded_edit_distance(list(txt[cand["__i"].to_numpy()]),
+                                 list(txt[cand["__j"].to_numpy()]), k)
         keep = d <= k
         return pd.DataFrame({
-            "id_a": batch["id_a"].to_numpy(dtype=np.int64)[keep],
-            "id_b": batch["id_b"].to_numpy(dtype=np.int64)[keep],
+            "id_a": cand["id_a"].to_numpy()[keep],
+            "id_b": cand["id_b"].to_numpy()[keep],
             "dist": d[keep]})
 
-    main = j2.map_batches(verify, batch_format="pandas", batch_size=None)
+    verified = grouped_map_buckets(keys_ds, ["key"], per_key_pairs,
+                                   num_buckets=32, whole_bucket=True)
+    # duplicates across keys/buckets (a pair can match on several
+    # segments) carry identical dist — one global DISTINCT collapses them
+    main = distinct_rows(verified, ["id_a", "id_b", "dist"], num_buckets=8)
 
     # degenerate short prefixes: bounded set, broadcast vs every doc
     shorts = pref.filter(expr=f"plen < {min_len}").to_pandas()
