@@ -151,6 +151,9 @@ def run_suite(sf_dir: str) -> dict:
     bench("zonal_stats", lambda: q.q_zonal_stats(sf_dir))
     bench("window_lead", lambda: q.q_window_lead(sf_dir))
     bench("edit_distance", lambda: q.q_edit_distance(sf_dir))
+    bench("segment_join", lambda: q.q_segment_join(sf_dir))
+    bench("skyline", lambda: q.q_skyline(sf_dir))
+    bench("cell_kring", lambda: q.q_cell_kring(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -4862,6 +4862,303 @@ WHERE abs(length(a.p) - length(b.p)) <= 2
 """
 
 
+def q_rolling_max(sf_dir: str, window: int = 4):
+    """Per-key rolling MAX over the last ``window`` rows — the monotonic
+    window companion of q_rolling_mean (order statistics don't cumsum;
+    pandas' C rolling kernel per bucket).  Integer cents, exact."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "roll_max_cents": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        b["__c"] = np.round(b["value"].to_numpy() * 100).astype("int64")
+        g = b.groupby("user_id", sort=False)["__c"]
+        b["roll_max_cents"] = g.rolling(window, min_periods=1).max() \
+            .to_numpy().astype("int64")
+        return b[["event_id", "user_id", "roll_max_cents"]]
+
+    return grouped_map_buckets(events, ["user_id"], roll,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_ROLLING_MAX_SQL = """
+SELECT event_id, user_id,
+       max(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max_cents
+FROM events
+"""
+
+
+def _skyline_2d(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean mask of Pareto-optimal points (minimize price, maximize
+    size; ties are NOT dominance).  Vectorized: sort by (price asc,
+    size desc); a point is dominated iff a strictly-cheaper point has
+    size >= its own, or an equal-price point has size strictly greater."""
+    n = len(price)
+    if not n:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    # max size within each equal-price run = first element (size desc)
+    new_price = np.r_[True, p[1:] != p[:-1]]
+    run_id = np.cumsum(new_price) - 1
+    run_max = s[new_price][run_id]          # per-row: max size at own price
+    # cummax of size over strictly smaller prices
+    run_starts = np.flatnonzero(new_price)
+    prev_run_cummax = np.full(len(run_starts), np.iinfo(np.int64).min,
+                              dtype=np.int64)
+    if len(run_starts) > 1:
+        prev_run_cummax[1:] = np.maximum.accumulate(
+            run_max[run_starts])[:-1]
+    dominated = (prev_run_cummax[run_id] >= s) | (run_max > s)
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = ~dominated
+    return mask
+
+
+def q_skyline(sf_dir: str):
+    """Skyline (Pareto frontier: cheapest-and-largest parts).  Local
+    skylines are a LOSSLESS combiner — a point dominated inside its own
+    block is dominated globally — so each block reduces to its frontier
+    (vectorized sort + run cummax, no O(n²)) and one tiny driver pass
+    over the union of frontiers finishes.  Full rows never shuffle."""
+    part = _pq(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        price = np.round(b["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        size = b["p_size"].to_numpy(dtype=np.int64)
+        m = _skyline_2d(price, size)
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy(dtype=np.int64)[m],
+            "p_retailprice": b["p_retailprice"].to_numpy()[m],
+            "p_size": b["p_size"].to_numpy(dtype=np.int32)[m]})
+
+    cands = part.map_batches(local, batch_format="pandas").to_pandas()
+    price = np.round(cands["p_retailprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    m = _skyline_2d(price, cands["p_size"].to_numpy(dtype=np.int64))
+    return cands[m].reset_index(drop=True)
+
+
+Q_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q_cell_kring(sf_dir: str):
+    """k-ring (3x3) neighborhood aggregation over coarse cells — the
+    spatial stencil shape (smoothing / hotspot detection on an H3-like
+    grid).  Per-cell counts come from the partial->global-sum reduce;
+    each occupied cell then fans out its count to its 9 neighbors and a
+    second tiny bucketed sum + bucketed semi-join keeps only occupied
+    target cells.  Both shuffles carry O(occupied cells), never points."""
+    events = _pq(sf_dir, "events", columns=["event_id"])
+    nc = _CELL_N >> 4  # level-1 grid
+
+    def to_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(dtype=np.int64)
+        lon = 13.4 + (ids % 1000) * 0.0002
+        lat = 51.0 + ((ids // 1000) % 1000) * 0.0001
+        ix = np.floor((lon + 180.0) / 360.0 * _CELL_N).astype(np.int64) >> 4
+        iy = np.floor((lat + 90.0) / 180.0 * _CELL_N).astype(np.int64) >> 4
+        return pd.DataFrame({"ix": ix, "iy": iy})
+
+    counts = partial_then_global_sum(
+        events.map_batches(to_cells, batch_format="pandas"),
+        keys=["ix", "iy"], sums={}, counts="n", num_buckets=8)
+
+    def fan9(b: pd.DataFrame) -> pd.DataFrame:
+        ix = b["ix"].to_numpy(dtype=np.int64)
+        iy = b["iy"].to_numpy(dtype=np.int64)
+        n = b["n"].to_numpy(dtype=np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pd.DataFrame({"ix": ix + dx, "iy": iy + dy,
+                                          "n": n}))
+        return pd.concat(outs, ignore_index=True)
+
+    ring = partial_then_global_sum(
+        counts.map_batches(fan9, batch_format="pandas"),
+        keys=["ix", "iy"], sums={"n": "kring_n"}, num_buckets=8)
+    # keep only occupied cells: co-partitioned join on (cell id)
+    occ = counts.map_batches(
+        lambda b: pd.DataFrame({
+            "cell": b["ix"].to_numpy(dtype=np.int64) * nc
+            + b["iy"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    ringc = ring.map_batches(
+        lambda b: pd.DataFrame({
+            "cell": b["ix"].to_numpy(dtype=np.int64) * nc
+            + b["iy"].to_numpy(dtype=np.int64),
+            "kring_n": b["kring_n"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    out = bucketed_hash_join(ringc, occ, on="cell", right_cols=["cell"],
+                             num_buckets=8)
+    return out.map_batches(
+        lambda b: b[["cell", "kring_n"]].astype("int64"),
+        batch_format="pandas")
+
+
+Q_CELL_KRING_SQL = f"""
+WITH pts AS (
+  SELECT CAST(floor((13.4 + (event_id % 1000) * 0.0002 + 180.0)
+              / 360.0 * {_CELL_N}) AS BIGINT) >> 4 AS ix,
+         CAST(floor((51.0 + ((event_id // 1000) % 1000) * 0.0001 + 90.0)
+              / 180.0 * {_CELL_N}) AS BIGINT) >> 4 AS iy
+  FROM events),
+cnt AS (SELECT ix, iy, count(*) AS n FROM pts GROUP BY ix, iy),
+off AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) b(dy))
+SELECT c.ix * {_CELL_N >> 4} + c.iy AS cell,
+       CAST(sum(n2.n) AS BIGINT) AS kring_n
+FROM cnt c
+JOIN off o ON true
+JOIN cnt n2 ON n2.ix = c.ix + o.dx AND n2.iy = c.iy + o.dy
+GROUP BY 1
+"""
+
+
+def q_segment_join(sf_dir: str, cell: int = 64):
+    """Spatial line-segment intersection join: which customer segments
+    properly cross which supplier segments.  Endpoints are deterministic
+    integers, so the CCW orientation predicate (two sign-product tests)
+    is EXACT on both engines — no floating-point tie risk.
+
+    Distributed shape: each segment lands in every grid cell its bbox
+    overlaps (short segments -> 1-4 cells); candidates pair within a
+    cell after ONE bucketed shuffle; the classic responsible-cell rule
+    (only the cell holding the bbox-intersection's min corner reports
+    the pair) dedups across shared cells WITHOUT a distinct pass.
+    Vectorized bbox prefilter + orientation tests per cell."""
+    customer = _pq(sf_dir, "customer", columns=["c_custkey"])
+    supplier = _pq(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def segs_c(b: pd.DataFrame) -> pd.DataFrame:
+        kk = b["c_custkey"].to_numpy(dtype=np.int64)
+        x1 = (kk * 37) % 1000
+        y1 = (kk * 91) % 1000
+        return pd.DataFrame({"sid": kk, "x1": x1, "y1": y1,
+                             "x2": x1 + (kk * 13) % 41 - 20,
+                             "y2": y1 + (kk * 7) % 41 - 20,
+                             "role": np.zeros(len(kk), dtype=np.int64)})
+
+    def segs_s(b: pd.DataFrame) -> pd.DataFrame:
+        kk = b["s_suppkey"].to_numpy(dtype=np.int64)
+        x1 = (kk * 211) % 1000
+        y1 = (kk * 457) % 1000
+        return pd.DataFrame({"sid": kk, "x1": x1, "y1": y1,
+                             "x2": x1 + (kk * 19) % 41 - 20,
+                             "y2": y1 + (kk * 11) % 41 - 20,
+                             "role": np.ones(len(kk), dtype=np.int64)})
+
+    def fan_cells(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b.assign(cx=pd.Series(dtype="int64"),
+                            cy=pd.Series(dtype="int64"))
+        lox = np.minimum(b["x1"], b["x2"]).to_numpy() // cell
+        hix = np.maximum(b["x1"], b["x2"]).to_numpy() // cell
+        loy = np.minimum(b["y1"], b["y2"]).to_numpy() // cell
+        hiy = np.maximum(b["y1"], b["y2"]).to_numpy() // cell
+        outs = []
+        span = int(max((hix - lox).max(), (hiy - loy).max())) + 1
+        for dx in range(span):
+            for dy in range(span):
+                m = (lox + dx <= hix) & (loy + dy <= hiy)
+                if not m.any():
+                    continue
+                o = b.loc[m].copy()
+                o["cx"] = (lox + dx)[m]
+                o["cy"] = (loy + dy)[m]
+                outs.append(o)
+        return pd.concat(outs, ignore_index=True)
+
+    both = customer.map_batches(segs_c, batch_format="pandas").union(
+        supplier.map_batches(segs_s, batch_format="pandas"))
+    fanned = both.map_batches(fan_cells, batch_format="pandas")
+
+    def per_cell(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                              "s_suppkey": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        s = bucket.sort_values(["cx", "cy", "role", "sid"],
+                               kind="mergesort")
+        cx = s["cx"].to_numpy(dtype=np.int64)
+        cy = s["cy"].to_numpy(dtype=np.int64)
+        rl = s["role"].to_numpy(dtype=np.int64)
+        cols = {c: s[c].to_numpy(dtype=np.int64)
+                for c in ("sid", "x1", "y1", "x2", "y2")}
+        chg = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])]
+        bounds = np.r_[np.flatnonzero(chg), len(s)]
+        out_c, out_s = [], []
+        for gs, ge in zip(bounds[:-1], bounds[1:]):
+            n0 = int(np.searchsorted(rl[gs:ge], 1))
+            if n0 == 0 or n0 == ge - gs:
+                continue
+            a = np.repeat(np.arange(gs, gs + n0), ge - gs - n0)
+            b = np.tile(np.arange(gs + n0, ge), n0)
+            ax1, ay1 = cols["x1"][a], cols["y1"][a]
+            ax2, ay2 = cols["x2"][a], cols["y2"][a]
+            bx1, by1 = cols["x1"][b], cols["y1"][b]
+            bx2, by2 = cols["x2"][b], cols["y2"][b]
+            # responsible cell: min corner of the bbox intersection
+            rx = np.maximum(np.minimum(ax1, ax2), np.minimum(bx1, bx2))
+            ry = np.maximum(np.minimum(ay1, ay2), np.minimum(by1, by2))
+            ok = (rx // cell == cx[a]) & (ry // cell == cy[a])
+            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            ok &= (np.sign(d1) * np.sign(d2) < 0) \
+                & (np.sign(d3) * np.sign(d4) < 0)
+            if ok.any():
+                out_c.append(cols["sid"][a[ok]])
+                out_s.append(cols["sid"][b[ok]])
+        if not out_c:
+            return empty
+        return pd.DataFrame({"c_custkey": np.concatenate(out_c),
+                             "s_suppkey": np.concatenate(out_s)})
+
+    return grouped_map_buckets(fanned, ["cx", "cy"], per_cell,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_SEGMENT_JOIN_SQL = """
+WITH a AS (SELECT c_custkey AS ida,
+                  (c_custkey * 37) % 1000 AS ax1,
+                  (c_custkey * 91) % 1000 AS ay1,
+                  (c_custkey * 37) % 1000 + (c_custkey * 13) % 41 - 20 AS ax2,
+                  (c_custkey * 91) % 1000 + (c_custkey * 7) % 41 - 20 AS ay2
+           FROM customer),
+b AS (SELECT s_suppkey AS idb,
+             (s_suppkey * 211) % 1000 AS bx1,
+             (s_suppkey * 457) % 1000 AS by1,
+             (s_suppkey * 211) % 1000 + (s_suppkey * 19) % 41 - 20 AS bx2,
+             (s_suppkey * 457) % 1000 + (s_suppkey * 11) % 41 - 20 AS by2
+      FROM supplier)
+SELECT ida AS c_custkey, idb AS s_suppkey
+FROM a CROSS JOIN b
+WHERE sign((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))
+      * sign((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)) < 0
+  AND sign((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1))
+      * sign((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)) < 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4974,6 +5271,10 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "window_lead": q_window_lead,
     "edit_distance": q_edit_distance,
+    "rolling_max": q_rolling_max,
+    "skyline": q_skyline,
+    "cell_kring": q_cell_kring,
+    "segment_join": q_segment_join,
 }
 
 ORACLES = {
@@ -5071,4 +5372,8 @@ ORACLES = {
     "grouping_sets": Q_GROUPING_SETS_SQL,
     "window_lead": Q_WINDOW_LEAD_SQL,
     "edit_distance": Q_EDIT_DISTANCE_SQL,
+    "rolling_max": Q_ROLLING_MAX_SQL,
+    "skyline": Q_SKYLINE_SQL,
+    "cell_kring": Q_CELL_KRING_SQL,
+    "segment_join": Q_SEGMENT_JOIN_SQL,
 }
