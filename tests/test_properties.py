@@ -129,3 +129,82 @@ class TestScoringTotality:
             assert 0 <= out["index"] <= 100
         if out["stress_level"] is not None:
             assert 1 <= out["stress_level"] <= 4
+
+
+class TestSkylineProperties:
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    min_size=0, max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_skyline_matches_bruteforce(self, pts):
+        from cqi_ray.queries import _skyline_2d
+
+        price = np.array([p for p, _ in pts], dtype=np.int64)
+        size = np.array([s for _, s in pts], dtype=np.int64)
+        got = _skyline_2d(price, size)
+        for i in range(len(pts)):
+            dominated = any(
+                price[j] <= price[i] and size[j] >= size[i]
+                and (price[j] < price[i] or size[j] > size[i])
+                for j in range(len(pts)))
+            assert got[i] == (not dominated), (i, pts)
+
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    min_size=1, max_size=120))
+    @settings(max_examples=50, deadline=None)
+    def test_local_skyline_is_lossless_combiner(self, pts):
+        """Global skyline of (local skylines' union) == global skyline —
+        the property q_skyline's distributed plan relies on."""
+        from cqi_ray.queries import _skyline_2d
+
+        price = np.array([p for p, _ in pts], dtype=np.int64)
+        size = np.array([s for _, s in pts], dtype=np.int64)
+        whole = set(map(tuple, np.c_[price, size][_skyline_2d(price, size)]))
+        half = len(pts) // 2
+        keep = np.zeros(len(pts), dtype=bool)
+        for sl in (slice(0, half), slice(half, None)):
+            m = _skyline_2d(price[sl], size[sl])
+            keep[np.arange(len(pts))[sl][m]] = True
+        p2, s2 = price[keep], size[keep]
+        merged = set(map(tuple, np.c_[p2, s2][_skyline_2d(p2, s2)]))
+        assert merged == whole
+
+
+class TestSegmentJoinProperties:
+    def test_matches_bruteforce_on_synthetic_tables(self, ray_session,
+                                                    tmp_path):
+        """q_segment_join (cell fan-out + responsible-cell dedup) must
+        equal the O(n*m) orientation brute force for several key sets —
+        including keys whose segments straddle cell borders."""
+        import pandas as pd
+
+        from cqi_ray.queries import q_segment_join
+
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            ck = np.unique(rng.integers(1, 40_000, size=400).astype(np.int64))
+            sk = np.unique(rng.integers(1, 40_000, size=80).astype(np.int64))
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            pd.DataFrame({"c_custkey": ck}).to_parquet(d / "customer.parquet")
+            pd.DataFrame({"s_suppkey": sk}).to_parquet(d / "supplier.parquet")
+
+            got = q_segment_join(str(d)).to_pandas()
+            got = set(zip(got["c_custkey"], got["s_suppkey"]))
+
+            def seg(kk, mx, my, mdx, mdy):
+                x1 = (kk * mx) % 1000
+                y1 = (kk * my) % 1000
+                return x1, y1, x1 + (kk * mdx) % 41 - 20, \
+                    y1 + (kk * mdy) % 41 - 20
+
+            ax1, ay1, ax2, ay2 = seg(ck[:, None], 37, 91, 13, 7)
+            bx1, by1, bx2, by2 = seg(sk[None, :], 211, 457, 19, 11)
+            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            hit = (np.sign(d1) * np.sign(d2) < 0) \
+                & (np.sign(d3) * np.sign(d4) < 0)
+            want = {(int(ck[i]), int(sk[j]))
+                    for i, j in zip(*np.nonzero(hit))}
+            assert got == want
