@@ -154,6 +154,9 @@ def run_suite(sf_dir: str) -> dict:
     bench("segment_join", lambda: q.q_segment_join(sf_dir))
     bench("skyline", lambda: q.q_skyline(sf_dir))
     bench("cell_kring", lambda: q.q_cell_kring(sf_dir))
+    bench("od_flows", lambda: q.q_od_flows(sf_dir))
+    bench("interval_overlap", lambda: q.q_interval_overlap(sf_dir))
+    bench("group_entropy", lambda: q.q_group_entropy(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

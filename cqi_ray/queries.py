@@ -5159,6 +5159,194 @@ WHERE sign((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))
 """
 
 
+def q_od_flows(sf_dir: str):
+    """Origin-destination flow matrix (the trajectory-aggregation shape):
+    per user, consecutive event positions become (from_cell, to_cell)
+    trips on the coarse grid; ONE bucketed shuffle on user orders each
+    trajectory, the lag is a vectorized groupby.shift, and trip counts
+    pre-aggregate per bucket before the tiny (from, to) global sum."""
+    events = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    nc = _CELL_N >> 4
+
+    def lagged(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"from_cell": pd.Series(dtype="int64"),
+                                 "to_cell": pd.Series(dtype="int64"),
+                                 "n_trips": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        lon = 13.4 + (ids % 1000) * 0.0002
+        lat = 51.0 + ((ids // 1000) % 1000) * 0.0001
+        ix = np.floor((lon + 180.0) / 360.0 * _CELL_N).astype(np.int64) >> 4
+        iy = np.floor((lat + 90.0) / 180.0 * _CELL_N).astype(np.int64) >> 4
+        b["__cell"] = ix * nc + iy
+        prev = b.groupby("user_id", sort=False)["__cell"].shift(1)
+        t = pd.DataFrame({"from_cell": prev, "to_cell": b["__cell"]}) \
+            .dropna()
+        t["from_cell"] = t["from_cell"].astype("int64")
+        return t.groupby(["from_cell", "to_cell"], as_index=False,
+                         sort=False).size() \
+            .rename(columns={"size": "n_trips"})
+
+    trips = grouped_map_buckets(events, ["user_id"], lagged,
+                                num_buckets=32, whole_bucket=True)
+    return partial_then_global_sum(trips, keys=["from_cell", "to_cell"],
+                                   sums={"n_trips": "n_trips"},
+                                   num_buckets=8)
+
+
+Q_OD_FLOWS_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (CAST(floor((13.4 + (event_id % 1000) * 0.0002 + 180.0)
+               / 360.0 * {_CELL_N}) AS BIGINT) >> 4) * {_CELL_N >> 4}
+         + (CAST(floor((51.0 + ((event_id // 1000) % 1000) * 0.0001 + 90.0)
+               / 180.0 * {_CELL_N}) AS BIGINT) >> 4) AS cell
+  FROM events),
+seq AS (SELECT cell,
+               lag(cell) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+        FROM pts)
+SELECT prev AS from_cell, cell AS to_cell, count(*) AS n_trips
+FROM seq WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_interval_overlap(sf_dir: str, window_min: int = 30):
+    """Per-user count of overlapping activity-window PAIRS (each event
+    opens a 30-min window; two windows of one user overlap iff the later
+    starts before the earlier ends).  The O(n²) pair count collapses to
+    one vectorized searchsorted per bucket: users pack into disjoint
+    int64 time segments (the rolling_time trick), and each row counts
+    its in-window predecessors by index difference — exact integer
+    microsecond comparisons, no pair materialization anywhere."""
+    events = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    window_us = np.int64(window_min) * 60_000_000
+
+    def count(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_overlaps": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        t -= t.min()
+        uid = pd.factorize(b["user_id"], sort=False)[0].astype("int64")
+        seg_span = np.int64(t.max() + window_us + 2)
+        seg = uid * seg_span + t
+        # predecessors strictly within the window: ts_i > ts_j - 30min
+        left = np.searchsorted(seg, seg - window_us + 1, side="left")
+        n = np.arange(len(seg), dtype=np.int64) - left
+        out = pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                            "n_overlaps": n}) \
+            .groupby("user_id", as_index=False, sort=False).sum()
+        return out[out["n_overlaps"] > 0]
+
+    return grouped_map_buckets(events, ["user_id"], count,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_INTERVAL_OVERLAP_SQL = """
+SELECT a.user_id, count(*) AS n_overlaps
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+ AND b.ts < a.ts + INTERVAL 30 MINUTE
+GROUP BY a.user_id
+"""
+
+
+def q_group_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution — the
+    diversity/quality-scoring shape.  Exact integer (user, type) counts
+    come from the partial->global-sum reduce; the entropy itself is the
+    numerically stable ln(n) - Σ c·ln(c) / n over the tiny counts table,
+    one bucketed pass, rounded to 6 dp on both engines."""
+    events = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = partial_then_global_sum(events, keys=["user_id", "event_type"],
+                                     sums={}, counts="c", num_buckets=16)
+
+    def entropy(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "entropy": pd.Series(dtype="float64")})
+        c = bucket["c"].to_numpy(dtype=np.float64)
+        t = pd.DataFrame({"user_id": bucket["user_id"],
+                          "clnc": c * np.log(c), "c": c})
+        g = t.groupby("user_id", as_index=False, sort=False).sum()
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "entropy": np.round(np.log(g["c"].to_numpy())
+                                - g["clnc"].to_numpy() / g["c"].to_numpy(),
+                                6)})
+
+    return grouped_map_buckets(counts, ["user_id"], entropy,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_GROUP_ENTROPY_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.user_id,
+       round(ln(n.n) - sum(c.c * ln(c.c)) / n.n, 6) AS entropy
+FROM c JOIN n USING (user_id) GROUP BY c.user_id, n.n
+"""
+
+
+def q_knn3(sf_dir: str, k3: int = 3):
+    """k=3 nearest-neighbor lists (ordered by distance, then center id —
+    the multi-candidate variant of q_knn_assign): centers broadcast once
+    via ray.put, each batch computes the full distance matrix and takes
+    an argsort top-3 — wide columns nn1..nn3, deterministic ties."""
+    customer = _pq(sf_dir, "customer", columns=["c_custkey"])
+    nation = _pq(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    ck = np.sort(nation["n_nationkey"].to_numpy(dtype=np.int64))
+    ref = ray.put((ck, (ck * 211) % 1000, (ck * 457) % 1000))
+
+    class KNN3:
+        def __init__(self):
+            self.ck, self.cx, self.cy = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+            px = (keys * 37) % 1000
+            py = (keys * 91) % 1000
+            d2 = (px[:, None] - self.cx[None, :]) ** 2 \
+                + (py[:, None] - self.cy[None, :]) ** 2
+            # tie-break by center id: ck is sorted, so a stable argsort
+            # on d2 alone resolves equal distances to the smaller id
+            top = np.argsort(d2, axis=1, kind="stable")[:, :k3]
+            nn = self.ck[top]
+            return pd.DataFrame({"c_custkey": keys,
+                                 "nn1": nn[:, 0], "nn2": nn[:, 1],
+                                 "nn3": nn[:, 2]})
+
+    return customer.map_batches(KNN3(), batch_format="pandas")
+
+
+Q_KNN3_SQL = """
+WITH d AS (
+  SELECT c_custkey, n_nationkey,
+         ((c_custkey * 37) % 1000 - (n_nationkey * 211) % 1000)
+         * ((c_custkey * 37) % 1000 - (n_nationkey * 211) % 1000)
+         + ((c_custkey * 91) % 1000 - (n_nationkey * 457) % 1000)
+         * ((c_custkey * 91) % 1000 - (n_nationkey * 457) % 1000) AS d2
+  FROM customer CROSS JOIN nation),
+r AS (SELECT c_custkey, n_nationkey,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d2, n_nationkey) AS rn
+      FROM d)
+SELECT c_custkey,
+       CAST(max(CASE WHEN rn = 1 THEN n_nationkey END) AS BIGINT) AS nn1,
+       CAST(max(CASE WHEN rn = 2 THEN n_nationkey END) AS BIGINT) AS nn2,
+       CAST(max(CASE WHEN rn = 3 THEN n_nationkey END) AS BIGINT) AS nn3
+FROM r WHERE rn <= 3 GROUP BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5275,6 +5463,10 @@ QUERIES = {
     "skyline": q_skyline,
     "cell_kring": q_cell_kring,
     "segment_join": q_segment_join,
+    "od_flows": q_od_flows,
+    "interval_overlap": q_interval_overlap,
+    "group_entropy": q_group_entropy,
+    "knn3": q_knn3,
 }
 
 ORACLES = {
@@ -5376,4 +5568,8 @@ ORACLES = {
     "skyline": Q_SKYLINE_SQL,
     "cell_kring": Q_CELL_KRING_SQL,
     "segment_join": Q_SEGMENT_JOIN_SQL,
+    "od_flows": Q_OD_FLOWS_SQL,
+    "interval_overlap": Q_INTERVAL_OVERLAP_SQL,
+    "group_entropy": Q_GROUP_ENTROPY_SQL,
+    "knn3": Q_KNN3_SQL,
 }
