@@ -4651,31 +4651,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 def q_edit_distance(sf_dir: str, k: int = 2, prefix_chars: int = 24):
     """Edit-distance similarity join (Levenshtein <= k) over document
-    prefixes — the PassJoin partition scheme, end-to-end distributed:
+    prefixes — PassJoin partition scheme with exact-dup pile collapse;
+    the full machinery lives in ops/strjoin.py:
 
-    1. every prefix splits into k+1 SEGMENTS; by pigeonhole an optimal
-       alignment leaves >= 1 segment edit-free, so any string within
-       distance k contains that segment VERBATIM, shifted by at most k
-       positions (net indels).  Exact substring keys are far more
-       selective than q-gram prefixes on small-alphabet corpora (the
-       gram-frequency variant produced 6.5M candidates on 5k word-soup
-       docs; segments produce ~10^4).
-    2. one map emits, per doc, both roles into the SAME bucketed
-       shuffle: its k+1 (la, seg_i, segment) index keys, and its probe
-       substrings (la, seg_i, prefix[p : p+len_i]) for every indexable
-       length la within +-k of its own and every position p within +-k
-       of segment i's start under la's layout;
-    3. per key, candidates = index-role x probe-role ids (self-pairs
-       dropped), then DISTINCT — the cross product is bounded by
-       duplicate-content pile sizes, which are true output pairs anyway;
-    4. prefixes join back by doc_id (two bucketed hash joins, keys
-       re-pinned int64 — no corpus broadcast), and a banded 2k+1
-       Levenshtein DP vectorized ACROSS pairs
-       (ops/text.py::banded_edit_distance) verifies exactly.
+    1. identical prefixes collapse to one representative per pile (ONE
+       bucketed shuffle) — duplicate-heavy corpora otherwise square
+       every segment-key collision (measured: 100k docs with 10x piles
+       went 404 s -> seconds);
+    2. PassJoin over representatives: k+1 segments (pigeonhole: one
+       survives k edits verbatim, shifted <= k) emitted as int64 hash
+       keys + probe substrings, ONE bucketed shuffle, per-key
+       index x probe candidates, inline banded 2k+1 Levenshtein DP
+       vectorized ACROSS pairs, one DISTINCT;
+    3. rep pairs expand over pile members (two bucketed joins) and
+       pile-internal all-pairs carry dist 0.
 
     Prefixes shorter than ``min_len`` (tiny segments match everywhere)
     are collected (bounded, typically empty) and verified against every
-    doc in one broadcast map.  ASCII corpus assumed (byte == char)."""
+    doc in one broadcast map.  ASCII corpus assumed (byte == char).
+    Chosen over ED-Join gram-prefix filtering after measuring 6.5M vs
+    ~10^4 candidates on the small-alphabet corpus."""
+    from .ops.strjoin import (collapse_piles, expand_pile_pairs,
+                              passjoin_rep_pairs)
     from .ops.text import banded_edit_distance
 
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4688,125 +4685,14 @@ def q_edit_distance(sf_dir: str, k: int = 2, prefix_chars: int = 24):
                              "plen": t.str.len().astype("int64")})
 
     pref = docs.map_batches(prefixes, batch_format="pandas")
-
-    def _seg_layout(la: int):
-        """k+1 segment (start, length) pairs for a string of length la:
-        first la % (k+1) segments get the extra char."""
-        base, extra = divmod(la, k + 1)
-        starts, lens_, s = [], [], 0
-        for i in range(k + 1):
-            ln = base + (1 if i < extra else 0)
-            starts.append(s)
-            lens_.append(ln)
-            s += ln
-        return starts, lens_
-
-    def _key_hash(sub: pd.Series, la: int, seg: int) -> np.ndarray:
-        """(la, seg, substring) -> one int64 key.  Collisions only ADD
-        candidate pairs, which the exact verify removes — lossless."""
-        from .relational import _splitmix64
-
-        h = pd.util.hash_array(sub.to_numpy(dtype=object),
-                               hash_key="0" * 16)
-        return _splitmix64(h ^ np.uint64(la * 131 + seg)) \
-            .astype(np.int64)
-
-    _KEY_EMPTY = {"key": pd.Series(dtype="int64"),
-                  "doc_id": pd.Series(dtype="int64"),
-                  "role": pd.Series(dtype="int64"),
-                  "prefix": pd.Series(dtype="object")}
-
-    def emit_keys(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["plen"] >= min_len]
-        if not len(b):
-            return pd.DataFrame(_KEY_EMPTY)
-        ids = b["doc_id"].to_numpy(dtype=np.int64)
-        pl = b["plen"].to_numpy(dtype=np.int64)
-        txt = b["prefix"]
-        keys, docs_, roles, prefs = [], [], [], []
-
-        def _push(key_arr, id_arr, role, pref_arr):
-            keys.append(key_arr)
-            docs_.append(id_arr)
-            roles.append(np.full(len(id_arr), role, dtype=np.int64))
-            prefs.append(pref_arr)
-
-        for plen_val in np.unique(pl):
-            m = pl == plen_val
-            sub_ids, sub_txt = ids[m], txt[m]
-            own = sub_txt.to_numpy(dtype=object)
-            # index role: own segments under own layout
-            starts, lens_ = _seg_layout(int(plen_val))
-            for si, (st, ln) in enumerate(zip(starts, lens_)):
-                _push(_key_hash(sub_txt.str.slice(st, st + ln),
-                                int(plen_val), si), sub_ids, 0, own)
-            # probe role: substrings for every indexer length within +-k
-            for la in range(int(plen_val) - k, int(plen_val) + k + 1):
-                if la < min_len:
-                    continue
-                pstarts, plens = _seg_layout(la)
-                for si, (st, ln) in enumerate(zip(pstarts, plens)):
-                    lo = max(0, st - k)
-                    hi = min(int(plen_val) - ln, st + k)
-                    for p in range(lo, hi + 1):
-                        _push(_key_hash(sub_txt.str.slice(p, p + ln),
-                                        la, si), sub_ids, 1, own)
-        return pd.DataFrame({"key": np.concatenate(keys),
-                             "doc_id": np.concatenate(docs_),
-                             "role": np.concatenate(roles),
-                             "prefix": np.concatenate(prefs)})
-
-    keys_ds = pref.map_batches(emit_keys, batch_format="pandas")
-
-    def per_key_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        """Pairs + inline banded verify: the full prefix travels on the
-        key rows (24 B — same order as the ids), so no join back and no
-        second shuffle; duplicate candidates across keys re-verify (cheap,
-        vectorized) and collapse in the final DISTINCT."""
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64"),
-                              "dist": pd.Series(dtype="int64")})
-        if not len(bucket):
-            return empty
-        s = bucket.drop_duplicates(["key", "role", "doc_id"]) \
-            .sort_values(["key", "role", "doc_id"], kind="mergesort")
-        ky = s["key"].to_numpy(dtype=np.int64)
-        rl = s["role"].to_numpy()
-        ids = s["doc_id"].to_numpy(dtype=np.int64)
-        txt = s["prefix"].to_numpy(dtype=object)
-        bounds = np.r_[np.flatnonzero(np.r_[True, ky[1:] != ky[:-1]]),
-                       len(s)]
-        ii, jj = [], []
-        for gs, ge in zip(bounds[:-1], bounds[1:]):
-            n0 = int(np.searchsorted(rl[gs:ge], 1))  # 0s sort before 1s
-            if n0 == 0 or n0 == ge - gs:
-                continue  # need both roles present
-            a = np.repeat(np.arange(gs, gs + n0), ge - gs - n0)
-            b = np.tile(np.arange(gs + n0, ge), n0)
-            ne = ids[a] != ids[b]
-            ii.append(a[ne])
-            jj.append(b[ne])
-        if not ii:
-            return empty
-        i = np.concatenate(ii)
-        j = np.concatenate(jj)
-        cand = pd.DataFrame({"id_a": np.minimum(ids[i], ids[j]),
-                             "id_b": np.maximum(ids[i], ids[j]),
-                             "__i": i, "__j": j}) \
-            .drop_duplicates(["id_a", "id_b"])
-        d = banded_edit_distance(list(txt[cand["__i"].to_numpy()]),
-                                 list(txt[cand["__j"].to_numpy()]), k)
-        keep = d <= k
-        return pd.DataFrame({
-            "id_a": cand["id_a"].to_numpy()[keep],
-            "id_b": cand["id_b"].to_numpy()[keep],
-            "dist": d[keep]})
-
-    verified = grouped_map_buckets(keys_ds, ["key"], per_key_pairs,
-                                   num_buckets=32, whole_bucket=True)
-    # duplicates across keys/buckets (a pair can match on several
-    # segments) carry identical dist — one global DISTINCT collapses them
-    main = distinct_rows(verified, ["id_a", "id_b", "dist"], num_buckets=8)
+    longs = pref.filter(expr=f"plen >= {min_len}")
+    both = collapse_piles(longs, num_buckets=16).materialize()
+    reps = both.filter(expr="is_rep == True") \
+        .select_columns(["rep_id", "prefix", "plen"])
+    piles = both.select_columns(["rep_id", "doc_id"])
+    rep_pairs = passjoin_rep_pairs(reps, k=k, min_len=min_len,
+                                   num_buckets=32)
+    main = expand_pile_pairs(rep_pairs, piles, num_buckets=16)
 
     # degenerate short prefixes: bounded set, broadcast vs every doc
     shorts = pref.filter(expr=f"plen < {min_len}").to_pandas()
