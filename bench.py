@@ -157,6 +157,9 @@ def run_suite(sf_dir: str) -> dict:
     bench("od_flows", lambda: q.q_od_flows(sf_dir))
     bench("interval_overlap", lambda: q.q_interval_overlap(sf_dir))
     bench("group_entropy", lambda: q.q_group_entropy(sf_dir))
+    bench("join_anti", lambda: q.q_join_anti(sf_dir))
+    bench("pmi_pairs", lambda: q.q_pmi_pairs(sf_dir))
+    bench("bm25", lambda: q.q_bm25(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -5233,6 +5233,222 @@ FROM r WHERE rn <= 3 GROUP BY c_custkey
 """
 
 
+def q_join_anti(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no URGENT order.
+    relational.bucketed_anti_join co-partitions both sides with ONE
+    hash-bucket shuffle (right side collapses to distinct keys inside
+    the map before moving, and the predicate prunes it at the read) —
+    the scale-safe NOT IN shape used by the corpus-curation drop-list
+    path (q_corpus_curation), exposed as a standalone relational
+    operator."""
+    customer = _pq(sf_dir, "customer",
+                   columns=["c_custkey", "c_name", "c_acctbal"])
+    urgent = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    keys = urgent.map_batches(
+        lambda b: pd.DataFrame({"c_custkey": b["o_custkey"].astype("int64")}),
+        batch_format="pandas")
+    return bucketed_anti_join(customer, keys, on="c_custkey", num_buckets=16)
+
+
+Q_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_pmi_pairs(sf_dir: str, min_support: int = 2):
+    """Co-occurrence statistics with pointwise mutual information: part
+    pairs that appear together in >= min_support orders, scored by
+    PMI = ln(n_ab * N / (n_a * n_b)) over the order 'baskets' — the
+    association-mining / word-co-occurrence shape for training-data
+    curation.  ONE bucketed shuffle on the basket key emits pair rows,
+    marginal rows (part, -1) and one basket row (-1, -1) into the SAME
+    partial->global count reduce; marginals fold back onto the pair
+    table via two bucketed hash joins (no corpus broadcast)."""
+    from .ops.graph import grouped_all_pairs
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    _EMIT_EMPTY = {"part_a": pd.Series(dtype="int64"),
+                   "part_b": pd.Series(dtype="int64")}
+
+    def emit(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_EMIT_EMPTY)
+        b = bucket.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = b["l_orderkey"].to_numpy(dtype=np.int64)
+        pk = b["l_partkey"].to_numpy(dtype=np.int64)
+        sizes = np.diff(np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True]))
+        i, j = grouped_all_pairs(sizes)
+        # pk is sorted within each order, so pk[i] < pk[j] holds and the
+        # pair key is already canonical
+        return pd.DataFrame({
+            "part_a": np.concatenate([pk[i], pk,
+                                      np.full(len(sizes), -1, np.int64)]),
+            "part_b": np.concatenate([pk[j],
+                                      np.full(len(pk), -1, np.int64),
+                                      np.full(len(sizes), -1, np.int64)])})
+
+    rows = grouped_map_buckets(li, ["l_orderkey"], emit,
+                               num_buckets=32, whole_bucket=True)
+    counts = partial_then_global_sum(rows, keys=["part_a", "part_b"],
+                                     sums={}, counts="n",
+                                     num_buckets=16).materialize()
+    n_orders = int(counts.filter(expr="part_a == -1 and part_b == -1")
+                   .to_pandas()["n"].iloc[0])
+    marg = counts.filter(expr="part_a >= 0 and part_b == -1") \
+        .select_columns(["part_a", "n"])
+    pairs = counts.filter(
+        expr=f"part_a >= 0 and part_b >= 0 and n >= {min_support}") \
+        .map_batches(lambda b: b.rename(columns={"n": "n_ab"}),
+                     batch_format="pandas")
+    ma = marg.map_batches(
+        lambda b: pd.DataFrame({"part_a": b["part_a"].astype("int64"),
+                                "n_a": b["n"].astype("int64")}),
+        batch_format="pandas")
+    mb = marg.map_batches(
+        lambda b: pd.DataFrame({"part_b": b["part_a"].astype("int64"),
+                                "n_b": b["n"].astype("int64")}),
+        batch_format="pandas")
+    j1 = bucketed_hash_join(pairs, ma, on="part_a",
+                            right_cols=["part_a", "n_a"], num_buckets=16,
+                            restore_dtypes={"part_b": "int64",
+                                            "n_ab": "int64"})
+    j2 = bucketed_hash_join(j1, mb, on="part_b",
+                            right_cols=["part_b", "n_b"], num_buckets=16,
+                            restore_dtypes={"part_a": "int64",
+                                            "n_ab": "int64",
+                                            "n_a": "int64"})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        n_ab = b["n_ab"].to_numpy(dtype=np.int64)
+        n_a = b["n_a"].to_numpy(dtype=np.int64)
+        n_b = b["n_b"].to_numpy(dtype=np.int64)
+        pmi = np.round(np.log((n_ab * n_orders) / (n_a * n_b)), 6)
+        return pd.DataFrame({"part_a": b["part_a"].astype("int64"),
+                             "part_b": b["part_b"].astype("int64"),
+                             "n_ab": n_ab, "pmi": pmi})
+
+    return j2.map_batches(score, batch_format="pandas")
+
+
+Q_PMI_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+m AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT part_a, part_b, n_ab,
+       round(ln((n_ab * n.n) / (ma.c * mb.c)), 6) AS pmi
+FROM p CROSS JOIN n
+JOIN m ma ON ma.l_partkey = part_a
+JOIN m mb ON mb.l_partkey = part_b
+WHERE n_ab >= 2
+"""
+
+
+def q_bm25(sf_dir: str, terms: tuple = ("spark", "window", "merge"),
+           k1: float = 1.2, b_param: float = 0.75):
+    """Okapi BM25 relevance scoring of every document against a fixed
+    term set — the ranked-retrieval / quality-signal shape: one
+    tokenizing pass computes (dl, tf_i) per doc (per-block Counter,
+    same tokenizer as q_bigram_counts), corpus stats (N, avg dl, df_i)
+    reduce from per-block partials (bounded driver data), and the score
+    map runs with the broadcast idf constants.  Output: every doc
+    matching >= 1 term with its BM25 score (the downstream filter/rank
+    is the caller's).  Term-sum order is fixed (i = 0..len(terms)) so
+    the float is reproducible against the oracle."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    nt = len(terms)
+
+    def tf_dl(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        dl = np.empty(len(batch), dtype=np.int64)
+        tf = np.zeros((len(batch), nt), dtype=np.int64)
+        for r, txt in enumerate(batch["text"]):
+            w = txt.split()
+            dl[r] = len(w)
+            c = Counter(w)
+            for i, t in enumerate(terms):
+                tf[r, i] = c.get(t, 0)
+        out = {"doc_id": ids, "dl": dl}
+        for i in range(nt):
+            out[f"tf{i}"] = tf[:, i]
+        return pd.DataFrame(out)
+
+    tfdl = docs.map_batches(tf_dl, batch_format="pandas").materialize()
+
+    def block_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": np.int64(len(batch)),
+               "sum_dl": batch["dl"].to_numpy(dtype=np.int64).sum()}
+        for i in range(nt):
+            row[f"df{i}"] = np.int64(
+                (batch[f"tf{i}"].to_numpy() > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = tfdl.map_batches(block_stats, batch_format="pandas") \
+        .to_pandas().sum()
+    n_docs = int(stats["n_docs"])
+    avgdl = int(stats["sum_dl"]) / n_docs
+    idf = np.array([np.log((n_docs - int(stats[f"df{i}"]) + 0.5)
+                           / (int(stats[f"df{i}"]) + 0.5) + 1.0)
+                    for i in range(nt)], dtype=np.float64)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b_param + b_param * dl / avgdl)
+        s = np.zeros(len(batch), dtype=np.float64)
+        any_hit = np.zeros(len(batch), dtype=bool)
+        for i in range(nt):
+            tf = batch[f"tf{i}"].to_numpy(dtype=np.float64)
+            s = s + idf[i] * (tf * (k1 + 1.0) / (tf + norm))
+            any_hit |= tf > 0
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64)[any_hit],
+            "bm25": np.round(s[any_hit], 6)})
+
+    return tfdl.map_batches(score, batch_format="pandas")
+
+
+Q_BM25_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x = 'spark')) AS tf0,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x = 'window')) AS tf1,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x = 'merge')) AS tf2
+  FROM documents),
+s AS (SELECT count(*) AS n, sum(dl) AS sdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM d)
+SELECT doc_id,
+       round(  ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+                 * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / (s.sdl / s.n))))
+             + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / (s.sdl / s.n))))
+             + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0)
+                 * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / (s.sdl / s.n)))),
+             6) AS bm25
+FROM d CROSS JOIN s
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5353,6 +5569,9 @@ QUERIES = {
     "interval_overlap": q_interval_overlap,
     "group_entropy": q_group_entropy,
     "knn3": q_knn3,
+    "join_anti": q_join_anti,
+    "pmi_pairs": q_pmi_pairs,
+    "bm25": q_bm25,
 }
 
 ORACLES = {
@@ -5458,4 +5677,7 @@ ORACLES = {
     "interval_overlap": Q_INTERVAL_OVERLAP_SQL,
     "group_entropy": Q_GROUP_ENTROPY_SQL,
     "knn3": Q_KNN3_SQL,
+    "join_anti": Q_JOIN_ANTI_SQL,
+    "pmi_pairs": Q_PMI_PAIRS_SQL,
+    "bm25": Q_BM25_SQL,
 }
