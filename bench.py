@@ -160,6 +160,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("join_anti", lambda: q.q_join_anti(sf_dir))
     bench("pmi_pairs", lambda: q.q_pmi_pairs(sf_dir))
     bench("bm25", lambda: q.q_bm25(sf_dir))
+    bench("ewma", lambda: q.q_ewma(sf_dir))
+    bench("islands", lambda: q.q_islands(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -5449,6 +5449,134 @@ WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
 """
 
 
+def q_ewma(sf_dir: str, alpha: float = 0.5):
+    """Exponentially-weighted moving average per user — the sequential
+    stateful-scan shape (online smoothing / feature decay) that a fixed
+    ROWS/RANGE window cannot express: s_1 = x_1, s_i = a*s_{i-1} +
+    (1-a)*x_i ordered by (ts, event_id).  ONE bucketed shuffle on
+    user_id; inside each bucket the recurrence is evaluated by
+    iterating TIME STEPS and vectorizing across users (a (users,) state
+    vector updated max-run-length times), so per-row Python never runs
+    and the FP operation order per user is exactly the sequential
+    recurrence.  The DEFAULT alpha is a power of two: both products of
+    the recurrence are then exactly representable, so DuckDB's
+    FMA-fused `a*s + (1-a)*x` and numpy's unfused form round
+    identically (measured: alpha=0.9 drifts 1 ulp/step and flips
+    round(6) on ~0.1% of rows).  Any alpha works for the engine
+    itself.  At 100 TB the scan stays co-partitioned by key; state is
+    O(distinct users in bucket)."""
+    a = np.float64(alpha)
+    one_m = np.float64(1.0) - a
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    _EMPTY = {"event_id": pd.Series(dtype="int64"),
+              "user_id": pd.Series(dtype="int64"),
+              "ewma": pd.Series(dtype="float64")}
+
+    def scan(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_EMPTY)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        x = b["value"].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid)])
+        n_users, width = len(starts), int(sizes.max())
+        # pack each user's sequence into a row of a (users, width) grid
+        pos = np.arange(len(uid)) - np.repeat(starts, sizes)
+        urow = np.repeat(np.arange(n_users), sizes)
+        grid = np.zeros((n_users, width), dtype=np.float64)
+        grid[urow, pos] = x
+        out = np.empty_like(grid)
+        state = grid[:, 0].copy()
+        out[:, 0] = state
+        for t in range(1, width):  # iterate time, vectorize users
+            state = a * state + one_m * grid[:, t]
+            out[:, t] = state
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "user_id": uid,
+            # no rounding: the doubles are bit-identical to the oracle's
+            # (alpha is a power of two), and DuckDB's round() half-rule
+            # differs from numpy's exactly at representable boundaries
+            "ewma": out[urow, pos]})
+
+    return grouped_map_buckets(events, ["user_id"], scan,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_EWMA_SQL = """
+WITH RECURSIVE s AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+w AS (
+  SELECT event_id, user_id, rn, value AS ewma FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.rn,
+         0.5 * w.ewma + (1.0 - 0.5) * s.value AS ewma
+  FROM w JOIN s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+SELECT event_id, user_id, ewma FROM w
+"""
+
+
+def q_islands(sf_dir: str):
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (ordered by ts, event_id) with the run's time span and
+    size — the state-change segmentation shape (device status runs,
+    trajectory dwell segments).  ONE bucketed shuffle on user_id;
+    boundaries are a vectorized neighbor comparison and the per-island
+    aggregate is a groupby over the cumulative boundary count.  The
+    oracle is the classic row_number-difference formulation."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type"])
+
+    _EMPTY = {"user_id": pd.Series(dtype="int64"),
+              "event_type": pd.Series(dtype="object"),
+              "start_us": pd.Series(dtype="int64"),
+              "end_us": pd.Series(dtype="int64"),
+              "n_events": pd.Series(dtype="int64")}
+
+    def islands(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_EMPTY)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        et = b["event_type"].to_numpy()
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(uid)])
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "event_type": et[starts],
+            "start_us": np.minimum.reduceat(t, starts),
+            "end_us": np.maximum.reduceat(t, starts),
+            "n_events": sizes.astype(np.int64)})
+
+    return grouped_map_buckets(events, ["user_id"], islands,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_ISLANDS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS grp
+  FROM events)
+SELECT user_id, event_type,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, event_type, grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5570,6 +5698,8 @@ QUERIES = {
     "group_entropy": q_group_entropy,
     "knn3": q_knn3,
     "join_anti": q_join_anti,
+    "ewma": q_ewma,
+    "islands": q_islands,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -5678,6 +5808,8 @@ ORACLES = {
     "group_entropy": Q_GROUP_ENTROPY_SQL,
     "knn3": Q_KNN3_SQL,
     "join_anti": Q_JOIN_ANTI_SQL,
+    "ewma": Q_EWMA_SQL,
+    "islands": Q_ISLANDS_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
