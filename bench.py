@@ -162,6 +162,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("bm25", lambda: q.q_bm25(sf_dir))
     bench("ewma", lambda: q.q_ewma(sf_dir))
     bench("islands", lambda: q.q_islands(sf_dir))
+    bench("naive_bayes", lambda: q.q_naive_bayes(sf_dir))
+    bench("chi2_terms", lambda: q.q_chi2_terms(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

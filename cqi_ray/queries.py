@@ -5577,6 +5577,233 @@ FROM s GROUP BY user_id, event_type, grp
 """
 
 
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained AND applied
+    distributed — the train-as-aggregation + broadcast-model-inference
+    shape: pass 1 reduces per-block (lang, token) tf partials through
+    ONE bucketed sum into the model table (bounded: vocab x classes; a
+    web-scale corpus would cap vocab to the top-K rows of this same
+    reduce), the driver folds it into a dense log-likelihood matrix with
+    add-one smoothing, and pass 2 scores every document against the
+    ray.put model with one index-add per batch.  Prediction ties break
+    to the lexicographically smallest class on both engines.  Scores
+    round to 6: the class-score sums are tiny-error (same doubles, sum
+    order differs) but never land on exact decimal halves (log terms),
+    unlike the ewma case."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lt_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for lang, t in zip(b["lang"], b["text"]):
+            c.update((lang, w) for w in t.split())
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "lang": [k[0] for k in ks],
+            "token": [k[1] for k in ks],
+            "tf": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    model = partial_then_global_sum(
+        docs.map_batches(lt_counts, batch_format="pandas"),
+        keys=["lang", "token"], sums={"tf": "tf"}, num_buckets=16) \
+        .to_pandas()
+
+    def nd_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "nd"})
+
+    nd = docs.map_batches(nd_counts, batch_format="pandas").to_pandas() \
+        .groupby("lang", as_index=False)["nd"].sum()
+
+    langs = sorted(nd["lang"])
+    cidx = {c: i for i, c in enumerate(langs)}
+    n_docs = int(nd["nd"].sum())
+    priors = np.full(len(langs), -np.inf)
+    for lang, cnt in zip(nd["lang"], nd["nd"]):
+        priors[cidx[lang]] = np.log(float(cnt) / n_docs)
+    vocab = sorted(model["token"].unique())
+    tidx = {t: i for i, t in enumerate(vocab)}
+    v = len(vocab)
+    ntok = model.groupby("lang")["tf"].sum()
+    counts = np.zeros((v, len(langs)), dtype=np.float64)
+    counts[model["token"].map(tidx).to_numpy(),
+           model["lang"].map(cidx).to_numpy()] = \
+        model["tf"].to_numpy(dtype=np.float64)
+    denom = np.array([float(ntok.get(c, 0)) + v for c in langs])
+    # last row = smoothed unseen-token likelihood (robustness for data
+    # beyond the training corpus; unused when scoring the corpus itself)
+    logp = np.log(np.vstack([counts + 1.0, np.ones(len(langs))]) / denom)
+    ref = ray.put((tidx, logp, priors, np.array(langs, dtype=object)))
+
+    class Score:
+        def __init__(self):
+            self.tidx, self.logp, self.priors, self.langs = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            scores = np.tile(self.priors, (n, 1))
+            rows, toks, tfs = [], [], []
+            for r, t in enumerate(b["text"]):
+                c = Counter(t.split())
+                unseen = len(self.logp) - 1
+                for w, f in c.items():
+                    rows.append(r)
+                    toks.append(self.tidx.get(w, unseen))
+                    tfs.append(f)
+            if rows:
+                contrib = np.asarray(tfs, dtype=np.float64)[:, None] \
+                    * self.logp[np.asarray(toks)]
+                np.add.at(scores, np.asarray(rows), contrib)
+            best = np.argmax(scores, axis=1)  # first max = smallest lang
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "pred_lang": self.langs[best],
+                "score": np.round(scores[np.arange(n), best], 6)})
+
+    return docs.map_batches(Score(), batch_format="pandas")
+
+
+Q_NAIVE_BAYES_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+n AS (SELECT count(*) AS n FROM documents),
+cls AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+v AS (SELECT count(DISTINCT token) AS v FROM tok),
+ct AS (SELECT lang, count(*) AS ntok FROM tok GROUP BY lang),
+tc AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dc AS (SELECT d.doc_id, c.lang AS cls, c.nd, ct.ntok
+       FROM documents d CROSS JOIN cls c JOIN ct ON ct.lang = c.lang),
+s AS (
+  SELECT dc.doc_id, dc.cls,
+         ln(CAST(dc.nd AS DOUBLE) / n.n)
+         + coalesce(sum(dt.tf * ln((coalesce(tc.c, 0) + 1.0)
+                                   / (dc.ntok + v.v))), 0.0) AS score
+  FROM dc CROSS JOIN n CROSS JOIN v
+  LEFT JOIN dt ON dt.doc_id = dc.doc_id
+  LEFT JOIN tc ON tc.lang = dc.cls AND tc.token = dt.token
+  GROUP BY dc.doc_id, dc.cls, dc.nd, dc.ntok, n.n, v.v)
+SELECT doc_id, cls AS pred_lang, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cls) AS rn
+      FROM s)
+WHERE rn = 1
+"""
+
+
+def q_chi2_terms(sf_dir: str, k: int = 10):
+    """Chi-square term-class association with top-k selection per class
+    — the feature-selection / corpus-drift shape.  Doc-level presence
+    sets collapse per block, (lang, token) and token document
+    frequencies reduce through bucketed sums, B/C/D derive from the
+    marginals folded back with ONE bucketed join on token, and the 2x2
+    chi2 is evaluated in a pinned double-op order so both engines
+    produce bit-identical doubles (no rounding anywhere — integer
+    inputs hit exact decimal halves, where DuckDB's and numpy's round
+    half-rules disagree).  Per-class top-k: per-block bounded heads,
+    tiny driver merge."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def presence(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for lang, t in zip(b["lang"], b["text"]):
+            for w in set(t.split()):
+                c[(lang, w)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "lang": [x[0] for x in ks],
+            "token": [x[1] for x in ks],
+            "a": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    pres = partial_then_global_sum(
+        docs.map_batches(presence, batch_format="pandas"),
+        keys=["lang", "token"], sums={"a": "a"}, num_buckets=16) \
+        .materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("token", as_index=False, sort=False)["a"].sum()
+        return g.rename(columns={"a": "df"})
+
+    dfs = partial_then_global_sum(
+        pres.map_batches(df_partial, batch_format="pandas"),
+        keys=["token"], sums={"df": "df"}, num_buckets=16)
+
+    nd = docs.map_batches(
+        lambda b: b.groupby("lang", as_index=False, sort=False).size()
+        .rename(columns={"size": "nd"}),
+        batch_format="pandas").to_pandas() \
+        .groupby("lang", as_index=False)["nd"].sum()
+    n_docs = float(nd["nd"].sum())
+    nd_map = dict(zip(nd["lang"], nd["nd"].astype(float)))
+    nd_ref = ray.put((nd_map, n_docs))
+
+    joined = bucketed_hash_join(pres, dfs, on="token",
+                                right_cols=["token", "df"], num_buckets=16,
+                                restore_dtypes={"a": "int64"})
+
+    def score_head(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "token": pd.Series(dtype="object"),
+                                 "chi2": pd.Series(dtype="float64")})
+        nd_m, n = ray.get(nd_ref)
+        a = b["a"].to_numpy(dtype=np.float64)
+        df_t = b["df"].to_numpy(dtype=np.float64)
+        nc = b["lang"].map(nd_m).to_numpy(dtype=np.float64)
+        bb = df_t - a
+        cc = nc - a
+        dd = n - nc - bb
+        num = n * (a * dd - bb * cc) * (a * dd - bb * cc)
+        den = (a + bb) * (cc + dd) * (a + cc) * (bb + dd)
+        chi2 = np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den))
+        out = pd.DataFrame({"lang": b["lang"], "token": b["token"],
+                            "chi2": chi2})
+        # bounded head per block: k best per class move to the driver
+        return out.sort_values(["lang", "chi2", "token"],
+                               ascending=[True, False, True],
+                               kind="mergesort").groupby("lang").head(k)
+
+    cand = joined.map_batches(score_head, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["lang", "chi2", "token"],
+                           ascending=[True, False, True], kind="mergesort") \
+        .groupby("lang").head(k).reset_index(drop=True)
+    return top[["lang", "token", "chi2"]]
+
+
+Q_CHI2_TERMS_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+cls AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nc
+        FROM documents GROUP BY lang),
+a AS (SELECT lang, token, CAST(count(*) AS DOUBLE) AS a
+      FROM tok GROUP BY lang, token),
+df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+       FROM tok GROUP BY token),
+x AS (SELECT a.lang, a.token, a.a, df.df - a.a AS b, cls.nc - a.a AS c,
+             n.n - cls.nc - (df.df - a.a) AS d, n.n AS n
+      FROM a JOIN df USING (token) JOIN cls ON cls.lang = a.lang
+      CROSS JOIN n),
+s AS (SELECT lang, token,
+             CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0.0
+                  ELSE n * (a * d - b * c) * (a * d - b * c)
+                       / ((a + b) * (c + d) * (a + c) * (b + d)) END AS chi2
+      FROM x)
+SELECT lang, token, chi2 FROM (
+  SELECT lang, token, chi2,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY chi2 DESC, token) AS rn
+  FROM s) WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5700,6 +5927,8 @@ QUERIES = {
     "join_anti": q_join_anti,
     "ewma": q_ewma,
     "islands": q_islands,
+    "naive_bayes": q_naive_bayes,
+    "chi2_terms": q_chi2_terms,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -5810,6 +6039,8 @@ ORACLES = {
     "join_anti": Q_JOIN_ANTI_SQL,
     "ewma": Q_EWMA_SQL,
     "islands": Q_ISLANDS_SQL,
+    "naive_bayes": Q_NAIVE_BAYES_SQL,
+    "chi2_terms": Q_CHI2_TERMS_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
