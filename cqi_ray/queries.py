@@ -5804,6 +5804,132 @@ SELECT lang, token, chi2 FROM (
 """
 
 
+def q_raster_cc(sf_dir: str, width: int = 256, tile: int = 64):
+    """Distributed raster connected-component labeling (4-adjacency)
+    over a deterministic occupancy grid — the mask/segmentation shape
+    for raster imagery at scale.  Plan (ops/ccl.py): ONE bucketed
+    shuffle co-locates cells by TILE; each tile labels locally
+    (vectorized edge detection + union-find, roots = min global cell
+    id) and emits only per-root partial stats plus boundary
+    anchor/probe rows; a second tiny shuffle pairs probes with anchors
+    across adjacent tiles; the driver folds the root equivalences —
+    O(boundary + components) bytes ever leave the tiles, the O(cells)
+    work stays data-parallel.  All-integer outputs: exact oracle
+    parity by construction."""
+    from .ops.ccl import label_cells, merge_equivalences
+
+    t_per_axis = width // tile
+    events = _pq(sf_dir, "events", columns=["event_id"])
+
+    def to_cells(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        ix = ((ids * 48271) % 65537) % width
+        iy = ((ids * 16807) % 65537) % width
+        return pd.DataFrame({
+            "ix": ix, "iy": iy,
+            "tile": (ix // tile) * t_per_axis + iy // tile})
+
+    cells = events.map_batches(to_cells, batch_format="pandas")
+
+    _MIX = {"kind": pd.Series(dtype="int8"),
+            "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"), "d": pd.Series(dtype="int64"),
+            "e": pd.Series(dtype="int64"), "f": pd.Series(dtype="int64")}
+
+    def per_tile(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_MIX)
+        frames = []
+        for _, g in bucket.groupby("tile", sort=False):
+            lin, roots = label_cells(g["ix"].to_numpy(),
+                                     g["iy"].to_numpy(), width)
+            gx, gy = lin // width, lin % width
+            order = np.argsort(roots, kind="stable")
+            lin_s, gx_s, gy_s = lin[order], gx[order], gy[order]
+            roots_s = roots[order]
+            starts = np.flatnonzero(np.r_[True, roots_s[1:] != roots_s[:-1]])
+            frames.append(pd.DataFrame({
+                "kind": np.int8(0), "a": roots_s[starts],
+                "b": np.diff(np.r_[starts, len(lin)]).astype(np.int64),
+                "c": np.minimum.reduceat(gx_s, starts),
+                "d": np.maximum.reduceat(gx_s, starts),
+                "e": np.minimum.reduceat(gy_s, starts),
+                "f": np.maximum.reduceat(gy_s, starts)}))
+            lx, ly = gx % tile, gy % tile
+            rec = (lx == 0) | (ly == 0)  # receivers of left/top probes
+            if rec.any():
+                frames.append(pd.DataFrame({
+                    "kind": np.int8(1), "a": lin[rec], "b": roots[rec],
+                    "c": np.int64(0), "d": np.int64(0), "e": np.int64(0),
+                    "f": np.int64(0)}))
+            for m, key in (
+                    ((lx == tile - 1) & (gx < width - 1), lin + width),
+                    ((ly == tile - 1) & (gy < width - 1), lin + 1)):
+                if m.any():
+                    frames.append(pd.DataFrame({
+                        "kind": np.int8(2), "a": key[m], "b": roots[m],
+                        "c": np.int64(0), "d": np.int64(0),
+                        "e": np.int64(0), "f": np.int64(0)}))
+        return pd.concat(frames, ignore_index=True)
+
+    rows = grouped_map_buckets(cells, ["tile"], per_tile,
+                               num_buckets=t_per_axis * t_per_axis,
+                               whole_bucket=True).materialize()
+
+    _PAIR = {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+
+    def pair_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_PAIR)
+        anchors = bucket[bucket["kind"] == 1]
+        probes = bucket[bucket["kind"] == 2]
+        m = probes.merge(anchors, on="a", suffixes=("_p", "_a"))
+        return pd.DataFrame({"u": m["b_p"].astype("int64"),
+                             "v": m["b_a"].astype("int64")})
+
+    eq = grouped_map_buckets(
+        rows.filter(expr="kind > 0"), ["a"], pair_bucket,
+        num_buckets=16, whole_bucket=True).to_pandas()
+    rootmap = merge_equivalences(
+        zip(eq["u"], eq["v"]) if "u" in eq.columns else ())
+
+    stats = rows.filter(expr="kind == 0").to_pandas()
+    comp = stats["a"].map(lambda r: rootmap.get(int(r), int(r)))
+    out = stats.assign(comp=comp.astype("int64")).groupby(
+        "comp", as_index=False).agg(
+        n_cells=("b", "sum"), min_ix=("c", "min"), max_ix=("d", "max"),
+        min_iy=("e", "min"), max_iy=("f", "max"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+Q_RASTER_CC_SQL = """
+WITH RECURSIVE c AS (
+  SELECT DISTINCT ((event_id * 48271) % 65537) % 256 AS ix,
+                  ((event_id * 16807) % 65537) % 256 AS iy
+  FROM events),
+cc AS (SELECT ix, iy, ix * 256 + iy AS cell FROM c),
+er AS (SELECT a.cell AS u, b.cell AS v FROM cc a
+       JOIN cc b ON b.ix = a.ix + 1 AND b.iy = a.iy),
+ed AS (SELECT a.cell AS u, b.cell AS v FROM cc a
+       JOIN cc b ON b.ix = a.ix AND b.iy = a.iy + 1),
+e AS (SELECT u, v FROM er UNION ALL SELECT v AS u, u AS v FROM er
+      UNION ALL SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+r AS (
+  SELECT cell AS node, cell AS label FROM cc
+  UNION
+  SELECT e.v AS node, r.label FROM r JOIN e ON e.u = r.node),
+comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node)
+SELECT comp, count(*) AS n_cells,
+       CAST(min(node // 256) AS BIGINT) AS min_ix,
+       CAST(max(node // 256) AS BIGINT) AS max_ix,
+       CAST(min(node % 256) AS BIGINT) AS min_iy,
+       CAST(max(node % 256) AS BIGINT) AS max_iy
+FROM comp GROUP BY comp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5929,6 +6055,7 @@ QUERIES = {
     "islands": q_islands,
     "naive_bayes": q_naive_bayes,
     "chi2_terms": q_chi2_terms,
+    "raster_cc": q_raster_cc,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6041,6 +6168,7 @@ ORACLES = {
     "islands": Q_ISLANDS_SQL,
     "naive_bayes": Q_NAIVE_BAYES_SQL,
     "chi2_terms": Q_CHI2_TERMS_SQL,
+    "raster_cc": Q_RASTER_CC_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }

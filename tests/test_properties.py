@@ -208,3 +208,76 @@ class TestSegmentJoinProperties:
             want = {(int(ck[i]), int(sk[j]))
                     for i, j in zip(*np.nonzero(hit))}
             assert got == want
+
+
+class TestCCLProperties:
+    @staticmethod
+    def _brute_components(ix, iy, width):
+        """BFS ground truth: {min_cell_id: set(cells)} per 4-connected
+        component."""
+        occ = set(zip(ix.tolist(), iy.tolist()))
+        seen, comps = set(), {}
+        for p in sorted(occ):
+            if p in seen:
+                continue
+            stack, comp = [p], set()
+            seen.add(p)
+            while stack:
+                x, y = stack.pop()
+                comp.add(x * width + y)
+                for q in ((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)):
+                    if q in occ and q not in seen:
+                        seen.add(q)
+                        stack.append(q)
+            comps[min(comp)] = comp
+        return comps
+
+    @given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                    min_size=0, max_size=120))
+    @settings(max_examples=150, deadline=None)
+    def test_label_cells_matches_bfs(self, pts):
+        from cqi_ray.ops.ccl import label_cells
+
+        width = 16
+        ix = np.array([p[0] for p in pts], dtype=np.int64)
+        iy = np.array([p[1] for p in pts], dtype=np.int64)
+        lin, roots = label_cells(ix, iy, width)
+        got = {}
+        for c, r in zip(lin.tolist(), roots.tolist()):
+            got.setdefault(r, set()).add(c)
+        assert got == self._brute_components(ix, iy, width)
+
+    @given(st.lists(st.tuples(st.integers(0, 31), st.integers(0, 31)),
+                    min_size=0, max_size=400))
+    @settings(max_examples=60, deadline=None)
+    def test_tile_merge_matches_whole_grid(self, pts):
+        """Tiled labeling + boundary-equivalence fold == one-shot
+        labeling of the whole grid (the distributed-plan invariant)."""
+        from cqi_ray.ops.ccl import label_cells, merge_equivalences
+
+        width, tile = 32, 8
+        ix = np.array([p[0] for p in pts], dtype=np.int64)
+        iy = np.array([p[1] for p in pts], dtype=np.int64)
+        lin_g, roots_g = label_cells(ix, iy, width)
+        whole = dict(zip(lin_g.tolist(), roots_g.tolist()))
+
+        # tiled pass
+        cell_root, anchors, probes = {}, {}, []
+        tid = (ix // tile) * (width // tile) + (iy // tile)
+        for t in np.unique(tid):
+            m = tid == t
+            lin, roots = label_cells(ix[m], iy[m], width)
+            gx, gy = lin // width, lin % width
+            for c, r, x, y in zip(lin.tolist(), roots.tolist(),
+                                  gx.tolist(), gy.tolist()):
+                cell_root[c] = r
+                if x % tile == 0 or y % tile == 0:
+                    anchors[c] = r
+                if x % tile == tile - 1 and x < width - 1:
+                    probes.append((c + width, r))
+                if y % tile == tile - 1 and y < width - 1:
+                    probes.append((c + 1, r))
+        pairs = [(r, anchors[k]) for k, r in probes if k in anchors]
+        rootmap = merge_equivalences(pairs)
+        merged = {c: rootmap.get(r, r) for c, r in cell_root.items()}
+        assert merged == whole
