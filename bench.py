@@ -165,6 +165,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("naive_bayes", lambda: q.q_naive_bayes(sf_dir))
     bench("chi2_terms", lambda: q.q_chi2_terms(sf_dir))
     bench("raster_cc", lambda: q.q_raster_cc(sf_dir))
+    bench("dedup_keep_best", lambda: q.q_dedup_keep_best(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -5930,6 +5930,89 @@ FROM comp GROUP BY comp
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-duplicate cluster CANONICALIZATION — the end-to-end corpus
+    dedup shape (SlimPajama-style): exact n-gram-Jaccard pairs
+    (q_dedup_ngram, oracle-checked blocking + verify) → distributed
+    connected components (min-label propagation with pointer doubling,
+    no driver pair set) → per-cluster keep-best (max n_chars, tie min
+    doc_id) resolved inside ONE component-keyed bucketed shuffle.
+    Output: (doc_id, keep_id) for every clustered doc; docs outside any
+    cluster are implicitly kept."""
+    from .ops.graph import connected_components
+
+    pairs = q_dedup_ngram(sf_dir)
+    labels = connected_components(pairs, src="a", dst="b").map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["vertex"].astype("int64"),
+             "component": b["component"].astype("int64")})
+        if len(b) else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "component": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    j = bucketed_hash_join(labels, docs, on="doc_id",
+                           right_cols=["doc_id", "n_chars"],
+                           num_buckets=16,
+                           restore_dtypes={"component": "int64"})
+
+    _OUT = {"doc_id": pd.Series(dtype="int64"),
+            "keep_id": pd.Series(dtype="int64")}
+
+    def keep(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        b = bucket.sort_values(["component", "n_chars", "doc_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+        keep_id = b.groupby("component", sort=False)["doc_id"] \
+            .transform("first")
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "keep_id": keep_id.astype("int64")})
+
+    return grouped_map_buckets(j, ["component"], keep,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_DEDUP_KEEP_BEST_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         coalesce(lang, 'und') || ':' || CAST(length(text) // 100 AS VARCHAR)
+           AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, bucket, w[x] || ' ' || w[x+1] || ' ' || w[x+2] AS g
+  FROM (SELECT doc_id, bucket, w, unnest(range(1, len(w) - 1)) AS x FROM d)
+  WHERE len(w) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+  FROM g g1 JOIN g g2 ON g1.g = g2.g AND g1.bucket = g2.bucket
+                      AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id),
+p AS (
+  SELECT a, b
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+verts AS (SELECT DISTINCT u FROM e),
+r AS (
+  SELECT u AS node, u AS label FROM verts
+  UNION
+  SELECT e.v AS node, r.label FROM r JOIN e ON e.u = r.node),
+comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node),
+best AS (
+  SELECT c.comp, c.node AS keep_id,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY dd.n_chars DESC, c.node) AS rn
+  FROM comp c JOIN documents dd ON dd.doc_id = c.node)
+SELECT c.node AS doc_id, b.keep_id
+FROM comp c JOIN best b ON b.comp = c.comp AND b.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6056,6 +6139,7 @@ QUERIES = {
     "naive_bayes": q_naive_bayes,
     "chi2_terms": q_chi2_terms,
     "raster_cc": q_raster_cc,
+    "dedup_keep_best": q_dedup_keep_best,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6169,6 +6253,7 @@ ORACLES = {
     "naive_bayes": Q_NAIVE_BAYES_SQL,
     "chi2_terms": Q_CHI2_TERMS_SQL,
     "raster_cc": Q_RASTER_CC_SQL,
+    "dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
