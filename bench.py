@@ -166,6 +166,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("chi2_terms", lambda: q.q_chi2_terms(sf_dir))
     bench("raster_cc", lambda: q.q_raster_cc(sf_dir))
     bench("dedup_keep_best", lambda: q.q_dedup_keep_best(sf_dir))
+    bench("weighted_sample", lambda: q.q_weighted_sample(sf_dir))
+    bench("group_regression", lambda: q.q_group_regression(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -6013,6 +6013,105 @@ FROM comp c JOIN best b ON b.comp = c.comp AND b.rn = 1
 """
 
 
+def q_weighted_sample(sf_dir: str, k: int = 50):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential keys): doc i gets key u_i^(1/w_i) with a deterministic
+    hash-uniform u_i; the k largest keys ARE a weighted sample — the
+    data-mixing / corpus-subsampling primitive that composes with any
+    distributed top-k.  Per-block bounded heads + tiny driver merge;
+    no global sort, no RNG state (u is a pure function of the id, so
+    the sample is reproducible and shard-order-independent).  Weights =
+    n_chars (length-proportional)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def score_head(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        w = b["n_chars"].to_numpy(dtype=np.float64)
+        u = ((ids * 2654435761) % 4294967296 + 1) / 4294967297.0
+        key = u ** (1.0 / np.maximum(w, 1.0))
+        out = pd.DataFrame({"doc_id": ids, "n_chars": b["n_chars"]
+                            .to_numpy(dtype=np.int64), "key": key})
+        return out.sort_values(["key", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    cand = docs.map_batches(score_head, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["key", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    return top[["doc_id", "n_chars"]]
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         pow(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0,
+             1.0 / greatest(n_chars, 1)) AS key
+  FROM documents)
+SELECT doc_id, n_chars FROM w ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
+def q_group_regression(sf_dir: str):
+    """Per-group OLS fit (slope + intercept of retail price on size per
+    brand) from MERGEABLE MOMENTS: each block reduces to (n, Σx, Σy,
+    Σx², Σxy) partials per group, ONE bucketed sum merges them, and the
+    closed form evaluates on the tiny group table — the canonical
+    'model fit as aggregation' shape (no residual pass, no per-row
+    driver math).  Degenerate groups (zero variance in x) fall back to
+    slope 0 / intercept ȳ on both engines."""
+    part = _pq(sf_dir, "part",
+               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["p_size"].to_numpy(dtype=np.float64)
+        y = b["p_retailprice"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"p_brand": b["p_brand"], "n": 1.0, "sx": x,
+                          "sy": y, "sxx": x * x, "sxy": x * y})
+        return g.groupby("p_brand", as_index=False, sort=False).sum()
+
+    m = partial_then_global_sum(
+        part.map_batches(moments, batch_format="pandas"),
+        keys=["p_brand"],
+        sums={"n": "n", "sx": "sx", "sy": "sy", "sxx": "sxx",
+              "sxy": "sxy"},
+        num_buckets=8)
+
+    def fit(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.float64)
+        sx = b["sx"].to_numpy(dtype=np.float64)
+        sy = b["sy"].to_numpy(dtype=np.float64)
+        sxx = b["sxx"].to_numpy(dtype=np.float64)
+        sxy = b["sxy"].to_numpy(dtype=np.float64)
+        den = n * sxx - sx * sx
+        safe = np.where(den == 0.0, 1.0, den)
+        slope = np.where(den == 0.0, 0.0, (n * sxy - sx * sy) / safe)
+        intercept = np.where(den == 0.0, sy / n, (sy - slope * sx) / n)
+        return pd.DataFrame({"p_brand": b["p_brand"],
+                             "n": n.astype(np.int64),
+                             "slope": np.round(slope, 6),
+                             "intercept": np.round(intercept, 6)})
+
+    return m.map_batches(fit, batch_format="pandas")
+
+
+Q_GROUP_REGRESSION_SQL = """
+WITH m AS (
+  SELECT p_brand, CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(p_size AS DOUBLE)) AS sx, sum(p_retailprice) AS sy,
+         sum(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS sxx,
+         sum(CAST(p_size AS DOUBLE) * p_retailprice) AS sxy
+  FROM part GROUP BY p_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+             6) AS slope,
+       round(CASE WHEN n * sxx - sx * sx = 0 THEN sy / n
+                  ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                              * sx) / n END,
+             6) AS intercept
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6140,6 +6239,8 @@ QUERIES = {
     "chi2_terms": q_chi2_terms,
     "raster_cc": q_raster_cc,
     "dedup_keep_best": q_dedup_keep_best,
+    "weighted_sample": q_weighted_sample,
+    "group_regression": q_group_regression,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6254,6 +6355,8 @@ ORACLES = {
     "chi2_terms": Q_CHI2_TERMS_SQL,
     "raster_cc": Q_RASTER_CC_SQL,
     "dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
+    "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+    "group_regression": Q_GROUP_REGRESSION_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
