@@ -168,6 +168,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("dedup_keep_best", lambda: q.q_dedup_keep_best(sf_dir))
     bench("weighted_sample", lambda: q.q_weighted_sample(sf_dir))
     bench("group_regression", lambda: q.q_group_regression(sf_dir))
+    bench("target_encode", lambda: q.q_target_encode(sf_dir))
+    bench("twa", lambda: q.q_twa(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

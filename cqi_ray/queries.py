@@ -6112,6 +6112,125 @@ FROM m
 """
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (the category→numeric feature
+    engineering staple): enc_i = (Σ_g target − target_i) / (n_g − 1)
+    per category.  Tiny per-category (Σ, n) table from ONE bucketed
+    partial→global sum, broadcast back, vectorized per-row map.
+    Exactness trick: the 2-decimal target is summed as INTEGER CENTS,
+    so Σ is bit-exact regardless of summation order and the single
+    final division is the only float op — deterministic across engines
+    with no rounding tolerance games."""
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["o_totalprice"].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
+                          "s_cents": c, "n": np.int64(1)})
+        return g.groupby("o_orderpriority", as_index=False, sort=False).sum()
+
+    stats = partial_then_global_sum(
+        orders.map_batches(cents_partial, batch_format="pandas"),
+        keys=["o_orderpriority"], sums={"s_cents": "s_cents", "n": "n"},
+        num_buckets=4).to_pandas()
+    smap = dict(zip(stats["o_orderpriority"],
+                    zip(stats["s_cents"].astype(np.int64),
+                        stats["n"].astype(np.int64))))
+    ref = ray.put(smap)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        y = np.round(b["o_totalprice"].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        sn = b["o_orderpriority"].map(m)
+        s = np.fromiter((x[0] for x in sn), dtype=np.int64, count=len(sn))
+        n = np.fromiter((x[1] for x in sn), dtype=np.int64, count=len(sn))
+        enc = np.where(n <= 1, 0.0,
+                       (s - y).astype(np.float64)
+                       / np.maximum(n - 1, 1).astype(np.float64) / 100.0)
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "enc": enc})
+
+    return orders.map_batches(encode, batch_format="pandas")
+
+
+Q_TARGET_ENCODE_SQL = """
+WITH c AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+g AS (SELECT o_orderpriority, sum(cents) AS s, count(*) AS n
+      FROM c GROUP BY o_orderpriority)
+SELECT o_orderkey,
+       CASE WHEN g.n <= 1 THEN 0.0
+            ELSE CAST(g.s - c.cents AS DOUBLE) / CAST(g.n - 1 AS DOUBLE)
+                 / 100.0 END AS enc
+FROM c JOIN g USING (o_orderpriority)
+"""
+
+
+def q_twa(sf_dir: str):
+    """Time-weighted average per user (trapezoidal integration over an
+    IRREGULAR time series — the sensor/telemetry aggregate a row-count
+    mean gets wrong): Σ Δt·(v_i+v_{i+1})/2 over consecutive pairs,
+    normalized by the user's observed span.  ONE bucketed shuffle on
+    user_id; consecutive pairs are a vectorized shift inside the
+    bucket, per-user sums via reduceat.  Microsecond-exact Δt; users
+    with a single event (no segment) drop on both engines."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    _EMPTY = {"user_id": pd.Series(dtype="int64"),
+              "twa": pd.Series(dtype="float64"),
+              "n_segments": pd.Series(dtype="int64")}
+
+    def twa(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_EMPTY)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        v = b["value"].to_numpy(dtype=np.float64)
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return pd.DataFrame(_EMPTY)
+        terms = np.where(same,
+                         (t[1:] - t[:-1]) * (v[:-1] + v[1:]) / 2.0, 0.0)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid)])
+        num = np.add.reduceat(np.r_[terms, 0.0], starts)
+        ends = starts + sizes - 1
+        span = (t[ends] - t[starts]).astype(np.float64)
+        keep = sizes > 1
+        safe = np.where(span == 0.0, 1.0, span)
+        val = np.where(span == 0.0, 0.0, num / safe)
+        return pd.DataFrame({
+            "user_id": uid[starts][keep],
+            "twa": np.round(val[keep], 6),
+            "n_segments": (sizes[keep] - 1).astype(np.int64)})
+
+    return grouped_map_buckets(events, ["user_id"], twa,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_TWA_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+         lead(epoch_us(ts)) OVER w AS t2, lead(value) OVER w AS v2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       round(CASE WHEN max(t2) - min(t) = 0 THEN 0.0
+                  ELSE sum((t2 - t) * (value + v2) / 2.0)
+                       / (max(t2) - min(t)) END, 6) AS twa,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM s WHERE t2 IS NOT NULL GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6241,6 +6360,8 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "weighted_sample": q_weighted_sample,
     "group_regression": q_group_regression,
+    "target_encode": q_target_encode,
+    "twa": q_twa,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6357,6 +6478,8 @@ ORACLES = {
     "dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
     "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "group_regression": Q_GROUP_REGRESSION_SQL,
+    "target_encode": Q_TARGET_ENCODE_SQL,
+    "twa": Q_TWA_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
