@@ -170,6 +170,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("group_regression", lambda: q.q_group_regression(sf_dir))
     bench("target_encode", lambda: q.q_target_encode(sf_dir))
     bench("twa", lambda: q.q_twa(sf_dir))
+    bench("bearing_stats", lambda: q.q_bearing_stats(sf_dir))
+    bench("profile_table", lambda: q.q_profile_table(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

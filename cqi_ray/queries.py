@@ -6231,6 +6231,150 @@ FROM s WHERE t2 IS NOT NULL GROUP BY user_id
 """
 
 
+def q_bearing_stats(sf_dir: str):
+    """Circular statistics over trajectory headings — the
+    direction-of-travel aggregate where a linear mean is wrong (359°
+    and 1° average to 0°, not 180°): per user, consecutive-point moves
+    on the deterministic grid give unit direction vectors dx/|d|,
+    dy/|d| (integer deltas, one sqrt — no per-term trig); their sums
+    yield the mean bearing atan2(Σy, Σx) and the resultant length R
+    (concentration).  ONE bucketed shuffle on user_id, vectorized shift
+    pairs + reduceat."""
+    events = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    _EMPTY = {"user_id": pd.Series(dtype="int64"),
+              "mean_bearing": pd.Series(dtype="float64"),
+              "r_len": pd.Series(dtype="float64"),
+              "n_moves": pd.Series(dtype="int64")}
+
+    def bearings(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_EMPTY)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        x = (((ids * 48271) % 65537) % 256).astype(np.float64)
+        y = (((ids * 16807) % 65537) % 256).astype(np.float64)
+        same = uid[1:] == uid[:-1]
+        dx, dy = x[1:] - x[:-1], y[1:] - y[:-1]
+        move = same & ((dx != 0) | (dy != 0))
+        hyp = np.sqrt(dx * dx + dy * dy)
+        safe = np.where(hyp == 0.0, 1.0, hyp)
+        ux = np.where(move, dx / safe, 0.0)
+        uy = np.where(move, dy / safe, 0.0)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sx = np.add.reduceat(np.r_[ux, 0.0], starts)
+        sy = np.add.reduceat(np.r_[uy, 0.0], starts)
+        n = np.add.reduceat(np.r_[move.astype(np.int64), 0], starts)
+        keep = n > 0
+        return pd.DataFrame({
+            "user_id": uid[starts][keep],
+            "mean_bearing": np.round(np.arctan2(sy[keep], sx[keep]), 6),
+            "r_len": np.round(np.sqrt(sx[keep] ** 2 + sy[keep] ** 2)
+                              / n[keep], 6),
+            "n_moves": n[keep]})
+
+    return grouped_map_buckets(events, ["user_id"], bearings,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_BEARING_STATS_SQL = """
+WITH p AS (
+  SELECT user_id,
+         CAST(((event_id * 48271) % 65537) % 256 AS DOUBLE) AS x,
+         CAST(((event_id * 16807) % 65537) % 256 AS DOUBLE) AS y,
+         ts, event_id
+  FROM events),
+m AS (
+  SELECT user_id, lead(x) OVER w - x AS dx, lead(y) OVER w - y AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+u AS (
+  SELECT user_id, dx / sqrt(dx * dx + dy * dy) AS ux,
+         dy / sqrt(dx * dx + dy * dy) AS uy
+  FROM m WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0))
+SELECT user_id, round(atan2(sum(uy), sum(ux)), 6) AS mean_bearing,
+       round(sqrt(sum(ux) * sum(ux) + sum(uy) * sum(uy)) / count(*), 6)
+         AS r_len,
+       CAST(count(*) AS BIGINT) AS n_moves
+FROM u GROUP BY user_id
+"""
+
+
+def q_profile_table(sf_dir: str):
+    """Schema-wide data profiling (the data-quality pre-step every
+    ingest pipeline runs): per numeric column of lineitem — row count,
+    nulls, EXACT distinct count, min, max — in one long-format pass.
+    Per-block partials carry (col, n, n_null, min, max) plus the
+    block's DISTINCT (col, value) set (combiner); ONE bucketed reduce
+    dedups values globally, a second tiny reduce counts per column —
+    distinct work shuffles only unique values, stats move as O(blocks)
+    rows."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _pq(sf_dir, "lineitem", columns=cols)
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = b[c].to_numpy(dtype=np.float64)
+            null = np.isnan(v)
+            ok = v[~null]
+            rows.append({"col": c, "n": np.int64(len(v)),
+                         "n_null": np.int64(null.sum()),
+                         "min_v": ok.min() if len(ok) else np.inf,
+                         "max_v": ok.max() if len(ok) else -np.inf})
+        return pd.DataFrame(rows)
+
+    stats = li.map_batches(stats_partial, batch_format="pandas") \
+        .to_pandas().groupby("col", as_index=False) \
+        .agg(n=("n", "sum"), n_null=("n_null", "sum"),
+             min_v=("min_v", "min"), max_v=("max_v", "max"))
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"col": c,
+                                "v": np.unique(b[c].to_numpy(np.float64))})
+                  for c in cols]
+        return pd.concat(frames, ignore_index=True)
+
+    uniq = partial_then_global_sum(
+        li.map_batches(distinct_partial, batch_format="pandas"),
+        keys=["col", "v"], sums={}, counts="cnt", num_buckets=16)
+    nd = partial_then_global_sum(
+        uniq.select_columns(["col"]).map_batches(
+            lambda b: b.assign(one=np.int64(1)), batch_format="pandas"),
+        keys=["col"], sums={"one": "n_distinct"}, num_buckets=4) \
+        .to_pandas()
+
+    out = stats.merge(nd[["col", "n_distinct"]], on="col") \
+        .sort_values("col").reset_index(drop=True)
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out[["col", "n", "n_null", "n_distinct", "min_v", "max_v"]]
+
+
+Q_PROFILE_TABLE_SQL = """
+SELECT 'l_discount' AS col, count(*) AS n,
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT l_discount) AS n_distinct,
+       min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_extendedprice),
+       min(l_extendedprice), max(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*),
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_quantity),
+       min(l_quantity), max(l_quantity) FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*),
+       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_tax), min(l_tax), max(l_tax) FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6362,6 +6506,8 @@ QUERIES = {
     "group_regression": q_group_regression,
     "target_encode": q_target_encode,
     "twa": q_twa,
+    "bearing_stats": q_bearing_stats,
+    "profile_table": q_profile_table,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6480,6 +6626,8 @@ ORACLES = {
     "group_regression": Q_GROUP_REGRESSION_SQL,
     "target_encode": Q_TARGET_ENCODE_SQL,
     "twa": Q_TWA_SQL,
+    "bearing_stats": Q_BEARING_STATS_SQL,
+    "profile_table": Q_PROFILE_TABLE_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
