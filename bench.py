@@ -172,6 +172,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("twa", lambda: q.q_twa(sf_dir))
     bench("bearing_stats", lambda: q.q_bearing_stats(sf_dir))
     bench("profile_table", lambda: q.q_profile_table(sf_dir))
+    bench("surprisal", lambda: q.q_surprisal(sf_dir))
+    bench("quadtree", lambda: q.q_quadtree(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

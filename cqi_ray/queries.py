@@ -6375,6 +6375,152 @@ SELECT 'l_tax', count(*),
 """
 
 
+def q_surprisal(sf_dir: str):
+    """Unigram-LM surprisal per document — the perplexity-style quality
+    filter of CCNet-class corpus pipelines: score each doc by the mean
+    −ln p(token) under the corpus MLE unigram model.  Pass 1 reduces
+    per-block token-count partials through ONE bucketed sum into the
+    bounded model table (cap to top-K vocab + an UNK bucket at web
+    scale); pass 2 scores docs against the ray.put log-prob map.  High
+    surprisal ⇒ unusual token mix (noise, boilerplate, wrong language);
+    the downstream threshold is the caller's."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(t.split())
+        return pd.DataFrame({
+            "token": list(c.keys()),
+            "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    counts = partial_then_global_sum(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        keys=["token"], sums={"n": "n"}, num_buckets=16).to_pandas()
+    total = float(counts["n"].sum())
+    neglogp = {t: -np.log(float(n) / total)
+               for t, n in zip(counts["token"], counts["n"])}
+    ref = ray.put(neglogp)
+
+    _OUT = {"doc_id": pd.Series(dtype="int64"),
+            "surprisal": pd.Series(dtype="float64"),
+            "n_tokens": pd.Series(dtype="int64")}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        ids, sur, ntok = [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            w = t.split()
+            if not w:
+                continue
+            ids.append(d)
+            sur.append(sum(m[x] for x in w) / len(w))
+            ntok.append(len(w))
+        if not ids:
+            return pd.DataFrame(_OUT)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "surprisal": np.round(np.asarray(sur), 6),
+            "n_tokens": np.asarray(ntok, dtype=np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+Q_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+c AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token)
+SELECT doc_id, round(sum(-ln(c.c / tot.t)) / count(*), 6) AS surprisal,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tok JOIN c USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_quadtree(sf_dir: str, cap: int = 6):
+    """Adaptive quadtree aggregation — the spatial-index-build shape:
+    each point reports at the COARSEST ancestor cell whose population
+    is <= cap (overflowing finest cells report as-is), giving an
+    adaptive tiling that is fine where data is dense and coarse where
+    sparse.  The level pyramid reduces from per-block fan-out partials
+    in ONE bucketed sum; the split rule then needs each cell's PARENT
+    count, resolved WITHOUT a join: a second tiny shuffle keyed by the
+    cell's TOP-LEVEL ancestor co-locates every pyramid (all counts of
+    one top cell land together), so the rule evaluates locally per
+    bucket.  All-integer — exact oracle parity."""
+    top = 3  # levels 0..3 over the 256-grid => top cells are 32x32
+    events = _pq(sf_dir, "events", columns=["event_id"])
+
+    def fan(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        ix = ((ids * 48271) % 65537) % 256
+        iy = ((ids * 16807) % 65537) % 256
+        frames = [pd.DataFrame({"level": np.int64(l), "cx": ix >> l,
+                                "cy": iy >> l}) for l in range(top + 1)]
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["level", "cx", "cy"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+        return g
+
+    counts = partial_then_global_sum(
+        events.map_batches(fan, batch_format="pandas"),
+        keys=["level", "cx", "cy"], sums={"n": "n"}, num_buckets=16)
+
+    def add_top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        sh = (top - b["level"].to_numpy(dtype=np.int64))
+        b["top_key"] = ((b["cx"].to_numpy(dtype=np.int64) >> sh) * 32
+                        + (b["cy"].to_numpy(dtype=np.int64) >> sh))
+        return b
+
+    _OUT = {"level": pd.Series(dtype="int64"),
+            "cx": pd.Series(dtype="int64"), "cy": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64")}
+
+    def split_rule(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        parent = bucket[["level", "cx", "cy", "n"]].copy()
+        parent["level"] = parent["level"] - 1
+        child = bucket.assign(pcx=bucket["cx"] // 2, pcy=bucket["cy"] // 2)
+        m = child.merge(parent.rename(columns={"cx": "pcx", "cy": "pcy",
+                                               "n": "pn"}),
+                        on=["level", "pcx", "pcy"], how="left")
+        lvl = m["level"].to_numpy(dtype=np.int64)
+        n = m["n"].to_numpy(dtype=np.int64)
+        pn = m["pn"].fillna(-1).to_numpy(dtype=np.int64)
+        keep = ((n <= cap) & ((lvl == top) | (pn > cap))) \
+            | ((lvl == 0) & (n > cap))
+        out = m.loc[keep, ["level", "cx", "cy", "n"]]
+        return out.astype("int64")
+
+    return grouped_map_buckets(counts.map_batches(add_top,
+                                                  batch_format="pandas"),
+                               ["top_key"], split_rule,
+                               num_buckets=16, whole_bucket=True)
+
+
+Q_QUADTREE_SQL = """
+WITH pts AS (SELECT ((event_id * 48271) % 65537) % 256 AS ix,
+                    ((event_id * 16807) % 65537) % 256 AS iy FROM events),
+lv AS (SELECT 0 AS l UNION ALL SELECT 1 UNION ALL SELECT 2
+       UNION ALL SELECT 3),
+c AS (SELECT l, ix >> l AS cx, iy >> l AS cy, count(*) AS n
+      FROM pts CROSS JOIN lv GROUP BY 1, 2, 3),
+j AS (SELECT c.l, c.cx, c.cy, c.n, p.n AS pn
+      FROM c LEFT JOIN c p ON p.l = c.l + 1 AND p.cx = c.cx // 2
+                           AND p.cy = c.cy // 2)
+SELECT CAST(l AS BIGINT) AS level, CAST(cx AS BIGINT) AS cx,
+       CAST(cy AS BIGINT) AS cy, n
+FROM j
+WHERE (n <= 6 AND (l = 3 OR pn > 6)) OR (l = 0 AND n > 6)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6508,6 +6654,8 @@ QUERIES = {
     "twa": q_twa,
     "bearing_stats": q_bearing_stats,
     "profile_table": q_profile_table,
+    "surprisal": q_surprisal,
+    "quadtree": q_quadtree,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6628,6 +6776,8 @@ ORACLES = {
     "twa": Q_TWA_SQL,
     "bearing_stats": Q_BEARING_STATS_SQL,
     "profile_table": Q_PROFILE_TABLE_SQL,
+    "surprisal": Q_SURPRISAL_SQL,
+    "quadtree": Q_QUADTREE_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
