@@ -174,6 +174,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("profile_table", lambda: q.q_profile_table(sf_dir))
     bench("surprisal", lambda: q.q_surprisal(sf_dir))
     bench("quadtree", lambda: q.q_quadtree(sf_dir))
+    bench("csv_roundtrip", lambda: q.q_csv_roundtrip(sf_dir))
+    bench("jsonl_roundtrip", lambda: q.q_jsonl_roundtrip(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -6521,6 +6521,56 @@ WHERE (n <= 6 AND (l = 3 OR pn > 6)) OR (l = 0 AND n > 6)
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source fidelity: write a projection of documents to
+    partitioned CSV (one file per block — the resumable-output layout)
+    and stream it back; the oracle is the identity projection, so the
+    hash check proves the full encode→decode cycle loses nothing.
+    Numeric and categorical columns only (CSV has no sane embedded-
+    newline story; JSONL below carries the free-text column)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="cqi_ray_csv_")
+    try:
+        docs.write_csv(tmp)
+        back = rd.read_csv(tmp).select_columns(
+            ["doc_id", "lang", "n_chars"]).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return back
+
+
+Q_CSV_ROUNDTRIP_SQL = "SELECT doc_id, lang, n_chars FROM documents"
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source fidelity for FREE TEXT: write (doc_id, text)
+    to partitioned JSONL and stream it back — the interchange format of
+    LLM corpus pipelines; the identity oracle's value hash proves
+    escaping round-trips every byte."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="cqi_ray_jsonl_")
+    try:
+        docs.write_json(tmp)
+        back = rd.read_json(tmp).select_columns(
+            ["doc_id", "text"]).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return back
+
+
+Q_JSONL_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6656,6 +6706,8 @@ QUERIES = {
     "profile_table": q_profile_table,
     "surprisal": q_surprisal,
     "quadtree": q_quadtree,
+    "csv_roundtrip": q_csv_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6778,6 +6830,8 @@ ORACLES = {
     "profile_table": Q_PROFILE_TABLE_SQL,
     "surprisal": Q_SURPRISAL_SQL,
     "quadtree": Q_QUADTREE_SQL,
+    "csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+    "jsonl_roundtrip": Q_JSONL_ROUNDTRIP_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
