@@ -176,6 +176,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("quadtree", lambda: q.q_quadtree(sf_dir))
     bench("csv_roundtrip", lambda: q.q_csv_roundtrip(sf_dir))
     bench("jsonl_roundtrip", lambda: q.q_jsonl_roundtrip(sf_dir))
+    bench("simplify", lambda: q.q_simplify(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -151,3 +151,40 @@ def simplify_polyline(coords: np.ndarray, eps: float) -> np.ndarray:
             stack.append((a, split))
             stack.append((split, b))
     return pts[keep]
+
+
+def dp_simplify(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker simplification keep-mask (classic infinite-line
+    distance variant).  Iterative stack instead of recursion; within
+    each (i, j) span the point-to-line distances are computed
+    vectorized, so the Python loop runs once per KEPT point, not per
+    point.  Deterministic: the first farthest point wins ties
+    (np.argmax), endpoints always kept."""
+    c = np.asarray(coords, dtype=np.float64)
+    n = len(c)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[i + 1:j]
+        a, b = c[i], c[j]
+        ab = b - a
+        l2 = float(ab @ ab)
+        if l2 == 0.0:
+            d = np.hypot(*(seg - a).T)
+        else:
+            t = ((seg - a) @ ab) / l2
+            proj = a + t[:, None] * ab
+            d = np.hypot(*(seg - proj).T)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep

@@ -6571,6 +6571,52 @@ def q_jsonl_roundtrip(sf_dir: str):
 Q_JSONL_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
 
 
+def q_simplify(sf_dir: str, tol_m: float = 2.0):
+    """Douglas–Peucker polyline simplification of the ways corpus in
+    METRIC coordinates (reproject → simplify → measure): the
+    tile-serving / storage-reduction geometry op.  Pure map — each way
+    simplifies independently (geo/lines.py::dp_simplify, vectorized
+    span distances), no shuffle at any scale.  Output: per-way point
+    counts and polyline lengths before/after (µm-rounded).  Geometry
+    recursion is not SQL-expressible → rows-only driver check; the
+    kernel is differential-tested against a naive recursive reference
+    in tests/test_properties.py."""
+    import ray.data as rd
+
+    from .geo.lines import dp_simplify, line_length
+    from .geo.proj import lonlat_to_utm
+    from .io.geojson import read_ways_geojson
+
+    import json as _json
+
+    rows = read_ways_geojson(
+        os.path.join(_REPO, "tests", "data", "test_ways.geojson"))
+    # geometry rides as a JSON string column: stable across Arrow/pandas
+    # block conversions (nested float lists get tensor-ized otherwise)
+    ways = rd.from_items([{"way_id": r["id"],
+                           "geometry": _json.dumps(r["geometry"])}
+                          for r in rows])
+
+    def simplify(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"way_id": [], "n_points": [], "n_kept": [],
+               "len_m": [], "len_simpl_m": []}
+        for wid, geom in zip(b["way_id"], b["geometry"]):
+            g = np.asarray(_json.loads(geom), dtype=np.float64)
+            x, y = lonlat_to_utm(g[:, 0], g[:, 1])
+            c = np.column_stack([x, y])
+            keep = dp_simplify(c, tol_m)
+            out["way_id"].append(wid)
+            out["n_points"].append(len(c))
+            out["n_kept"].append(int(keep.sum()))
+            out["len_m"].append(round(line_length(c), 6))
+            out["len_simpl_m"].append(round(line_length(c[keep]), 6))
+        out["n_points"] = np.asarray(out["n_points"], dtype=np.int64)
+        out["n_kept"] = np.asarray(out["n_kept"], dtype=np.int64)
+        return pd.DataFrame(out)
+
+    return ways.map_batches(simplify, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6708,6 +6754,7 @@ QUERIES = {
     "quadtree": q_quadtree,
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "simplify": q_simplify,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }

@@ -281,3 +281,52 @@ class TestCCLProperties:
         rootmap = merge_equivalences(pairs)
         merged = {c: rootmap.get(r, r) for c, r in cell_root.items()}
         assert merged == whole
+
+
+class TestDPSimplifyProperties:
+    @staticmethod
+    def _brute(c, tol, i, j, keep):
+        """Textbook recursive Douglas–Peucker (infinite-line distance)."""
+        if j <= i + 1:
+            return
+        a, b = c[i], c[j]
+        ab = b - a
+        l2 = float(ab @ ab)
+        best_d, best_k = -1.0, -1
+        for k in range(i + 1, j):
+            if l2 == 0.0:
+                d = float(np.hypot(*(c[k] - a)))
+            else:
+                t = float((c[k] - a) @ ab) / l2
+                d = float(np.hypot(*(c[k] - (a + t * ab))))
+            if d > best_d:
+                best_d, best_k = d, k
+        if best_d > tol:
+            keep[best_k] = True
+            TestDPSimplifyProperties._brute(c, tol, i, best_k, keep)
+            TestDPSimplifyProperties._brute(c, tol, best_k, j, keep)
+
+    @given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                    min_size=2, max_size=40),
+           st.floats(min_value=0.01, max_value=50.0))
+    @settings(max_examples=200, deadline=None)
+    def test_matches_recursive_reference(self, pts, tol):
+        from cqi_ray.geo.lines import dp_simplify
+
+        c = np.array(pts, dtype=np.float64)
+        keep = dp_simplify(c, tol)
+        ref = np.zeros(len(c), dtype=bool)
+        ref[0] = ref[-1] = True
+        self._brute(c, tol, 0, len(c) - 1, ref)
+        assert (keep == ref).all()
+
+    @given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                    min_size=2, max_size=40))
+    @settings(max_examples=50, deadline=None)
+    def test_idempotent(self, pts):
+        from cqi_ray.geo.lines import dp_simplify
+
+        c = np.array(pts, dtype=np.float64)
+        keep = dp_simplify(c, 1.0)
+        again = dp_simplify(c[keep], 1.0)
+        assert again.all()  # simplifying a simplified line keeps all points
