@@ -6617,6 +6617,97 @@ def q_simplify(sf_dir: str, tol_m: float = 2.0):
     return ways.map_batches(simplify, batch_format="pandas")
 
 
+def q_bbox_join(sf_dir: str, cell: int = 64):
+    """Rectangle-intersection spatial join with REFERENCE-POINT
+    deduplication — the classic distributed-spatial join plan: each
+    bbox fans out to the grid cells it covers (bounded: sizes < cell ⇒
+    ≤4 cells), ONE bucketed shuffle co-locates both sets per cell, a
+    vectorized overlap test runs per cell, and a pair that overlaps in
+    several cells is reported ONLY by the cell containing the
+    intersection's min corner (max of the two min corners) — exact
+    dedup without a distinct pass.  All-integer coordinates: exact
+    oracle parity."""
+    part = _pq(sf_dir, "part", columns=["p_partkey"])
+    supp = _pq(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def rects(ids: np.ndarray, mx: int, my: int):
+        x0 = (ids * mx) % 1000
+        y0 = (ids * my) % 1000
+        return (x0, y0, x0 + 1 + ids % 50, y0 + 1 + (ids // 7) % 50)
+
+    def fan(col: str, mx: int, my: int, side: int):
+        def _fan(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[col].to_numpy(dtype=np.int64)
+            x0, y0, x1, y1 = rects(ids, mx, my)
+            frames = []
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    cx = x0 // cell + dx
+                    cy = y0 // cell + dy
+                    m = (cx <= x1 // cell) & (cy <= y1 // cell)
+                    frames.append(pd.DataFrame({
+                        "cell_id": (cx[m] * 64 + cy[m]),
+                        "side": np.int8(side), "id": ids[m],
+                        "x0": x0[m], "y0": y0[m], "x1": x1[m],
+                        "y1": y1[m]}))
+            return pd.concat(frames, ignore_index=True)
+        return _fan
+
+    rows = part.map_batches(fan("p_partkey", 211, 457, 0),
+                            batch_format="pandas").union(
+        supp.map_batches(fan("s_suppkey", 389, 613, 1),
+                         batch_format="pandas"))
+
+    _OUT = {"p_partkey": pd.Series(dtype="int64"),
+            "s_suppkey": pd.Series(dtype="int64")}
+
+    def per_cell(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        frames = []
+        for _, g in bucket.groupby("cell_id", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            m = a.merge(b, how="cross", suffixes=("_a", "_b"))
+            ov = (m["x0_a"] <= m["x1_b"]) & (m["x0_b"] <= m["x1_a"]) \
+                & (m["y0_a"] <= m["y1_b"]) & (m["y0_b"] <= m["y1_a"])
+            # reference point: the intersection's min corner dedups
+            # multi-cell pairs without a distinct pass
+            rx = np.maximum(m["x0_a"], m["x0_b"]) // cell * 64 \
+                + np.maximum(m["y0_a"], m["y0_b"]) // cell
+            keep = ov & (rx == m["cell_id_a"])
+            if keep.any():
+                frames.append(pd.DataFrame({
+                    "p_partkey": m.loc[keep, "id_a"].astype("int64"),
+                    "s_suppkey": m.loc[keep, "id_b"].astype("int64")}))
+        return pd.concat(frames, ignore_index=True) if frames \
+            else pd.DataFrame(_OUT)
+
+    return grouped_map_buckets(rows, ["cell_id"], per_cell,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_BBOX_JOIN_SQL = """
+WITH a AS (SELECT p_partkey,
+                  (p_partkey * 211) % 1000 AS x0,
+                  (p_partkey * 457) % 1000 AS y0,
+                  (p_partkey * 211) % 1000 + 1 + p_partkey % 50 AS x1,
+                  (p_partkey * 457) % 1000 + 1 + (p_partkey // 7) % 50 AS y1
+           FROM part),
+b AS (SELECT s_suppkey,
+             (s_suppkey * 389) % 1000 AS x0,
+             (s_suppkey * 613) % 1000 AS y0,
+             (s_suppkey * 389) % 1000 + 1 + s_suppkey % 50 AS x1,
+             (s_suppkey * 613) % 1000 + 1 + (s_suppkey // 7) % 50 AS y1
+      FROM supplier)
+SELECT p_partkey, s_suppkey
+FROM a JOIN b ON a.x0 <= b.x1 AND b.x0 <= a.x1
+             AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6755,6 +6846,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "simplify": q_simplify,
+    "bbox_join": q_bbox_join,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -6879,6 +6971,7 @@ ORACLES = {
     "quadtree": Q_QUADTREE_SQL,
     "csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "jsonl_roundtrip": Q_JSONL_ROUNDTRIP_SQL,
+    "bbox_join": Q_BBOX_JOIN_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
