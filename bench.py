@@ -178,6 +178,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("jsonl_roundtrip", lambda: q.q_jsonl_roundtrip(sf_dir))
     bench("simplify", lambda: q.q_simplify(sf_dir))
     bench("bbox_join", lambda: q.q_bbox_join(sf_dir))
+    bench("hull", lambda: q.q_hull(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

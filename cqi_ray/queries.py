@@ -6708,6 +6708,55 @@ FROM a JOIN b ON a.x0 <= b.x1 AND b.x0 <= a.x1
 """
 
 
+def q_hull(sf_dir: str):
+    """Per-user convex hull of trajectory points — the coverage-
+    footprint aggregate (service areas, geofence induction): ONE
+    bucketed shuffle on user_id, Andrew's monotone chain per user
+    (geo/hull.py), output hull size + shoelace area.  The hull is a
+    LOSSLESS COMBINER (hull(hull(A) ∪ hull(B)) = hull(A ∪ B), the
+    property-test law), so a skewed user could be pre-hulled per block
+    before the shuffle — not needed at these group sizes.  Geometry not
+    SQL-expressible → rows-only driver check + hypothesis containment/
+    convexity/merge-law tests."""
+    from .geo.hull import convex_hull, shoelace_area
+
+    events = _pq(sf_dir, "events", columns=["event_id", "user_id"])
+
+    _OUT = {"user_id": pd.Series(dtype="int64"),
+            "n_points": pd.Series(dtype="int64"),
+            "n_hull": pd.Series(dtype="int64"),
+            "area": pd.Series(dtype="float64")}
+
+    def hulls(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        ids = bucket["event_id"].to_numpy(dtype=np.int64)
+        uid = bucket["user_id"].to_numpy(dtype=np.int64)
+        x = ((ids * 48271) % 65537) % 256
+        y = ((ids * 16807) % 65537) % 256
+        out = {k: [] for k in _OUT}
+        order = np.argsort(uid, kind="stable")
+        starts = np.flatnonzero(np.r_[True,
+                                      uid[order][1:] != uid[order][:-1]])
+        bounds = np.r_[starts, len(order)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            pts = np.column_stack([x[sel], y[sel]]).astype(np.float64)
+            h = convex_hull(pts)
+            out["user_id"].append(uid[sel[0]])
+            out["n_points"].append(len(np.unique(pts, axis=0)))
+            out["n_hull"].append(len(h))
+            out["area"].append(shoelace_area(h))
+        return pd.DataFrame({
+            "user_id": np.asarray(out["user_id"], dtype=np.int64),
+            "n_points": np.asarray(out["n_points"], dtype=np.int64),
+            "n_hull": np.asarray(out["n_hull"], dtype=np.int64),
+            "area": np.asarray(out["area"], dtype=np.float64)})
+
+    return grouped_map_buckets(events, ["user_id"], hulls,
+                               num_buckets=32, whole_bucket=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6847,6 +6896,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "simplify": q_simplify,
     "bbox_join": q_bbox_join,
+    "hull": q_hull,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }

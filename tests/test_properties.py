@@ -330,3 +330,50 @@ class TestDPSimplifyProperties:
         keep = dp_simplify(c, 1.0)
         again = dp_simplify(c[keep], 1.0)
         assert again.all()  # simplifying a simplified line keeps all points
+
+
+class TestHullProperties:
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    min_size=1, max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_contains_all_and_vertices_are_inputs(self, pts):
+        from cqi_ray.geo.hull import convex_hull, point_in_hull
+
+        p = np.array(pts, dtype=np.float64)
+        h = convex_hull(p)
+        pset = {tuple(q) for q in p.tolist()}
+        assert all(tuple(v) in pset for v in h.tolist())
+        assert all(point_in_hull(q, h) for q in p)
+
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    min_size=1, max_size=40),
+           st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    min_size=1, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_lossless_combiner_law(self, a, b):
+        """hull(hull(A) ∪ hull(B)) == hull(A ∪ B) — the law that makes
+        per-block pre-hulling a valid combiner before the shuffle."""
+        from cqi_ray.geo.hull import convex_hull
+
+        pa = np.array(a, dtype=np.float64)
+        pb = np.array(b, dtype=np.float64)
+        ha, hb = convex_hull(pa), convex_hull(pb)
+        merged = convex_hull(np.vstack([ha, hb]))
+        direct = convex_hull(np.vstack([pa, pb]))
+        assert {tuple(q) for q in merged.tolist()} \
+            == {tuple(q) for q in direct.tolist()}
+
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    min_size=3, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_convexity(self, pts):
+        from cqi_ray.geo.hull import convex_hull
+
+        h = convex_hull(np.array(pts, dtype=np.float64))
+        n = len(h)
+        if n < 3:
+            return
+        for i in range(n):
+            o, a, b = h[i], h[(i + 1) % n], h[(i + 2) % n]
+            cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+            assert cr > 0  # strictly convex CCW (collinear dropped)
