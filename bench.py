@@ -179,6 +179,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("simplify", lambda: q.q_simplify(sf_dir))
     bench("bbox_join", lambda: q.q_bbox_join(sf_dir))
     bench("hull", lambda: q.q_hull(sf_dir))
+    bench("hilbert", lambda: q.q_hilbert(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

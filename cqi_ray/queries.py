@@ -6757,6 +6757,54 @@ def q_hull(sf_dir: str):
                                num_buckets=32, whole_bucket=True)
 
 
+def q_hilbert(sf_dir: str, parts: int = 16):
+    """Hilbert space-filling-curve encoding + range partitioning — the
+    spatial partitioner of choice at scale (consecutive key ranges are
+    spatially COMPACT, unlike Morton's quadrant jumps; the exhaustive
+    pytest proves bijection + unit-step adjacency).  Pure vectorized
+    map, no shuffle; the emitted `part` column is the hkey range bucket
+    a planner would co-locate on.  All-integer; the oracle replays the
+    identical bit recursion as a recursive CTE."""
+    from .geo.cells import hilbert_xy2d
+
+    events = _pq(sf_dir, "events", columns=["event_id"])
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        x = ((ids * 48271) % 65537) % 256
+        y = ((ids * 16807) % 65537) % 256
+        d = hilbert_xy2d(8, x, y)
+        return pd.DataFrame({"event_id": ids, "hkey": d,
+                             "part": d * parts // 65536})
+
+    return events.map_batches(enc, batch_format="pandas")
+
+
+Q_HILBERT_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 65537) % 256 AS x,
+         ((event_id * 16807) % 65537) % 256 AS y
+  FROM events),
+h AS (
+  SELECT event_id, x, y, CAST(0 AS BIGINT) AS d, 128 AS s FROM pts
+  UNION ALL
+  SELECT event_id,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - x ELSE x END
+              ELSE y END AS y,
+         d + s * s * xor(3 * rx, ry) AS d,
+         s // 2 AS s
+  FROM (SELECT event_id, x, y, d, s,
+               CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM h WHERE s > 0) t)
+SELECT event_id, d AS hkey, d * 16 // 65536 AS part
+FROM h WHERE s = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6897,6 +6945,7 @@ QUERIES = {
     "simplify": q_simplify,
     "bbox_join": q_bbox_join,
     "hull": q_hull,
+    "hilbert": q_hilbert,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7022,6 +7071,7 @@ ORACLES = {
     "csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "jsonl_roundtrip": Q_JSONL_ROUNDTRIP_SQL,
     "bbox_join": Q_BBOX_JOIN_SQL,
+    "hilbert": Q_HILBERT_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }

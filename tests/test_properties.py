@@ -377,3 +377,47 @@ class TestHullProperties:
             o, a, b = h[i], h[(i + 1) % n], h[(i + 2) % n]
             cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
             assert cr > 0  # strictly convex CCW (collinear dropped)
+
+
+class TestHilbertProperties:
+    def test_exhaustive_bijection_and_unit_steps(self):
+        """Order-5 exhaustive: every cell visited once, consecutive keys
+        are grid neighbors (THE Hilbert locality property Morton lacks)."""
+        from cqi_ray.geo.cells import hilbert_xy2d
+
+        o = 5
+        n = 1 << o
+        xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = hilbert_xy2d(o, xx.ravel(), yy.ravel())
+        assert sorted(d.tolist()) == list(range(n * n))
+        order = np.argsort(d)
+        px, py = xx.ravel()[order], yy.ravel()[order]
+        step = np.abs(np.diff(px)) + np.abs(np.diff(py))
+        assert (step == 1).all()
+
+    @given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                    min_size=1, max_size=100))
+    @settings(max_examples=50, deadline=None)
+    def test_vectorized_matches_scalar(self, pts):
+        """Batch kernel == per-point textbook scalar loop (order 8)."""
+        from cqi_ray.geo.cells import hilbert_xy2d
+
+        def scalar(o, x, y):
+            nn = 1 << o
+            d, s = 0, 1 << (o - 1)
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = nn - 1 - x, nn - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        xs = np.array([p[0] for p in pts], dtype=np.int64)
+        ys = np.array([p[1] for p in pts], dtype=np.int64)
+        got = hilbert_xy2d(8, xs, ys)
+        want = [scalar(8, int(a), int(b)) for a, b in pts]
+        assert got.tolist() == want
