@@ -180,6 +180,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("bbox_join", lambda: q.q_bbox_join(sf_dir))
     bench("hull", lambda: q.q_hull(sf_dir))
     bench("hilbert", lambda: q.q_hilbert(sf_dir))
+    bench("cusum", lambda: q.q_cusum(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

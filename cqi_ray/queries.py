@@ -6805,6 +6805,80 @@ FROM h WHERE s = 0
 """
 
 
+def q_cusum(sf_dir: str):
+    """CUSUM change-point detection per user — the level-shift detector
+    for telemetry: the event where the cumulative deviation from the
+    user's mean peaks.  Exactness trick: on 2-decimal values the test
+    statistic cusum_k = Σ_{i≤k}c_i − k·S/n has INTEGER numerator
+    n·cum_k − k·S (cents), so the argmax is an exact integer compare on
+    both engines (ties → earliest event) and the reported deviation is
+    one identical division.  ONE bucketed shuffle on user_id; cumsums
+    via per-user reduceat-offset, no per-row Python."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    _OUT = {"user_id": pd.Series(dtype="int64"),
+            "cp_event_id": pd.Series(dtype="int64"),
+            "dev": pd.Series(dtype="float64")}
+
+    def cusum(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        eid = b["event_id"].to_numpy(dtype=np.int64)
+        c = np.round(b["value"].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid)])
+        gid = np.repeat(np.arange(len(starts)), sizes)
+        cum = np.cumsum(c)
+        base = np.r_[0, cum[starts[1:] - 1]]  # cumsum offset per user
+        cum_u = cum - base[gid]
+        s_u = (cum[starts + sizes - 1] - base)[gid]
+        n_u = sizes[gid].astype(np.int64)
+        k = (np.arange(len(uid)) - starts[gid] + 1).astype(np.int64)
+        num = n_u * cum_u - k * s_u  # exact integer statistic
+        a = np.abs(num)
+        # per-user argmax with earliest-position tie-break: order by
+        # (gid, -|num|, k) and take the first row of each user
+        order = np.lexsort((k, -a, gid))
+        first = order[np.r_[True, gid[order][1:] != gid[order][:-1]]]
+        dev = num[first].astype(np.float64) \
+            / (100.0 * n_u[first].astype(np.float64))
+        return pd.DataFrame({"user_id": uid[first],
+                             "cp_event_id": eid[first],
+                             "dev": dev})
+
+    return grouped_map_buckets(events, ["user_id"], cusum,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_CUSUM_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT event_id, user_id,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k,
+         sum(cents) OVER (PARTITION BY user_id) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM c),
+d AS (SELECT user_id, event_id, n, n * cum - k * s AS num, k FROM w)
+SELECT user_id, event_id AS cp_event_id,
+       CAST(num AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS dev
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY abs(num) DESC, k) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6946,6 +7020,7 @@ QUERIES = {
     "bbox_join": q_bbox_join,
     "hull": q_hull,
     "hilbert": q_hilbert,
+    "cusum": q_cusum,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7072,6 +7147,7 @@ ORACLES = {
     "jsonl_roundtrip": Q_JSONL_ROUNDTRIP_SQL,
     "bbox_join": Q_BBOX_JOIN_SQL,
     "hilbert": Q_HILBERT_SQL,
+    "cusum": Q_CUSUM_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
