@@ -181,6 +181,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("hull", lambda: q.q_hull(sf_dir))
     bench("hilbert", lambda: q.q_hilbert(sf_dir))
     bench("cusum", lambda: q.q_cusum(sf_dir))
+    bench("feature_snapshot", lambda: q.q_feature_snapshot(sf_dir))
+    bench("source_drift", lambda: q.q_source_drift(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

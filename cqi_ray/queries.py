@@ -6879,6 +6879,140 @@ WHERE rn = 1
 """
 
 
+def q_feature_snapshot(sf_dir: str):
+    """Latest-feature snapshot per entity — the feature-store
+    materialization shape: for every user, the value of their most
+    recent event of EACH type, pivoted wide (one row per user, one
+    column per type).  ONE bucketed shuffle on user_id; last-per-(user,
+    type) is a vectorized boundary mask, the pivot is local.  No
+    arithmetic on the values ⇒ exact parity; absent (user, type) pairs
+    fill -1.0 on both engines (NaN hashing is representation-
+    dependent)."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type",
+                          "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"v_{t}" for t in types]
+
+    _OUT = {"user_id": pd.Series(dtype="int64"),
+            **{c: pd.Series(dtype="float64") for c in cols}}
+
+    def snap(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        b = bucket.sort_values(["user_id", "event_type", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        et = b["event_type"].to_numpy()
+        last = np.r_[(uid[1:] != uid[:-1]) | (et[1:] != et[:-1]), True]
+        keep = b.loc[last, ["user_id", "event_type", "value"]]
+        wide = keep.pivot(index="user_id", columns="event_type",
+                          values="value")
+        for t in types:
+            if t not in wide.columns:
+                wide[t] = np.nan
+        wide = wide[types].fillna(-1.0)
+        wide.columns = cols
+        wide = wide.reset_index()
+        wide["user_id"] = wide["user_id"].astype("int64")
+        return wide
+
+    return grouped_map_buckets(events, ["user_id"], snap,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_FEATURE_SNAPSHOT_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       coalesce(max(CASE WHEN event_type = 'click' THEN value END), -1.0)
+         AS v_click,
+       coalesce(max(CASE WHEN event_type = 'error' THEN value END), -1.0)
+         AS v_error,
+       coalesce(max(CASE WHEN event_type = 'purchase' THEN value END), -1.0)
+         AS v_purchase,
+       coalesce(max(CASE WHEN event_type = 'signup' THEN value END), -1.0)
+         AS v_signup,
+       coalesce(max(CASE WHEN event_type = 'view' THEN value END), -1.0)
+         AS v_view
+FROM r WHERE rn = 1 GROUP BY user_id
+"""
+
+
+def q_source_drift(sf_dir: str):
+    """Pairwise KL divergence between per-source unigram distributions
+    (add-one smoothing over the global vocab) — the distribution-drift
+    monitor of corpus curation (which sources changed vocabulary?).
+    Token counts reduce per (source, token) through ONE bucketed sum
+    into a bounded model table (sources × vocab; cap vocab top-K at web
+    scale); the KL matrix is one vectorized driver computation on that
+    bounded table.  Output: every ordered source pair with its KL."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["source", "text"])
+
+    def st_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s, t in zip(b["source"], b["text"]):
+            c.update((s, w) for w in t.split())
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "source": [k[0] for k in ks],
+            "token": [k[1] for k in ks],
+            "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    counts = partial_then_global_sum(
+        docs.map_batches(st_counts, batch_format="pandas"),
+        keys=["source", "token"], sums={"n": "n"}, num_buckets=16) \
+        .to_pandas()
+    sources = sorted(counts["source"].unique())
+    vocab = sorted(counts["token"].unique())
+    sidx = {s: i for i, s in enumerate(sources)}
+    tidx = {t: i for i, t in enumerate(vocab)}
+    mat = np.zeros((len(sources), len(vocab)), dtype=np.float64)
+    mat[counts["source"].map(sidx).to_numpy(),
+        counts["token"].map(tidx).to_numpy()] = \
+        counts["n"].to_numpy(dtype=np.float64)
+    tot = mat.sum(axis=1) + len(vocab)
+    p = (mat + 1.0) / tot[:, None]  # smoothed distributions
+    logp = np.log(p)
+    out = {"source_a": [], "source_b": [], "kl": []}
+    for i, sa in enumerate(sources):
+        for j, sb in enumerate(sources):
+            if i == j:
+                continue
+            out["source_a"].append(sa)
+            out["source_b"].append(sb)
+            out["kl"].append(round(float(
+                np.sum(p[i] * (logp[i] - logp[j]))), 6))
+    return pd.DataFrame(out)
+
+
+Q_SOURCE_DRIFT_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+v AS (SELECT count(DISTINCT token) AS v FROM tok),
+src AS (SELECT DISTINCT source FROM documents),
+vocab AS (SELECT DISTINCT token FROM tok),
+c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, count(*) AS nt FROM tok GROUP BY source),
+grid AS (
+  SELECT s.source, vo.token,
+         (coalesce(c.n, 0) + 1.0) / (tot.nt + v.v) AS p
+  FROM src s CROSS JOIN vocab vo CROSS JOIN v
+  JOIN tot ON tot.source = s.source
+  LEFT JOIN c ON c.source = s.source AND c.token = vo.token)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(sum(a.p * (ln(a.p) - ln(b.p))), 6) AS kl
+FROM grid a JOIN grid b ON a.token = b.token AND a.source <> b.source
+GROUP BY a.source, b.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7021,6 +7155,8 @@ QUERIES = {
     "hull": q_hull,
     "hilbert": q_hilbert,
     "cusum": q_cusum,
+    "feature_snapshot": q_feature_snapshot,
+    "source_drift": q_source_drift,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7148,6 +7284,8 @@ ORACLES = {
     "bbox_join": Q_BBOX_JOIN_SQL,
     "hilbert": Q_HILBERT_SQL,
     "cusum": Q_CUSUM_SQL,
+    "feature_snapshot": Q_FEATURE_SNAPSHOT_SQL,
+    "source_drift": Q_SOURCE_DRIFT_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
