@@ -183,6 +183,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("cusum", lambda: q.q_cusum(sf_dir))
     bench("feature_snapshot", lambda: q.q_feature_snapshot(sf_dir))
     bench("source_drift", lambda: q.q_source_drift(sf_dir))
+    bench("rolling_median", lambda: q.q_rolling_median(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

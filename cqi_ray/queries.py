@@ -7013,6 +7013,47 @@ GROUP BY a.source, b.source
 """
 
 
+def q_rolling_median(sf_dir: str, k: int = 5):
+    """Rolling MEDIAN over the trailing k rows per user — the robust
+    smoother (median filters shrug off the spikes that wreck rolling
+    means).  ONE bucketed shuffle on user_id; inside the bucket
+    pandas' C rolling-median kernel runs per user with growing windows
+    at the series head (min_periods=1), matching SQL ROWS BETWEEN
+    semantics.  The median either IS an input value (odd window) or
+    the midpoint of two (even) — identical doubles on both engines, no
+    rounding tolerance."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    _OUT = {"event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "med": pd.Series(dtype="float64")}
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        med = b.groupby("user_id", sort=False)["value"] \
+            .rolling(k, min_periods=1).median() \
+            .reset_index(drop=True).to_numpy()
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "med": med})
+
+    return grouped_map_buckets(events, ["user_id"], roll,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7157,6 +7198,7 @@ QUERIES = {
     "cusum": q_cusum,
     "feature_snapshot": q_feature_snapshot,
     "source_drift": q_source_drift,
+    "rolling_median": q_rolling_median,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7286,6 +7328,7 @@ ORACLES = {
     "cusum": Q_CUSUM_SQL,
     "feature_snapshot": Q_FEATURE_SNAPSHOT_SQL,
     "source_drift": Q_SOURCE_DRIFT_SQL,
+    "rolling_median": Q_ROLLING_MEDIAN_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
