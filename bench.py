@@ -184,6 +184,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("feature_snapshot", lambda: q.q_feature_snapshot(sf_dir))
     bench("source_drift", lambda: q.q_source_drift(sf_dir))
     bench("rolling_median", lambda: q.q_rolling_median(sf_dir))
+    bench("wow_change", lambda: q.q_wow_change(sf_dir))
+    bench("bitmap_overlap", lambda: q.q_bitmap_overlap(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -7054,6 +7054,107 @@ FROM events
 """
 
 
+def q_wow_change(sf_dir: str):
+    """Week-over-week KPI deltas per event type — the period-over-period
+    reporting shape: event counts per (type, epoch week) reduce through
+    ONE bucketed partial→global sum (bounded output), then the
+    lag/percent-change window runs locally on the tiny aggregate.
+    Integer counts ⇒ the single pct division is identical on both
+    engines; first weeks emit -1 sentinel (NULL hashing is
+    representation-dependent)."""
+    week_us = np.int64(604_800) * 1_000_000
+    events = _pq(sf_dir, "events", columns=["ts", "event_type"])
+
+    def fan(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["ts"].to_numpy().astype("datetime64[us]").astype("int64") \
+            // week_us
+        g = pd.DataFrame({"event_type": b["event_type"], "week": w}) \
+            .groupby(["event_type", "week"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+        return g
+
+    agg = partial_then_global_sum(
+        events.map_batches(fan, batch_format="pandas"),
+        keys=["event_type", "week"], sums={"n": "n"}, num_buckets=8) \
+        .to_pandas().sort_values(["event_type", "week"]) \
+        .reset_index(drop=True)
+    prev = agg.groupby("event_type", sort=False)["n"].shift(1)
+    pct = np.where(prev.isna(), -1.0,
+                   (agg["n"] - prev).to_numpy(dtype=np.float64)
+                   / prev.fillna(1).to_numpy(dtype=np.float64))
+    return pd.DataFrame({"event_type": agg["event_type"],
+                         "week": agg["week"].astype("int64"),
+                         "n": agg["n"].astype("int64"),
+                         "pct_change": pct})
+
+
+Q_WOW_CHANGE_SQL = """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM a)
+SELECT event_type, week, n,
+       CASE WHEN prev IS NULL THEN -1.0
+            ELSE CAST(n - prev AS DOUBLE) / CAST(prev AS DOUBLE) END
+         AS pct_change
+FROM l
+"""
+
+
+def q_bitmap_overlap(sf_dir: str):
+    """Audience-overlap via BITMAP INDEXES — the segment-intersection
+    shape of ad/feature analytics: each block packs its users-per-type
+    presence into fixed-width bitsets (np.packbits over the bounded id
+    universe; chunk the id range at web scale), the per-type OR-fold is
+    a tiny bucketed reduce over O(blocks × types) byte rows, and every
+    pairwise intersection is a vectorized AND+popcount on the driver —
+    distinct users never move, only bitmaps."""
+    events = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+    nbytes = 8192  # 65536-user universe
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in b.groupby("event_type", sort=False):
+            bits = np.zeros(nbytes * 8, dtype=bool)
+            bits[g["user_id"].to_numpy(dtype=np.int64)] = True
+            rows.append({"event_type": et,
+                         "bitmap": np.packbits(bits).tobytes()})
+        return pd.DataFrame(rows)
+
+    packed = events.map_batches(pack, batch_format="pandas").to_pandas()
+    maps = {}
+    for et, g in packed.groupby("event_type", sort=True):
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for buf in g["bitmap"]:
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        maps[et] = acc
+    types = sorted(maps)
+    out = {"type_a": [], "type_b": [], "n_common": []}
+    popcnt = np.unpackbits  # AND then bit count
+    for i, a in enumerate(types):
+        for b2 in types[i + 1:]:
+            out["type_a"].append(a)
+            out["type_b"].append(b2)
+            out["n_common"].append(
+                int(popcnt(maps[a] & maps[b2]).sum()))
+    return pd.DataFrame({"type_a": out["type_a"], "type_b": out["type_b"],
+                         "n_common": np.asarray(out["n_common"],
+                                                dtype=np.int64)})
+
+
+Q_BITMAP_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_common
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7199,6 +7300,8 @@ QUERIES = {
     "feature_snapshot": q_feature_snapshot,
     "source_drift": q_source_drift,
     "rolling_median": q_rolling_median,
+    "wow_change": q_wow_change,
+    "bitmap_overlap": q_bitmap_overlap,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7329,6 +7432,8 @@ ORACLES = {
     "feature_snapshot": Q_FEATURE_SNAPSHOT_SQL,
     "source_drift": Q_SOURCE_DRIFT_SQL,
     "rolling_median": Q_ROLLING_MEDIAN_SQL,
+    "wow_change": Q_WOW_CHANGE_SQL,
+    "bitmap_overlap": Q_BITMAP_OVERLAP_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
