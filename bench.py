@@ -186,6 +186,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("rolling_median", lambda: q.q_rolling_median(sf_dir))
     bench("wow_change", lambda: q.q_wow_change(sf_dir))
     bench("bitmap_overlap", lambda: q.q_bitmap_overlap(sf_dir))
+    bench("leakage_split", lambda: q.q_leakage_split(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -7155,6 +7155,80 @@ GROUP BY 1, 2
 """
 
 
+def q_leakage_split(sf_dir: str, test_pct: int = 2):
+    """Leakage-free train/test split — the eval-hygiene op: a document
+    and its near-duplicates must land on the SAME side, so the split
+    key is the doc's near-dup CLUSTER representative (exact
+    n-gram-Jaccard pairs → distributed connected components), hashed
+    deterministically into 10 deciles; docs outside any cluster key on
+    themselves.  One bucketed left join folds cluster reps onto the
+    corpus; the split is a pure vectorized map (no RNG state —
+    reproducible and shard-order-independent)."""
+    from .ops.graph import connected_components
+
+    pairs = q_dedup_ngram(sf_dir)
+    labels = connected_components(pairs, src="a", dst="b").map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["vertex"].astype("int64"),
+             "rep": b["component"].astype("int64")})
+        if len(b) else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "rep": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    j = bucketed_hash_join(docs, labels, on="doc_id",
+                           right_cols=["doc_id", "rep"],
+                           num_buckets=16, how="left")
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        rep = pd.to_numeric(b["rep"]).fillna(pd.Series(ids)) \
+            .to_numpy(dtype=np.int64)
+        dec = (rep * 2654435761) % 4294967296 % 10
+        return pd.DataFrame({
+            "doc_id": ids,
+            "split": np.where(dec < test_pct, "test", "train")})
+
+    return j.map_batches(assign, batch_format="pandas")
+
+
+Q_LEAKAGE_SPLIT_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         coalesce(lang, 'und') || ':' || CAST(length(text) // 100 AS VARCHAR)
+           AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, bucket, w[x] || ' ' || w[x+1] || ' ' || w[x+2] AS g
+  FROM (SELECT doc_id, bucket, w, unnest(range(1, len(w) - 1)) AS x FROM d)
+  WHERE len(w) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+  FROM g g1 JOIN g g2 ON g1.g = g2.g AND g1.bucket = g2.bucket
+                      AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id),
+p AS (
+  SELECT a, b
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+verts AS (SELECT DISTINCT u FROM e),
+r AS (
+  SELECT u AS node, u AS label FROM verts
+  UNION
+  SELECT e.v AS node, r.label FROM r JOIN e ON e.u = r.node),
+comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node)
+SELECT dd.doc_id,
+       CASE WHEN (coalesce(c.comp, dd.doc_id) * 2654435761)
+                 % 4294967296 % 10 < 2
+            THEN 'test' ELSE 'train' END AS split
+FROM documents dd LEFT JOIN comp c ON c.node = dd.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7302,6 +7376,7 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "wow_change": q_wow_change,
     "bitmap_overlap": q_bitmap_overlap,
+    "leakage_split": q_leakage_split,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7434,6 +7509,7 @@ ORACLES = {
     "rolling_median": Q_ROLLING_MEDIAN_SQL,
     "wow_change": Q_WOW_CHANGE_SQL,
     "bitmap_overlap": Q_BITMAP_OVERLAP_SQL,
+    "leakage_split": Q_LEAKAGE_SPLIT_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
