@@ -187,6 +187,9 @@ def run_suite(sf_dir: str) -> dict:
     bench("wow_change", lambda: q.q_wow_change(sf_dir))
     bench("bitmap_overlap", lambda: q.q_bitmap_overlap(sf_dir))
     bench("leakage_split", lambda: q.q_leakage_split(sf_dir))
+    bench("interval_sweep", lambda: q.q_interval_sweep(sf_dir))
+    bench("checksums", lambda: q.q_checksums(sf_dir))
+    bench("wilson_rate", lambda: q.q_wilson_rate(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

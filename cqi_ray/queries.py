@@ -7229,6 +7229,206 @@ FROM documents dd LEFT JOIN comp c ON c.node = dd.doc_id
 """
 
 
+def q_interval_sweep(sf_dir: str):
+    """Peak concurrency + union coverage per event type — the two
+    classic interval-sweep aggregates (max simultaneous sessions;
+    total covered wall time with overlaps merged): each event becomes
+    the interval [ts, ts + value seconds]; ONE bucketed shuffle on the
+    type key, then a vectorized delta sweep (sort by (t, delta) — ends
+    free slots before same-instant starts) and an island sweep
+    (shifted running max of ends) per type.  µs-integer arithmetic
+    throughout ⇒ exact oracle parity."""
+    events = _pq(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def iv(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        dur = np.maximum(
+            np.floor(b["value"].to_numpy(dtype=np.float64)).astype(np.int64),
+            1) * 1_000_000
+        return pd.DataFrame({"event_type": b["event_type"], "s": s,
+                             "e": s + dur})
+
+    _OUT = {"event_type": pd.Series(dtype="object"),
+            "peak": pd.Series(dtype="int64"),
+            "covered_us": pd.Series(dtype="int64")}
+
+    def sweep(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        out = {k: [] for k in _OUT}
+        for et, g in bucket.groupby("event_type", sort=False):
+            s = g["s"].to_numpy(dtype=np.int64)
+            e = g["e"].to_numpy(dtype=np.int64)
+            # peak: delta sweep, ends (-1) before starts (+1) at ties
+            t = np.concatenate([s, e])
+            delta = np.concatenate([np.ones(len(s), dtype=np.int64),
+                                    -np.ones(len(e), dtype=np.int64)])
+            order = np.lexsort((delta, t))
+            peak = int(np.cumsum(delta[order]).max())
+            # union coverage: island sweep on (s, e)-sorted intervals
+            o2 = np.lexsort((e, s))
+            ss, ee = s[o2], e[o2]
+            cm = np.maximum.accumulate(ee)
+            new = np.r_[True, ss[1:] > cm[:-1]]
+            starts = np.flatnonzero(new)
+            ends = np.r_[starts[1:], len(ss)] - 1
+            covered = int((cm[ends] - ss[starts]).sum())
+            out["event_type"].append(et)
+            out["peak"].append(peak)
+            out["covered_us"].append(covered)
+        return pd.DataFrame({
+            "event_type": out["event_type"],
+            "peak": np.asarray(out["peak"], dtype=np.int64),
+            "covered_us": np.asarray(out["covered_us"], dtype=np.int64)})
+
+    rows = events.map_batches(iv, batch_format="pandas")
+    return grouped_map_buckets(rows, ["event_type"], sweep,
+                               num_buckets=8, whole_bucket=True)
+
+
+Q_INTERVAL_SWEEP_SQL = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + greatest(CAST(floor(value) AS BIGINT), 1) * 1000000 AS e
+  FROM events),
+d AS (SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL SELECT event_type, e AS t, -1 AS delta FROM iv),
+r AS (SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d),
+p AS (SELECT event_type, max(run) AS peak FROM r GROUP BY event_type),
+m AS (SELECT event_type, s, e,
+             max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv),
+isl AS (SELECT event_type, s, e,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY event_type ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS gid
+        FROM m),
+c AS (SELECT event_type, gid, max(e) - min(s) AS len
+      FROM isl GROUP BY event_type, gid),
+cov AS (SELECT event_type, sum(len) AS covered_us
+        FROM c GROUP BY event_type)
+SELECT p.event_type, CAST(p.peak AS BIGINT) AS peak,
+       CAST(cov.covered_us AS BIGINT) AS covered_us
+FROM p JOIN cov USING (event_type)
+"""
+
+
+def q_checksums(sf_dir: str, buckets: int = 64):
+    """Reconciliation checksums — the table-diff/anti-entropy audit: per
+    hash bucket of orders, (row count, Σ cents, XOR of row hashes).
+    Two replicas compare these O(buckets) rows instead of the table;
+    a mismatched bucket localizes the divergence (merkle-style drill-
+    down doubles `buckets`).  XOR and Σ are order-independent, so block
+    partials fold through ONE bucketed reduce with no ordering
+    requirements at all — the cheapest possible integrity scan."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(dtype=np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        h = ((k * 2654435761) % 4294967296) ^ (cents & 4294967295)
+        bk = (k * 40503) % buckets
+        g = pd.DataFrame({"bucket": bk, "n": np.int64(1), "s_cents": cents,
+                          "x": h})
+        agg = g.groupby("bucket", as_index=False, sort=False).agg(
+            n=("n", "sum"), s_cents=("s_cents", "sum"),
+            x=("x", lambda v: np.bitwise_xor.reduce(v.to_numpy())))
+        return agg
+
+    def reduce_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "s_cents": pd.Series(dtype="int64"),
+                                 "x": pd.Series(dtype="int64")})
+        g = bucket.groupby("bucket", as_index=False, sort=False).agg(
+            n=("n", "sum"), s_cents=("s_cents", "sum"),
+            x=("x", lambda v: np.bitwise_xor.reduce(v.to_numpy())))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = orders.map_batches(partial, batch_format="pandas")
+    return grouped_map_buckets(parts, ["bucket"], reduce_bucket,
+                               num_buckets=8, whole_bucket=True)
+
+
+Q_CHECKSUMS_SQL = """
+WITH c AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT (k * 40503) % 64 AS bucket, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS s_cents,
+       bit_xor(xor((k * 2654435761) % 4294967296, cents & 4294967295))
+         AS x
+FROM c GROUP BY 1
+"""
+
+
+def q_wilson_rate(sf_dir: str, thresh: float = 50.0, z: float = 1.96):
+    """Conversion rate per event type with a WILSON score lower bound —
+    the small-sample-honest metric (a 3/3 segment should not beat a
+    970/1000 one): success = value ≥ threshold; integer (succ, n)
+    counts fold through ONE bucketed sum; the interval is a pinned
+    sequence of double ops on those exact integers, bit-identical on
+    both engines."""
+    events = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": b["event_type"],
+            "succ": (b["value"].to_numpy(dtype=np.float64) >= thresh)
+            .astype(np.int64),
+            "n": np.int64(1)})
+        return g.groupby("event_type", as_index=False, sort=False).sum()
+
+    agg = partial_then_global_sum(
+        events.map_batches(partial, batch_format="pandas"),
+        keys=["event_type"], sums={"succ": "succ", "n": "n"},
+        num_buckets=4)
+
+    def wilson(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["succ"].to_numpy(dtype=np.float64)
+        n = b["n"].to_numpy(dtype=np.float64)
+        p = s / n
+        z2 = z * z
+        lo = (p + z2 / (2.0 * n)
+              - z * np.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) \
+            / (1.0 + z2 / n)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "succ": b["succ"].astype("int64"),
+                             "n": b["n"].astype("int64"),
+                             "rate": p, "wilson_lo": lo})
+
+    return agg.map_batches(wilson, batch_format="pandas")
+
+
+Q_WILSON_RATE_SQL = """
+WITH a AS (
+  SELECT event_type,
+         sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS succ,
+         count(*) AS n
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(succ AS BIGINT) AS succ, n,
+       CAST(succ AS DOUBLE) / n AS rate,
+       (CAST(succ AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n)
+        - 1.96 * sqrt((CAST(succ AS DOUBLE) / n)
+                      * (1.0 - CAST(succ AS DOUBLE) / n) / n
+                      + (1.96 * 1.96) / (4.0 * n * n)))
+       / (1.0 + (1.96 * 1.96) / n) AS wilson_lo
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7377,6 +7577,9 @@ QUERIES = {
     "wow_change": q_wow_change,
     "bitmap_overlap": q_bitmap_overlap,
     "leakage_split": q_leakage_split,
+    "interval_sweep": q_interval_sweep,
+    "checksums": q_checksums,
+    "wilson_rate": q_wilson_rate,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7510,6 +7713,9 @@ ORACLES = {
     "wow_change": Q_WOW_CHANGE_SQL,
     "bitmap_overlap": Q_BITMAP_OVERLAP_SQL,
     "leakage_split": Q_LEAKAGE_SPLIT_SQL,
+    "interval_sweep": Q_INTERVAL_SWEEP_SQL,
+    "checksums": Q_CHECKSUMS_SQL,
+    "wilson_rate": Q_WILSON_RATE_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
