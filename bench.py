@@ -190,6 +190,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("interval_sweep", lambda: q.q_interval_sweep(sf_dir))
     bench("checksums", lambda: q.q_checksums(sf_dir))
     bench("wilson_rate", lambda: q.q_wilson_rate(sf_dir))
+    bench("proximity_raster", lambda: q.q_proximity_raster(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -7429,6 +7429,65 @@ FROM a
 """
 
 
+def q_proximity_raster(sf_dir: str, radius: int = 3):
+    """Bounded distance transform over the occupancy grid — the
+    proximity raster of geofencing/buffer analysis: for every cell
+    within Chebyshev distance `radius` of an occupied cell, the EXACT
+    distance to the nearest one.  Each occupied cell fans out to its
+    (2r+1)² neighborhood tagged with the distance (a combiner dedups
+    per block), ONE bucketed min-reduce per target cell — the same
+    shape as a raster buffer burn, communication O(occupied · r²),
+    never O(grid).  All-integer."""
+    events = _pq(sf_dir, "events", columns=["event_id"])
+    offs = [(dx, dy) for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)]
+
+    def fan(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        ix = np.unique(((ids * 48271) % 65537) % 256 * 256
+                       + ((ids * 16807) % 65537) % 256)
+        x, y = ix // 256, ix % 256
+        frames = []
+        for dx, dy in offs:
+            nx, ny = x + dx, y + dy
+            m = (nx >= 0) & (nx < 256) & (ny >= 0) & (ny < 256)
+            frames.append(pd.DataFrame({
+                "cell": nx[m] * 256 + ny[m],
+                "dist": np.int64(max(abs(dx), abs(dy)))}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby("cell", as_index=False, sort=False)["dist"] \
+            .min()  # block combiner
+
+    _OUT = {"cell": pd.Series(dtype="int64"),
+            "dist": pd.Series(dtype="int64")}
+
+    def min_reduce(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        g = bucket.groupby("cell", as_index=False, sort=False)["dist"].min()
+        return g.astype("int64")
+
+    rows = events.map_batches(fan, batch_format="pandas")
+    return grouped_map_buckets(rows, ["cell"], min_reduce,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_PROXIMITY_RASTER_SQL = """
+WITH occ AS (
+  SELECT DISTINCT ((event_id * 48271) % 65537) % 256 AS x,
+                  ((event_id * 16807) % 65537) % 256 AS y
+  FROM events),
+off AS (SELECT a.o AS dx, b.o AS dy
+        FROM (SELECT unnest(range(-3, 4)) AS o) a
+        CROSS JOIN (SELECT unnest(range(-3, 4)) AS o) b)
+SELECT (x + dx) * 256 + (y + dy) AS cell,
+       CAST(min(greatest(abs(dx), abs(dy))) AS BIGINT) AS dist
+FROM occ CROSS JOIN off
+WHERE x + dx BETWEEN 0 AND 255 AND y + dy BETWEEN 0 AND 255
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7580,6 +7639,7 @@ QUERIES = {
     "interval_sweep": q_interval_sweep,
     "checksums": q_checksums,
     "wilson_rate": q_wilson_rate,
+    "proximity_raster": q_proximity_raster,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7716,6 +7776,7 @@ ORACLES = {
     "interval_sweep": Q_INTERVAL_SWEEP_SQL,
     "checksums": Q_CHECKSUMS_SQL,
     "wilson_rate": Q_WILSON_RATE_SQL,
+    "proximity_raster": Q_PROXIMITY_RASTER_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
