@@ -191,6 +191,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("checksums", lambda: q.q_checksums(sf_dir))
     bench("wilson_rate", lambda: q.q_wilson_rate(sf_dir))
     bench("proximity_raster", lambda: q.q_proximity_raster(sf_dir))
+    bench("collocations", lambda: q.q_collocations(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

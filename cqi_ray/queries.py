@@ -3464,8 +3464,8 @@ def q_json_extract(sf_dir: str):
 
 Q_JSON_EXTRACT_SQL = """
 SELECT event_type,
-       sum(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), '0')
-                AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1),
+                              '0') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -7488,6 +7488,98 @@ GROUP BY 1
 """
 
 
+def q_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Collocation extraction — bigram PMI against unigram expectation,
+    the phrase-mining step before tokenizer/vocab updates: bigram and
+    unigram counts reduce through bucketed sums (block Counters as
+    combiners); the bounded unigram table broadcasts (cap top-K at web
+    scale); candidates below min_count drop before scoring.  The PMI
+    argument x = n_ab·Nu²/(Nb·n_a·n_b) is computed in a pinned double-
+    op order from exact integer counts, so the top-k RANKING (by x ≡ by
+    PMI, monotone) is engine-identical; only the displayed ln rounds."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+
+    def bg_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            w = t.split()
+            c.update(zip(w, w[1:]))
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "a": [x[0] for x in ks], "b": [x[1] for x in ks],
+            "n_ab": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    def uni_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(t.split())
+        return pd.DataFrame({
+            "u": list(c.keys()),
+            "c": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    bg = partial_then_global_sum(
+        docs.map_batches(bg_counts, batch_format="pandas"),
+        keys=["a", "b"], sums={"n_ab": "n_ab"}, num_buckets=16) \
+        .materialize()
+    uni = partial_then_global_sum(
+        docs.map_batches(uni_counts, batch_format="pandas"),
+        keys=["u"], sums={"c": "c"}, num_buckets=16).to_pandas()
+    nu = float(uni["c"].sum())
+    nb_total = bg.map_batches(
+        lambda t: pd.DataFrame({"s": [t["n_ab"].sum()]}),
+        batch_format="pandas").to_pandas()["s"].sum()
+    nb = float(nb_total)
+    umap = dict(zip(uni["u"], uni["c"].astype(float)))
+    ref = ray.put((umap, nu, nb))
+
+    _OUT = {"bigram": pd.Series(dtype="object"),
+            "n_ab": pd.Series(dtype="int64"),
+            "x": pd.Series(dtype="float64")}
+
+    def score_head(t: pd.DataFrame) -> pd.DataFrame:
+        t = t[t["n_ab"] >= min_count]
+        if not len(t):
+            return pd.DataFrame(_OUT)
+        um, nu_, nb_ = ray.get(ref)
+        n_ab = t["n_ab"].to_numpy(dtype=np.float64)
+        ca = t["a"].map(um).to_numpy(dtype=np.float64)
+        cb = t["b"].map(um).to_numpy(dtype=np.float64)
+        x = (n_ab * nu_ * nu_) / (nb_ * ca * cb)
+        out = pd.DataFrame({"bigram": t["a"] + " " + t["b"],
+                            "n_ab": t["n_ab"].astype("int64"), "x": x})
+        return out.sort_values(["x", "bigram"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    cand = bg.map_batches(score_head, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["x", "bigram"], ascending=[False, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    top["pmi"] = np.round(np.log(top["x"].to_numpy()), 6)
+    return top[["bigram", "n_ab", "pmi"]]
+
+
+Q_COLLOCATIONS_SQL = """
+WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+           FROM documents WHERE trim(text) <> ''),
+uni AS (SELECT unnest(w) AS u FROM t),
+nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+cu AS (SELECT u, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY u),
+bg AS (SELECT w[x] AS a, w[x + 1] AS b
+       FROM (SELECT w, unnest(range(1, len(w))) AS x FROM t)),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg),
+cb AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b
+       HAVING count(*) >= 5),
+s AS (SELECT a || ' ' || b AS bigram, n_ab,
+             (CAST(n_ab AS DOUBLE) * nu.nu * nu.nu)
+               / (nb.nb * ca.c * cb2.c) AS x
+      FROM cb CROSS JOIN nu CROSS JOIN nb
+      JOIN cu ca ON ca.u = a JOIN cu cb2 ON cb2.u = b)
+SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab, round(ln(x), 6) AS pmi
+FROM s ORDER BY x DESC, bigram LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7640,6 +7732,7 @@ QUERIES = {
     "checksums": q_checksums,
     "wilson_rate": q_wilson_rate,
     "proximity_raster": q_proximity_raster,
+    "collocations": q_collocations,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7777,6 +7870,7 @@ ORACLES = {
     "checksums": Q_CHECKSUMS_SQL,
     "wilson_rate": Q_WILSON_RATE_SQL,
     "proximity_raster": Q_PROXIMITY_RASTER_SQL,
+    "collocations": Q_COLLOCATIONS_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
