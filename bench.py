@@ -192,6 +192,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("wilson_rate", lambda: q.q_wilson_rate(sf_dir))
     bench("proximity_raster", lambda: q.q_proximity_raster(sf_dir))
     bench("collocations", lambda: q.q_collocations(sf_dir))
+    bench("join5_revenue", lambda: q.q_join5_revenue(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

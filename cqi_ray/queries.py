@@ -7580,6 +7580,106 @@ FROM s ORDER BY x DESC, bigram LIMIT 20
 """
 
 
+def q_join5_revenue(sf_dir: str, region: str = "ASIA"):
+    """TPC-H-Q5-shaped FIVE-table pipeline (region → nation → customer
+    ⨝ orders ⨝ lineitem ⨝ supplier, local-supplier condition
+    c_nationkey = s_nationkey): each join takes its scale-correct
+    physical form — the three dimension tables broadcast once (region-
+    filtered nation keys, supplier→nation map), the two fact joins are
+    bucketed hash joins on o_custkey and l_orderkey, and revenue
+    pre-aggregates per block before ONE tiny bucketed sum.  Exactness:
+    revenue = Σ cents·(100−disc%) is INTEGER (2-decimal money), one
+    final division — engine-identical with no rounding games."""
+    nation = _pq(sf_dir, "nation").to_pandas()
+    regionp = _pq(sf_dir, "region").to_pandas()
+    rkey = regionp.loc[regionp["r_name"] == region, "r_regionkey"].iloc[0]
+    nat = nation[nation["n_regionkey"] == rkey]
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _pq(sf_dir, "supplier",
+               columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = dict(zip(supp["s_suppkey"].astype(int),
+                    supp["s_nationkey"].astype(int)))
+    ref = ray.put((nmap, smap))
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_in_region(b: pd.DataFrame) -> pd.DataFrame:
+        nm, _ = ray.get(ref)
+        m = b["c_nationkey"].astype("int64").isin(nm)
+        out = b.loc[m, ["c_custkey", "c_nationkey"]].copy()
+        out["c_custkey"] = out["c_custkey"].astype("int64")
+        out["c_nationkey"] = out["c_nationkey"].astype("int64")
+        return out
+
+    cust_r = cust.map_batches(cust_in_region, batch_format="pandas")
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "c_custkey": b["o_custkey"].astype("int64")}),
+            batch_format="pandas")
+    oj = bucketed_hash_join(orders, cust_r, on="c_custkey",
+                            right_cols=["c_custkey", "c_nationkey"],
+                            num_buckets=16,
+                            restore_dtypes={"o_orderkey": "int64"})
+    oj = oj.map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["o_orderkey"].astype("int64"),
+            "c_nationkey": b["c_nationkey"].astype("int64")}),
+        batch_format="pandas")
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+    lj = bucketed_hash_join(li, oj, on="l_orderkey",
+                            right_cols=["l_orderkey", "c_nationkey"],
+                            num_buckets=16,
+                            restore_dtypes={"l_suppkey": "int64"})
+
+    def revenue_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nm, sm = ray.get(ref)
+        snat = b["l_suppkey"].astype("int64").map(sm)
+        m = snat.to_numpy() == b["c_nationkey"].to_numpy(dtype=np.int64)
+        if not m.any():
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "rev_c": pd.Series(dtype="int64")})
+        g = b.loc[m]
+        cents = np.round(g["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        disc = np.round(g["l_discount"].to_numpy(np.float64)
+                        * 100.0).astype(np.int64)
+        part = pd.DataFrame({
+            "n_name": g["c_nationkey"].astype("int64").map(nm),
+            "rev_c": cents * (100 - disc)})
+        return part.groupby("n_name", as_index=False, sort=False).sum()
+
+    agg = partial_then_global_sum(
+        lj.map_batches(revenue_partial, batch_format="pandas"),
+        keys=["n_name"], sums={"rev_c": "rev_c"}, num_buckets=4)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": b["n_name"],
+            "revenue": b["rev_c"].to_numpy(dtype=np.float64) / 10000.0})
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+Q_JOIN5_REVENUE_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7733,6 +7833,7 @@ QUERIES = {
     "wilson_rate": q_wilson_rate,
     "proximity_raster": q_proximity_raster,
     "collocations": q_collocations,
+    "join5_revenue": q_join5_revenue,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7871,6 +7972,7 @@ ORACLES = {
     "wilson_rate": Q_WILSON_RATE_SQL,
     "proximity_raster": Q_PROXIMITY_RASTER_SQL,
     "collocations": Q_COLLOCATIONS_SQL,
+    "join5_revenue": Q_JOIN5_REVENUE_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
