@@ -193,6 +193,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("proximity_raster", lambda: q.q_proximity_raster(sf_dir))
     bench("collocations", lambda: q.q_collocations(sf_dir))
     bench("join5_revenue", lambda: q.q_join5_revenue(sf_dir))
+    bench("sssp", lambda: q.q_sssp(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -7680,6 +7680,86 @@ GROUP BY n_name
 """
 
 
+def q_sssp(sf_dir: str, max_hops: int = 3):
+    """WEIGHTED single-source shortest paths (Bellman-Ford waves,
+    paths bounded to max_hops edges) over the part co-purchase graph
+    with deterministic integer edge weights 1 + (u⊕v) mod 7 — the
+    routing/cost-propagation shape BFS hop counts can't express.  Same
+    pinned-block raw-task plan as q_bfs_hops: edge blocks prep once
+    into symmetric (u, v, w) index arrays, each relaxation round
+    broadcasts the O(nodes) distance vector and every task returns its
+    local per-node min — communication O(rounds × blocks × nodes),
+    integer-exact."""
+    from .runtime import materialized_block_refs
+
+    INF = np.int64(1) << 62
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def _node_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(dtype=np.int64),
+             b["b"].to_numpy(dtype=np.int64)])})
+
+    nodes = distinct_rows(edges.map_batches(_node_col,
+                                            batch_format="pandas"),
+                          ["node"], num_buckets=8)
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+    n = len(node_arr)
+    nref = ray.put(node_arr)
+
+    @ray.remote
+    def _prep(block, narr):
+        b = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(b):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        av = b["a"].to_numpy(dtype=np.int64)
+        bv = b["b"].to_numpy(dtype=np.int64)
+        w = 1 + (np.bitwise_xor(av, bv) % 7)
+        ai = np.searchsorted(narr, av)
+        bi = np.searchsorted(narr, bv)
+        return (np.concatenate([ai, bi]).astype(np.int64),
+                np.concatenate([bi, ai]).astype(np.int64),
+                np.concatenate([w, w]).astype(np.int64))
+
+    @ray.remote
+    def _relax(prep, dref, inf):
+        u, v, w = prep
+        dist = dref
+        cand = dist[u] + w
+        m = dist[u] < inf
+        out = np.full(len(dist), inf, dtype=np.int64)
+        np.minimum.at(out, v[m], cand[m])
+        return out
+
+    preps = [_prep.remote(r, nref) for r in materialized_block_refs(edges)]
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[0] = 0  # source = smallest node (node_arr sorted)
+    for _ in range(max_hops):
+        dref = ray.put(dist)
+        mins = ray.get([_relax.remote(p, dref, INF) for p in preps])
+        for m in mins:
+            np.minimum(dist, m, out=dist)
+    reach = dist < INF
+    return pd.DataFrame({"node": node_arr[reach], "dist": dist[reach]})
+
+
+Q_SSSP_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey),
+e AS (SELECT u, v, 1 + xor(u, v) % 7 AS w FROM pairs
+      UNION ALL SELECT v AS u, u AS v, 1 + xor(u, v) % 7 AS w FROM pairs),
+walk AS (
+  SELECT (SELECT min(u) FROM e) AS node, 0 AS d, 0 AS hops
+  UNION ALL
+  SELECT e.v AS node, w2.d + e.w AS d, w2.hops + 1 AS hops
+  FROM walk w2 JOIN e ON e.u = w2.node WHERE w2.hops < 3)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7834,6 +7914,7 @@ QUERIES = {
     "proximity_raster": q_proximity_raster,
     "collocations": q_collocations,
     "join5_revenue": q_join5_revenue,
+    "sssp": q_sssp,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -7973,6 +8054,7 @@ ORACLES = {
     "proximity_raster": Q_PROXIMITY_RASTER_SQL,
     "collocations": Q_COLLOCATIONS_SQL,
     "join5_revenue": Q_JOIN5_REVENUE_SQL,
+    "sssp": Q_SSSP_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
