@@ -7760,6 +7760,55 @@ SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """
 
 
+def q_home_cell(sf_dir: str):
+    """Home-location inference — the most-visited grid cell per user
+    (ties → smallest cell id), the anchor-point primitive of trajectory
+    analytics: ONE bucketed shuffle on user_id; visit counts and the
+    argmax both resolve inside the bucket (sort by (user, -n, cell),
+    first row per user), so no second exchange exists.  All-integer."""
+    events = _pq(sf_dir, "events", columns=["event_id", "user_id"])
+
+    _OUT = {"user_id": pd.Series(dtype="int64"),
+            "home_cell": pd.Series(dtype="int64"),
+            "n_visits": pd.Series(dtype="int64")}
+
+    def home(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        ids = bucket["event_id"].to_numpy(dtype=np.int64)
+        cell = (((ids * 48271) % 65537) % 256) * 256 \
+            + ((ids * 16807) % 65537) % 256
+        g = pd.DataFrame({"user_id": bucket["user_id"]
+                          .to_numpy(dtype=np.int64), "cell": cell}) \
+            .groupby(["user_id", "cell"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+        g = g.sort_values(["user_id", "n", "cell"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("user_id", as_index=False, sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "home_cell": top["cell"].astype("int64"),
+            "n_visits": top["n"].astype("int64")})
+
+    return grouped_map_buckets(events, ["user_id"], home,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_HOME_CELL_SQL = """
+WITH c AS (
+  SELECT user_id,
+         (((event_id * 48271) % 65537) % 256) * 256
+           + ((event_id * 16807) % 65537) % 256 AS cell
+  FROM events),
+g AS (SELECT user_id, cell, count(*) AS n FROM c GROUP BY 1, 2)
+SELECT user_id, cell AS home_cell, n AS n_visits
+FROM (SELECT user_id, cell, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, cell) AS rn
+      FROM g) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7915,6 +7964,7 @@ QUERIES = {
     "collocations": q_collocations,
     "join5_revenue": q_join5_revenue,
     "sssp": q_sssp,
+    "home_cell": q_home_cell,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8055,6 +8105,7 @@ ORACLES = {
     "collocations": Q_COLLOCATIONS_SQL,
     "join5_revenue": Q_JOIN5_REVENUE_SQL,
     "sssp": Q_SSSP_SQL,
+    "home_cell": Q_HOME_CELL_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
