@@ -6135,18 +6135,17 @@ def q_target_encode(sf_dir: str):
         orders.map_batches(cents_partial, batch_format="pandas"),
         keys=["o_orderpriority"], sums={"s_cents": "s_cents", "n": "n"},
         num_buckets=4).to_pandas()
-    smap = dict(zip(stats["o_orderpriority"],
-                    zip(stats["s_cents"].astype(np.int64),
-                        stats["n"].astype(np.int64))))
-    ref = ray.put(smap)
+    stats["s_cents"] = stats["s_cents"].astype("int64")
+    stats["n"] = stats["n"].astype("int64")
+    ref = ray.put(stats)
 
     def encode(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
         y = np.round(b["o_totalprice"].to_numpy(dtype=np.float64) * 100.0) \
             .astype(np.int64)
-        sn = b["o_orderpriority"].map(m)
-        s = np.fromiter((x[0] for x in sn), dtype=np.int64, count=len(sn))
-        n = np.fromiter((x[1] for x in sn), dtype=np.int64, count=len(sn))
+        m = b[["o_orderpriority"]].merge(ray.get(ref), on="o_orderpriority",
+                                         how="left")
+        s = m["s_cents"].to_numpy(dtype=np.int64)
+        n = m["n"].to_numpy(dtype=np.int64)
         enc = np.where(n <= 1, 0.0,
                        (s - y).astype(np.float64)
                        / np.maximum(n - 1, 1).astype(np.float64) / 100.0)
