@@ -195,6 +195,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("join5_revenue", lambda: q.q_join5_revenue(sf_dir))
     bench("sssp", lambda: q.q_sssp(sf_dir))
     bench("home_cell", lambda: q.q_home_cell(sf_dir))
+    bench("embed_dims", lambda: q.q_embed_dims(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -7808,6 +7808,53 @@ FROM (SELECT user_id, cell, n,
 """
 
 
+def q_embed_dims(sf_dir: str):
+    """Per-dimension embedding statistics (mean/variance per coordinate)
+    — the embedding-health/drift check run before indexing a vector
+    corpus (dead dims, scale skew): each block reduces its (dim, Σx,
+    Σx², n) partials with one matrix op, ONE bucketed sum merges the
+    64-row partials, the moments close over exact-widened doubles
+    (float32 → float64 before any arithmetic, matching the oracle's
+    CAST) in a pinned op order."""
+    emb = _pq(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "dim": np.arange(1, x.shape[1] + 1, dtype=np.int64),
+            "sx": x.sum(axis=0), "sxx": (x * x).sum(axis=0),
+            "n": np.full(x.shape[1], len(x), dtype=np.int64)})
+
+    m = partial_then_global_sum(
+        emb.map_batches(partial, batch_format="pandas"),
+        keys=["dim"], sums={"sx": "sx", "sxx": "sxx", "n": "n"},
+        num_buckets=4)
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        sx = b["sx"].to_numpy(dtype=np.float64)
+        sxx = b["sxx"].to_numpy(dtype=np.float64)
+        n = b["n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "dim": b["dim"].astype("int64"),
+            "n": b["n"].astype("int64"),
+            "mean": np.round(sx / n, 6),
+            "var": np.round((sxx - sx * sx / n) / n, 6)})
+
+    return m.map_batches(close, batch_format="pandas")
+
+
+Q_EMBED_DIMS_SQL = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+v AS (SELECT d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN dims)
+SELECT d AS dim, count(*) AS n,
+       round(sum(x) / count(*), 6) AS mean,
+       round((sum(x * x) - sum(x) * sum(x) / count(*)) / count(*), 6)
+         AS var
+FROM v GROUP BY d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7964,6 +8011,7 @@ QUERIES = {
     "join5_revenue": q_join5_revenue,
     "sssp": q_sssp,
     "home_cell": q_home_cell,
+    "embed_dims": q_embed_dims,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8105,6 +8153,7 @@ ORACLES = {
     "join5_revenue": Q_JOIN5_REVENUE_SQL,
     "sssp": Q_SSSP_SQL,
     "home_cell": Q_HOME_CELL_SQL,
+    "embed_dims": Q_EMBED_DIMS_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
