@@ -196,6 +196,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("sssp", lambda: q.q_sssp(sf_dir))
     bench("home_cell", lambda: q.q_home_cell(sf_dir))
     bench("embed_dims", lambda: q.q_embed_dims(sf_dir))
+    bench("clustering_coeff", lambda: q.q_clustering_coeff(sf_dir))
+    bench("zipf_fit", lambda: q.q_zipf_fit(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

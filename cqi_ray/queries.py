@@ -7855,6 +7855,149 @@ FROM v GROUP BY d
 """
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node (2·triangles/deg(deg−1))
+    over the co-purchase graph — the community-structure signal that
+    global triangle counts hide.  Same broadcast plan as the
+    shuffle-free triangle counter: the oriented CSR (u < v edges) and
+    the sorted edge-id array broadcast once, raw tasks take node
+    chunks, expand each node's neighbor pairs with grouped_all_pairs,
+    test closure by binary search and return per-node partial counts —
+    O(wedges) work split across tasks, O(nodes) bytes back.  Integer
+    counts + one pinned division ⇒ exact."""
+    from .ops.graph import grouped_all_pairs
+
+    edges = _copurchase_edges(sf_dir).to_pandas()
+    u = edges["a"].to_numpy(dtype=np.int64)
+    v = edges["b"].to_numpy(dtype=np.int64)
+    node_arr = np.unique(np.concatenate([u, v]))
+    n = len(node_arr)
+    m_stride = np.int64(node_arr.max()) + 1
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    heads = us[starts]
+    sizes = np.diff(np.r_[starts, len(us)])
+    eid = np.sort(u * m_stride + v)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, np.searchsorted(node_arr, u), 1)
+    np.add.at(deg, np.searchsorted(node_arr, v), 1)
+    ref = ray.put((node_arr, heads, starts, sizes, vs, eid, m_stride, n))
+
+    @ray.remote
+    def count_chunk(lo: int, hi: int):
+        narr, hd, st, sz, nb, eids, stride, nn = ray.get(ref)
+        cnt = np.zeros(nn, dtype=np.int64)
+        sel = slice(lo, hi)
+        if not len(hd[sel]):
+            return cnt
+        # expand neighbor pairs of every head node in the chunk at once
+        i, j = grouped_all_pairs(sz[sel])
+        if not len(i):
+            return cnt
+        off = st[sel][0]  # chunk's groups are contiguous in nb
+        b = nb[off + i]
+        c = nb[off + j]
+        lohi = np.minimum(b, c) * stride + np.maximum(b, c)
+        pos = np.searchsorted(eids, lohi)
+        pos[pos >= len(eids)] = len(eids) - 1
+        closed = eids[pos] == lohi
+        a = np.repeat(hd[sel], sz[sel] * (sz[sel] - 1) // 2)[closed]
+        np.add.at(cnt, np.searchsorted(narr, a), 1)
+        np.add.at(cnt, np.searchsorted(narr, b[closed]), 1)
+        np.add.at(cnt, np.searchsorted(narr, c[closed]), 1)
+        return cnt
+
+    chunks = np.linspace(0, len(heads), 17).astype(int)
+    tri = np.zeros(n, dtype=np.int64)
+    for part in ray.get([count_chunk.remote(int(a), int(b))
+                         for a, b in zip(chunks[:-1], chunks[1:])]):
+        tri += part
+    coeff = np.where(deg < 2, 0.0,
+                     2.0 * tri / (deg.astype(np.float64)
+                                  * np.maximum(deg - 1, 1)))
+    return pd.DataFrame({"node": node_arr, "triangles": tri, "deg": deg,
+                         "coeff": coeff})
+
+
+Q_CLUSTERING_COEFF_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM pairs
+          UNION ALL SELECT v AS node FROM pairs) GROUP BY node),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+pn AS (SELECT node, count(*) AS t FROM (
+         SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+         UNION ALL SELECT c AS node FROM tri) GROUP BY node)
+SELECT d.node, coalesce(pn.t, 0) AS triangles, d.deg,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE 2.0 * coalesce(pn.t, 0)
+                 / (CAST(d.deg AS DOUBLE) * (d.deg - 1)) END AS coeff
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+"""
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law fit of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) — the one-number sanity check that a corpus is
+    natural-language-shaped (slope ≈ −1) rather than boilerplate or
+    noise.  Token counts reduce through ONE bucketed sum into the
+    bounded vocab table; ranking + the moment fit close on the driver.
+    Deterministic rank ties (count desc, token asc)."""
+    from collections import Counter
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(t.split())
+        return pd.DataFrame({
+            "token": list(c.keys()),
+            "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    counts = partial_then_global_sum(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        keys=["token"], sums={"n": "n"}, num_buckets=16).to_pandas() \
+        .sort_values(["n", "token"], ascending=[False, True],
+                     kind="mergesort").reset_index(drop=True)
+    x = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
+    y = np.log(counts["n"].to_numpy(dtype=np.float64))
+    nn = float(len(counts))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nn
+    return pd.DataFrame({"n_types": [np.int64(len(counts))],
+                         "slope": [round(slope, 6)],
+                         "intercept": [round(intercept, 6)]})
+
+
+Q_ZIPF_FIT_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+                     AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM c),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS nn, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r)
+SELECT CAST(nn AS BIGINT) AS n_types,
+       round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) AS slope,
+       round((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn,
+             6) AS intercept
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8012,6 +8155,8 @@ QUERIES = {
     "sssp": q_sssp,
     "home_cell": q_home_cell,
     "embed_dims": q_embed_dims,
+    "clustering_coeff": q_clustering_coeff,
+    "zipf_fit": q_zipf_fit,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8154,6 +8299,8 @@ ORACLES = {
     "sssp": Q_SSSP_SQL,
     "home_cell": Q_HOME_CELL_SQL,
     "embed_dims": Q_EMBED_DIMS_SQL,
+    "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
+    "zipf_fit": Q_ZIPF_FIT_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
