@@ -7873,15 +7873,25 @@ def q_clustering_coeff(sf_dir: str):
     node_arr = np.unique(np.concatenate([u, v]))
     n = len(node_arr)
     m_stride = np.int64(node_arr.max()) + 1
-    order = np.argsort(u, kind="stable")
-    us, vs = u[order], v[order]
-    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
-    heads = us[starts]
-    sizes = np.diff(np.r_[starts, len(us)])
-    eid = np.sort(u * m_stride + v)
+    eid = np.sort(u * m_stride + v)  # undirected canonical ids
     deg = np.zeros(n, dtype=np.int64)
     np.add.at(deg, np.searchsorted(node_arr, u), 1)
     np.add.at(deg, np.searchsorted(node_arr, v), 1)
+    # orient low-(deg, id) -> high-(deg, id): total order bounds the
+    # out-degree by O(sqrt(m)), so wedge work stays near-linear (the
+    # u < v orientation measured 25 s at sf0.1; this plan ~ its sf0.01
+    # cost) — each triangle then has exactly ONE node with two
+    # out-edges, so closures count each triangle once
+    du = deg[np.searchsorted(node_arr, u)]
+    dv = deg[np.searchsorted(node_arr, v)]
+    fwd = (du < dv) | ((du == dv) & (u < v))
+    ou = np.where(fwd, u, v)
+    ov = np.where(fwd, v, u)
+    order = np.argsort(ou, kind="stable")
+    us, vs = ou[order], ov[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    heads = us[starts]
+    sizes = np.diff(np.r_[starts, len(us)])
     ref = ray.put((node_arr, heads, starts, sizes, vs, eid, m_stride, n))
 
     @ray.remote
@@ -7908,10 +7918,17 @@ def q_clustering_coeff(sf_dir: str):
         np.add.at(cnt, np.searchsorted(narr, c[closed]), 1)
         return cnt
 
-    chunks = np.linspace(0, len(heads), 17).astype(int)
+    # wedge-balanced chunking: equal PAIR work per task (head-count
+    # splits leave stragglers when hubs cluster), 64 small tasks keep
+    # per-task temporaries cache-friendly under 32-way concurrency
+    wed = np.cumsum(sizes * (sizes - 1) // 2)
+    total_w = int(wed[-1]) if len(wed) else 0
+    bounds = np.searchsorted(wed, np.linspace(0, total_w, 65))
+    bounds[0], bounds[-1] = 0, len(heads)
     tri = np.zeros(n, dtype=np.int64)
-    for part in ray.get([count_chunk.remote(int(a), int(b))
-                         for a, b in zip(chunks[:-1], chunks[1:])]):
+    futs = [count_chunk.remote(int(a), int(b))
+            for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    for part in ray.get(futs):
         tri += part
     coeff = np.where(deg < 2, 0.0,
                      2.0 * tri / (deg.astype(np.float64)
