@@ -198,6 +198,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("embed_dims", lambda: q.q_embed_dims(sf_dir))
     bench("clustering_coeff", lambda: q.q_clustering_coeff(sf_dir))
     bench("zipf_fit", lambda: q.q_zipf_fit(sf_dir))
+    bench("robust_scale", lambda: q.q_robust_scale(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

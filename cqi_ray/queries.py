@@ -8015,6 +8015,68 @@ FROM m
 """
 
 
+def q_robust_scale(sf_dir: str):
+    """Robust scaling per group — (x − median)/IQR, the outlier-immune
+    normalization that mean/std z-scores get wrong on heavy tails:
+    pass 1 computes per-type (q1, med, q3) with the DISCRETE quantile
+    (numpy inverted_cdf ≡ quantile_disc — element-picking, zero
+    interpolation drift) in one bucketed shuffle; the tiny quantile
+    table broadcasts and pass 2 is a vectorized map.  Median/IQR are
+    exact input values, the scale is one pinned subtract+divide ⇒
+    engine-exact; zero-IQR groups emit 0."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "event_type", "value"])
+
+    _QOUT = {"event_type": pd.Series(dtype="object"),
+             "q1": pd.Series(dtype="float64"),
+             "med": pd.Series(dtype="float64"),
+             "q3": pd.Series(dtype="float64")}
+
+    def quants(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_QOUT)
+        out = {k: [] for k in _QOUT}
+        for et, g in bucket.groupby("event_type", sort=True):
+            q1, med, q3 = np.quantile(g["value"].to_numpy(),
+                                      [0.25, 0.5, 0.75],
+                                      method="inverted_cdf")
+            out["event_type"].append(et)
+            out["q1"].append(float(q1))
+            out["med"].append(float(med))
+            out["q3"].append(float(q3))
+        return pd.DataFrame(out)
+
+    qt = grouped_map_buckets(events, ["event_type"], quants,
+                             num_buckets=8, whole_bucket=True).to_pandas()
+    ref = ray.put(qt)
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(ray.get(ref), on="event_type", how="left")
+        x = m["value"].to_numpy(dtype=np.float64)
+        med = m["med"].to_numpy(dtype=np.float64)
+        iqr = m["q3"].to_numpy(dtype=np.float64) \
+            - m["q1"].to_numpy(dtype=np.float64)
+        safe = np.where(iqr == 0.0, 1.0, iqr)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "scaled": np.where(iqr == 0.0, 0.0, (x - med) / safe)})
+
+    return events.map_batches(scale, batch_format="pandas")
+
+
+Q_ROBUST_SCALE_SQL = """
+WITH q AS (
+  SELECT event_type, quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.5) AS med,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type)
+SELECT event_id,
+       CASE WHEN q3 - q1 = 0 THEN 0.0
+            ELSE (value - med) / (q3 - q1) END AS scaled
+FROM events JOIN q USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8174,6 +8236,7 @@ QUERIES = {
     "embed_dims": q_embed_dims,
     "clustering_coeff": q_clustering_coeff,
     "zipf_fit": q_zipf_fit,
+    "robust_scale": q_robust_scale,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8318,6 +8381,7 @@ ORACLES = {
     "embed_dims": Q_EMBED_DIMS_SQL,
     "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
     "zipf_fit": Q_ZIPF_FIT_SQL,
+    "robust_scale": Q_ROBUST_SCALE_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
