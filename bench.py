@@ -199,6 +199,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("clustering_coeff", lambda: q.q_clustering_coeff(sf_dir))
     bench("zipf_fit", lambda: q.q_zipf_fit(sf_dir))
     bench("robust_scale", lambda: q.q_robust_scale(sf_dir))
+    bench("autocorr", lambda: q.q_autocorr(sf_dir))
+    bench("benford", lambda: q.q_benford(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -8077,6 +8077,121 @@ FROM events JOIN q USING (event_type)
 """
 
 
+def q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the DAILY event-count series per type —
+    the seasonality/burstiness check of telemetry QA: (type, epoch-day)
+    counts reduce through ONE bucketed sum (bounded output), then the
+    Pearson r of (x_t, x_{t+1}) over consecutive days closes locally in
+    a pinned double order on exact integer counts (missing days count
+    0, so the day grid is dense by construction).  Types with < 3 days
+    or zero variance emit r = 0."""
+    day_us = np.int64(86_400) * 1_000_000
+    events = _pq(sf_dir, "events", columns=["ts", "event_type"])
+
+    def fan(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy().astype("datetime64[us]").astype("int64") \
+            // day_us
+        return pd.DataFrame({"event_type": b["event_type"], "day": d}) \
+            .groupby(["event_type", "day"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+
+    agg = partial_then_global_sum(
+        events.map_batches(fan, batch_format="pandas"),
+        keys=["event_type", "day"], sums={"n": "n"}, num_buckets=8) \
+        .to_pandas()
+    lo, hi = int(agg["day"].min()), int(agg["day"].max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    out = {"event_type": [], "r": []}
+    for et, g in agg.groupby("event_type", sort=True):
+        x = np.zeros(len(grid), dtype=np.float64)
+        x[g["day"].to_numpy(dtype=np.int64) - lo] = \
+            g["n"].to_numpy(dtype=np.float64)
+        a, b2 = x[:-1], x[1:]
+        n = np.float64(len(a))
+        sa, sb = a.sum(), b2.sum()
+        saa, sbb, sab = (a * a).sum(), (b2 * b2).sum(), (a * b2).sum()
+        den2 = (n * saa - sa * sa) * (n * sbb - sb * sb)
+        r = 0.0 if len(a) < 2 or den2 <= 0.0 \
+            else (n * sab - sa * sb) / np.sqrt(den2)
+        out["event_type"].append(et)
+        out["r"].append(round(float(r), 6))
+    return pd.DataFrame(out)
+
+
+Q_AUTOCORR_SQL = """
+WITH bounds AS (
+  SELECT min(epoch_us(ts) // 86400000000) AS lo,
+         max(epoch_us(ts) // 86400000000) AS hi
+  FROM events),
+days AS (SELECT lo + unnest(range(0, CAST(hi - lo + 1 AS BIGINT))) AS day
+         FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+g AS (SELECT t.event_type, d.day,
+             CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+      FROM types t CROSS JOIN days d
+      LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+p AS (SELECT event_type, x AS a,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS b
+      FROM g),
+m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(a * a) AS saa,
+             sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM p WHERE b IS NOT NULL GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n < 2 OR (n * saa - sa * sa) * (n * sbb - sb * sb) <= 0
+            THEN 0.0
+            ELSE round((n * sab - sa * sb)
+                       / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+                       6) END AS r
+FROM m
+"""
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit profile of order totals — the fraud/data-
+    quality screen: leading digit extracted from exact integer cents by
+    STRING length (no log10 — 1-ulp drift at exact powers of ten flips
+    the digit), per-digit counts through ONE bucketed sum, the expected
+    Benford mass alongside.  Integer counts ⇒ exact."""
+    orders = _pq(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        s = pd.Series(cents).astype(str)
+        d = s.str[0].astype(int)
+        g = pd.DataFrame({"digit": d.to_numpy(dtype=np.int64),
+                          "n": np.int64(1)})
+        return g.groupby("digit", as_index=False, sort=False).sum()
+
+    agg = partial_then_global_sum(
+        orders.map_batches(digits, batch_format="pandas"),
+        keys=["digit"], sums={"n": "n"}, num_buckets=4)
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["digit"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "digit": d, "n": b["n"].astype("int64"),
+            "benford_p": np.round(np.log(1.0 + 1.0 / d) / np.log(10.0),
+                                  6)})
+
+    return agg.map_batches(close, batch_format="pandas")
+
+
+Q_BENFORD_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c)
+SELECT digit, count(*) AS n,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p
+FROM d GROUP BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8237,6 +8352,8 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "zipf_fit": q_zipf_fit,
     "robust_scale": q_robust_scale,
+    "autocorr": q_autocorr,
+    "benford": q_benford,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8382,6 +8499,8 @@ ORACLES = {
     "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
     "zipf_fit": Q_ZIPF_FIT_SQL,
     "robust_scale": Q_ROBUST_SCALE_SQL,
+    "autocorr": Q_AUTOCORR_SQL,
+    "benford": Q_BENFORD_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
