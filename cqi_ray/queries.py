@@ -8192,6 +8192,67 @@ FROM d GROUP BY digit
 """
 
 
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema's four FK
+    edges (lineitem→orders/part/supplier, orders→customer) — the
+    ingest-gate report every warehouse load runs: each edge counts its
+    ORPHANED child rows with the same ONE-shuffle anti-join core as
+    q_join_anti (child keys collapse to distinct per block, parent side
+    collapses to distinct keys in the map), then a tiny union.  Output:
+    (fk, n_child, n_orphan) — all-integer, zero orphans expected on the
+    synthetic tables (the op proves the negative)."""
+    specs = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    rows = []
+    for name, child, ckey, parent, pkey in specs:
+        ch = _pq(sf_dir, child, columns=[ckey])
+        n_child = ch.count()
+        keys = ch.map_batches(
+            lambda b, k=ckey: pd.DataFrame({"k": b[k].astype("int64")})
+            .drop_duplicates(),
+            batch_format="pandas")
+        par = _pq(sf_dir, parent, columns=[pkey]).map_batches(
+            lambda b, k=pkey: pd.DataFrame({"k": b[k].astype("int64")}),
+            batch_format="pandas")
+        orphan_keys = bucketed_anti_join(keys, par, on="k", num_buckets=8)
+        n_orphan_keys = orphan_keys.count()
+        rows.append({"fk": name, "n_child": np.int64(n_child),
+                     "n_orphan_keys": np.int64(n_orphan_keys)})
+    return pd.DataFrame(rows)
+
+
+Q_FK_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_child,
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         AS n_orphan_keys
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_partkey->part', count(*),
+       (SELECT count(DISTINCT l_partkey) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', count(*),
+       (SELECT count(DISTINCT l_suppkey) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*),
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8354,6 +8415,7 @@ QUERIES = {
     "robust_scale": q_robust_scale,
     "autocorr": q_autocorr,
     "benford": q_benford,
+    "fk_audit": q_fk_audit,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8501,6 +8563,7 @@ ORACLES = {
     "robust_scale": Q_ROBUST_SCALE_SQL,
     "autocorr": Q_AUTOCORR_SQL,
     "benford": Q_BENFORD_SQL,
+    "fk_audit": Q_FK_AUDIT_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
