@@ -202,6 +202,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("autocorr", lambda: q.q_autocorr(sf_dir))
     bench("benford", lambda: q.q_benford(sf_dir))
     bench("fk_audit", lambda: q.q_fk_audit(sf_dir))
+    bench("diameter", lambda: q.q_diameter(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -8253,6 +8253,98 @@ FROM orders
 """
 
 
+def q_diameter(sf_dir: str, max_hops: int = 6):
+    """Graph diameter LOWER BOUND by the classic double BFS sweep
+    (exact when the bound exceeds the true diameter): BFS from the
+    smallest node, re-BFS from the farthest node found (ties → smallest
+    id), report its eccentricity.  Both sweeps reuse ONE set of
+    prepped, pinned edge blocks (the q_bfs_hops plan — frontier bitmask
+    broadcast, tasks return adjacent indices), so the second pass costs
+    only its waves, no re-read."""
+    from .runtime import materialized_block_refs
+
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def _node_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(dtype=np.int64),
+             b["b"].to_numpy(dtype=np.int64)])})
+
+    nodes = distinct_rows(edges.map_batches(_node_col,
+                                            batch_format="pandas"),
+                          ["node"], num_buckets=8)
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+    n = len(node_arr)
+    nref = ray.put(node_arr)
+
+    @ray.remote
+    def _prep(block, narr):
+        b = block if isinstance(block, pd.DataFrame) else block.to_pandas()
+        if not len(b):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        ai = np.searchsorted(narr, b["a"].to_numpy(dtype=np.int64))
+        bi = np.searchsorted(narr, b["b"].to_numpy(dtype=np.int64))
+        return (np.concatenate([ai, bi]).astype(np.int64),
+                np.concatenate([bi, ai]).astype(np.int64))
+
+    @ray.remote
+    def _expand(prep, fmask):
+        u, v = prep
+        return np.unique(v[fmask[u]])
+
+    preps = [_prep.remote(r, nref) for r in materialized_block_refs(edges)]
+
+    def bfs(src_idx: int) -> np.ndarray:
+        hops = np.full(n, -1, dtype=np.int64)
+        hops[src_idx] = 0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[src_idx] = True
+        for h in range(1, max_hops + 1):
+            fref = ray.put(frontier)
+            nxt = np.zeros(n, dtype=bool)
+            for idx in ray.get([_expand.remote(p, fref) for p in preps]):
+                nxt[idx] = True
+            nxt &= hops < 0
+            if not nxt.any():
+                break
+            hops[nxt] = h
+            frontier = nxt
+        return hops
+
+    h1 = bfs(0)
+    far = int(np.flatnonzero(h1 == h1.max())[0])  # max hops, min id
+    h2 = bfs(far)
+    return pd.DataFrame({
+        "src": [node_arr[0]], "far_node": [node_arr[far]],
+        "diameter_lb": [np.int64(h2.max())]})
+
+
+Q_DIAMETER_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+w1 AS (
+  SELECT (SELECT min(u) FROM e) AS node, 0 AS hops
+  UNION
+  SELECT e.v AS node, w1.hops + 1 AS hops
+  FROM w1 JOIN e ON e.u = w1.node WHERE w1.hops < 6),
+d1 AS (SELECT node, min(hops) AS h FROM w1 GROUP BY node),
+far AS (SELECT node FROM d1 ORDER BY h DESC, node LIMIT 1),
+w2 AS (
+  SELECT (SELECT node FROM far) AS node, 0 AS hops
+  UNION
+  SELECT e.v AS node, w2.hops + 1 AS hops
+  FROM w2 JOIN e ON e.u = w2.node WHERE w2.hops < 6),
+d2 AS (SELECT node, min(hops) AS h FROM w2 GROUP BY node)
+SELECT (SELECT min(u) FROM e) AS src,
+       (SELECT node FROM far) AS far_node,
+       CAST((SELECT max(h) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8416,6 +8508,7 @@ QUERIES = {
     "autocorr": q_autocorr,
     "benford": q_benford,
     "fk_audit": q_fk_audit,
+    "diameter": q_diameter,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8564,6 +8657,7 @@ ORACLES = {
     "autocorr": Q_AUTOCORR_SQL,
     "benford": Q_BENFORD_SQL,
     "fk_audit": Q_FK_AUDIT_SQL,
+    "diameter": Q_DIAMETER_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
