@@ -203,6 +203,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("benford", lambda: q.q_benford(sf_dir))
     bench("fk_audit", lambda: q.q_fk_audit(sf_dir))
     bench("diameter", lambda: q.q_diameter(sf_dir))
+    bench("cadence", lambda: q.q_cadence(sf_dir))
+    bench("concentration", lambda: q.q_concentration(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

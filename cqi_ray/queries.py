@@ -8345,6 +8345,118 @@ SELECT (SELECT min(u) FROM e) AS src,
 """
 
 
+def q_cadence(sf_dir: str):
+    """Per-user event-cadence profile — the engagement-rhythm metric:
+    median and max inter-event gap (µs-exact integers; median via the
+    DISCRETE quantile so both engines pick the same element, no
+    interpolation).  ONE bucketed shuffle on user_id, vectorized diffs,
+    per-user reduceat/quantile; single-event users drop (no gap)."""
+    events = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    _OUT = {"user_id": pd.Series(dtype="int64"),
+            "n_gaps": pd.Series(dtype="int64"),
+            "median_gap_us": pd.Series(dtype="int64"),
+            "max_gap_us": pd.Series(dtype="int64")}
+
+    def cadence(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_OUT)
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        same = uid[1:] == uid[:-1]
+        out = {k: [] for k in _OUT}
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[starts, len(uid)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            gaps = t[s + 1:e] - t[s:e - 1]
+            out["user_id"].append(uid[s])
+            out["n_gaps"].append(len(gaps))
+            out["median_gap_us"].append(int(np.quantile(
+                gaps, 0.5, method="inverted_cdf")))
+            out["max_gap_us"].append(int(gaps.max()))
+        return pd.DataFrame({k: np.asarray(v, dtype=np.int64)
+                             for k, v in out.items()}) \
+            if out["user_id"] else pd.DataFrame(_OUT)
+
+    return grouped_map_buckets(events, ["user_id"], cadence,
+                               num_buckets=32, whole_bucket=True)
+
+
+Q_CADENCE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_concentration(sf_dir: str, pct: int = 1):
+    """Revenue concentration — the share of total order value held by
+    the top pct% of customers (the Pareto/whale metric): per-customer
+    cent totals through ONE bucketed sum, k = ceil(pct% · customers),
+    top-k by (cents DESC, key ASC) via bounded per-block heads + tiny
+    merge (no global sort), one exact integer division at the end."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["o_totalprice"].to_numpy(dtype=np.float64)
+                     * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": b["o_custkey"].astype("int64"),
+                          "cents": c})
+        return g.groupby("o_custkey", as_index=False, sort=False).sum()
+
+    per_cust = partial_then_global_sum(
+        orders.map_batches(cents_partial, batch_format="pandas"),
+        keys=["o_custkey"], sums={"cents": "cents"}, num_buckets=16) \
+        .materialize()
+    n_cust = per_cust.count()
+    k = -(-n_cust * pct // 100)  # ceil
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cents", "o_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(int(k))
+
+    cand = per_cust.map_batches(head, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["cents", "o_custkey"],
+                           ascending=[False, True],
+                           kind="mergesort").head(int(k))
+    total = int(per_cust.map_batches(
+        lambda b: pd.DataFrame({"s": [b["cents"].sum()]}),
+        batch_format="pandas").to_pandas()["s"].sum())
+    top_cents = int(top["cents"].sum())
+    return pd.DataFrame({
+        "k": [np.int64(k)], "n_customers": [np.int64(n_cust)],
+        "top_share": [top_cents / total if total else 0.0]})
+
+
+Q_CONCENTRATION_SQL = """
+WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+n AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total FROM pc),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+      FROM pc)
+SELECT CAST((n.n * 1 + 99) // 100 AS BIGINT) AS k,
+       n.n AS n_customers,
+       CAST((SELECT sum(cents) FROM r
+             WHERE rn <= (n.n * 1 + 99) // 100) AS DOUBLE)
+         / CAST(n.total AS DOUBLE) AS top_share
+FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8509,6 +8621,8 @@ QUERIES = {
     "benford": q_benford,
     "fk_audit": q_fk_audit,
     "diameter": q_diameter,
+    "cadence": q_cadence,
+    "concentration": q_concentration,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8658,6 +8772,8 @@ ORACLES = {
     "benford": Q_BENFORD_SQL,
     "fk_audit": Q_FK_AUDIT_SQL,
     "diameter": Q_DIAMETER_SQL,
+    "cadence": Q_CADENCE_SQL,
+    "concentration": Q_CONCENTRATION_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
