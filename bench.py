@@ -205,6 +205,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("diameter", lambda: q.q_diameter(sf_dir))
     bench("cadence", lambda: q.q_cadence(sf_dir))
     bench("concentration", lambda: q.q_concentration(sf_dir))
+    bench("fulfillment", lambda: q.q_fulfillment(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

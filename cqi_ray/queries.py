@@ -8457,6 +8457,86 @@ FROM n
 """
 
 
+def q_fulfillment(sf_dir: str):
+    """Fulfillment-latency report: days from order placement to FIRST
+    line shipment, aggregated per priority — the SLA metric combining a
+    mergeable-MIN reduce (per-block min per order collapses before the
+    shuffle; min is order-independent) with one bucketed fact join and
+    an integer-exact day difference; the final mean is a single
+    division of exact integer sums."""
+    day_us = np.int64(86_400) * 1_000_000
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        g = pd.DataFrame({"l_orderkey": b["l_orderkey"].astype("int64"),
+                          "first_us": t})
+        return g.groupby("l_orderkey", as_index=False, sort=False).min()
+
+    _MIN = {"l_orderkey": pd.Series(dtype="int64"),
+            "first_us": pd.Series(dtype="int64")}
+
+    def min_reduce(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_MIN)
+        return bucket.groupby("l_orderkey", as_index=False, sort=False) \
+            .min().astype("int64")
+
+    first = grouped_map_buckets(
+        li.map_batches(min_partial, batch_format="pandas"),
+        ["l_orderkey"], min_reduce, num_buckets=16, whole_bucket=True)
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "l_orderkey": b["o_orderkey"].astype("int64"),
+            "odate_us": b["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype("int64"),
+            "o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pandas")
+
+    j = bucketed_hash_join(orders, first, on="l_orderkey",
+                           right_cols=["l_orderkey", "first_us"],
+                           num_buckets=16,
+                           restore_dtypes={"odate_us": "int64"})
+
+    def gap_partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b["first_us"].to_numpy(dtype=np.int64)
+                - b["odate_us"].to_numpy(dtype=np.int64)) // day_us
+        g = pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
+                          "sum_days": days, "n": np.int64(1)})
+        return g.groupby("o_orderpriority", as_index=False,
+                         sort=False).sum()
+
+    agg = partial_then_global_sum(
+        j.map_batches(gap_partial, batch_format="pandas"),
+        keys=["o_orderpriority"], sums={"sum_days": "sum_days", "n": "n"},
+        num_buckets=4)
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "n": b["n"].astype("int64"),
+            "avg_days": b["sum_days"].to_numpy(dtype=np.float64)
+            / b["n"].to_numpy(dtype=np.float64)})
+
+    return agg.map_batches(close, batch_format="pandas")
+
+
+Q_FULFILLMENT_SQL = """
+WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+           FROM lineitem GROUP BY l_orderkey),
+g AS (SELECT o_orderpriority,
+             (epoch_us(first_ship) - epoch_us(o_orderdate))
+               // 86400000000 AS days
+      FROM orders JOIN f ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(days) AS DOUBLE) / count(*) AS avg_days
+FROM g GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8623,6 +8703,7 @@ QUERIES = {
     "diameter": q_diameter,
     "cadence": q_cadence,
     "concentration": q_concentration,
+    "fulfillment": q_fulfillment,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8774,6 +8855,7 @@ ORACLES = {
     "diameter": Q_DIAMETER_SQL,
     "cadence": Q_CADENCE_SQL,
     "concentration": Q_CONCENTRATION_SQL,
+    "fulfillment": Q_FULFILLMENT_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
