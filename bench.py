@@ -206,6 +206,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("cadence", lambda: q.q_cadence(sf_dir))
     bench("concentration", lambda: q.q_concentration(sf_dir))
     bench("fulfillment", lambda: q.q_fulfillment(sf_dir))
+    bench("copy_matrix", lambda: q.q_copy_matrix(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

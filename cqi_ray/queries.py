@@ -8537,6 +8537,80 @@ FROM g GROUP BY o_orderpriority
 """
 
 
+def q_copy_matrix(sf_dir: str):
+    """Cross-source duplication matrix — which sources copy from each
+    other: the exact n-gram-Jaccard near-dup pairs (q_dedup_ngram)
+    fold their endpoints' `source` labels back via TWO bucketed hash
+    joins on the doc ids (no doc→source broadcast: the map is O(docs)
+    at web scale), then a tiny (source_a ≤ source_b, n) count reduce.
+    Off-diagonal mass = cross-source contamination; diagonal =
+    within-source boilerplate."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+    pairs = q_dedup_ngram(sf_dir)
+
+    sa = docs.map_batches(
+        lambda b: pd.DataFrame({"a": b["doc_id"].astype("int64"),
+                                "source_a": b["source"]}),
+        batch_format="pandas")
+    sb = docs.map_batches(
+        lambda b: pd.DataFrame({"b": b["doc_id"].astype("int64"),
+                                "source_b": b["source"]}),
+        batch_format="pandas")
+    j1 = bucketed_hash_join(pairs, sa, on="a",
+                            right_cols=["a", "source_a"], num_buckets=16,
+                            restore_dtypes={"b": "int64"})
+    j2 = bucketed_hash_join(j1, sb, on="b",
+                            right_cols=["b", "source_b"], num_buckets=16)
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                                 "source_b": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        x = batch["source_a"].to_numpy()
+        y = batch["source_b"].to_numpy()
+        lo = np.where(x <= y, x, y)
+        hi = np.where(x <= y, y, x)
+        g = pd.DataFrame({"source_a": lo, "source_b": hi,
+                          "n": np.int64(1)})
+        return g.groupby(["source_a", "source_b"], as_index=False,
+                         sort=False).sum()
+
+    return partial_then_global_sum(
+        j2.map_batches(canon, batch_format="pandas"),
+        keys=["source_a", "source_b"], sums={"n": "n"}, num_buckets=4)
+
+
+Q_COPY_MATRIX_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(lang, 'und') || ':' || CAST(length(text) // 100 AS VARCHAR)
+           AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, bucket, w[x] || ' ' || w[x+1] || ' ' || w[x+2] AS g
+  FROM (SELECT doc_id, bucket, w, unnest(range(1, len(w) - 1)) AS x FROM d)
+  WHERE len(w) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+  FROM g g1 JOIN g g2 ON g1.g = g2.g AND g1.bucket = g2.bucket
+                      AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id),
+p AS (
+  SELECT a, b
+  FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+s AS (SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM p JOIN documents da ON da.doc_id = p.a
+             JOIN documents db ON db.doc_id = p.b)
+SELECT source_a, source_b, count(*) AS n
+FROM s GROUP BY source_a, source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8704,6 +8778,7 @@ QUERIES = {
     "cadence": q_cadence,
     "concentration": q_concentration,
     "fulfillment": q_fulfillment,
+    "copy_matrix": q_copy_matrix,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }
@@ -8856,6 +8931,7 @@ ORACLES = {
     "cadence": Q_CADENCE_SQL,
     "concentration": Q_CONCENTRATION_SQL,
     "fulfillment": Q_FULFILLMENT_SQL,
+    "copy_matrix": Q_COPY_MATRIX_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
 }
