@@ -207,6 +207,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("concentration", lambda: q.q_concentration(sf_dir))
     bench("fulfillment", lambda: q.q_fulfillment(sf_dir))
     bench("copy_matrix", lambda: q.q_copy_matrix(sf_dir))
+    bench("images_montage", lambda: q.q_images_montage(sf_dir, n_images=256))
     return {"timings": timings, "rows": rows}
 
 

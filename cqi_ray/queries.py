@@ -8611,6 +8611,58 @@ FROM s GROUP BY source_a, source_b
 """
 
 
+def q_images_montage(sf_dir: str, n_images: int = 64, grid: int = 4,
+                     tile_px: int = 32):
+    """Contact-sheet compositor — the visual-QA sink of image
+    pipelines: decode → resize → composite grid×grid montages → PNG
+    encode, one montage per grid² consecutive images.  Pure streaming
+    map over image batches (batch = one montage; a worker holds grid²
+    tiles, never the corpus) using the from-scratch codec; returns
+    per-montage metadata + a pixel checksum (deterministic).  Tile
+    placement is verified by decode-back in tests/test_images.py."""
+    from .images.codec import decode_image, png_encode, resize_bilinear
+    from .pipelines.flagship import build_images
+
+    per = grid * grid
+    imgs = build_images(sf_dir, limit=n_images)
+
+    def montage(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"montage_id": [], "n_tiles": [], "width": [],
+                "height": [], "pixel_sum": [], "png_bytes": []}
+        recs = list(zip(b["image_id"], b["bytes"], b["fmt"],
+                        b["w"], b["h"]))
+        for m0 in range(0, len(recs), per):
+            chunk = recs[m0:m0 + per]
+            canvas = np.zeros((grid * tile_px, grid * tile_px, 3),
+                              dtype=np.uint8)
+            for k, (iid, data, fmt, w, h) in enumerate(chunk):
+                px = decode_image(data, str(fmt), int(w), int(h))
+                tile = resize_bilinear(px, tile_px, tile_px)
+                r, c = divmod(k, grid)
+                canvas[r * tile_px:(r + 1) * tile_px,
+                       c * tile_px:(c + 1) * tile_px] = tile
+            png = png_encode(canvas)
+            # image ids are 'img_<n>' strings: montage id = first
+            # tile's numeric index // tiles-per-montage
+            rows["montage_id"].append(
+                int(str(chunk[0][0]).split("_")[1]) // per)
+            rows["n_tiles"].append(len(chunk))
+            rows["width"].append(canvas.shape[1])
+            rows["height"].append(canvas.shape[0])
+            rows["pixel_sum"].append(int(canvas.astype(np.int64).sum()))
+            rows["png_bytes"].append(len(png))
+        return pd.DataFrame({
+            "montage_id": np.asarray(rows["montage_id"], dtype=np.int64),
+            "n_tiles": np.asarray(rows["n_tiles"], dtype=np.int64),
+            "width": np.asarray(rows["width"], dtype=np.int64),
+            "height": np.asarray(rows["height"], dtype=np.int64),
+            "pixel_sum": np.asarray(rows["pixel_sum"], dtype=np.int64),
+            "png_bytes": np.asarray(rows["png_bytes"], dtype=np.int64)})
+
+    return imgs.map_batches(montage, batch_format="pandas",
+                            batch_size=per)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8779,6 +8831,7 @@ QUERIES = {
     "concentration": q_concentration,
     "fulfillment": q_fulfillment,
     "copy_matrix": q_copy_matrix,
+    "images_montage": q_images_montage,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
 }

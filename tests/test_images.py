@@ -305,3 +305,36 @@ class TestAnalysisKernels:
         b = out2.sort_values("image_id").reset_index(drop=True)
         import pandas as pd
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMontage:
+    def test_tile_placement_decodes_back(self, ray_session):
+        """Contact-sheet compositor: rebuild the first montage locally
+        and verify the pipeline's metadata (dims, checksum) matches a
+        decode-back of the same composition."""
+        import numpy as np
+
+        from cqi_ray.images.codec import (decode_image, png_decode,
+                                          png_encode, resize_bilinear)
+        from cqi_ray.pipelines.flagship import build_images
+        from cqi_ray.queries import q_images_montage
+
+        out = q_images_montage("/root/testdata/sf0.001", n_images=16,
+                               grid=4, tile_px=32).to_pandas() \
+            .sort_values("montage_id").reset_index(drop=True)
+        assert len(out) == 1
+        assert out.loc[0, "n_tiles"] == 16
+        assert out.loc[0, "width"] == 128 and out.loc[0, "height"] == 128
+
+        imgs = build_images("/root/testdata/sf0.001", limit=16).to_pandas()
+        canvas = np.zeros((128, 128, 3), dtype=np.uint8)
+        for k, r in imgs.sort_values("image_id").iterrows():
+            px = decode_image(r["bytes"], str(r["fmt"]), int(r["w"]),
+                              int(r["h"]))
+            t = resize_bilinear(px, 32, 32)
+            rr, cc = divmod(k, 4)
+            canvas[rr * 32:(rr + 1) * 32, cc * 32:(cc + 1) * 32] = t
+        assert int(canvas.astype(np.int64).sum()) \
+            == int(out.loc[0, "pixel_sum"])
+        # the canvas round-trips the from-scratch PNG codec losslessly
+        assert (png_decode(png_encode(canvas)) == canvas).all()
