@@ -208,6 +208,10 @@ def run_suite(sf_dir: str) -> dict:
     bench("fulfillment", lambda: q.q_fulfillment(sf_dir))
     bench("copy_matrix", lambda: q.q_copy_matrix(sf_dir))
     bench("images_montage", lambda: q.q_images_montage(sf_dir, n_images=256))
+    bench("images_ssim", lambda: q.q_images_ssim(sf_dir))
+    bench("images_augment", lambda: q.q_images_augment(sf_dir))
+    bench("ar_bucket", lambda: q.q_ar_bucket(sf_dir))
+    bench("winsorize", lambda: q.q_winsorize(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -67,6 +67,42 @@ def dhash64(gray: np.ndarray) -> int:
     return int(np.uint64(np.sum(weights[bits], dtype=np.uint64)))
 
 
+def _box_sums(x: np.ndarray, win: int) -> np.ndarray:
+    """Sliding ``win``×``win`` box sums over all valid positions via an
+    integral image — O(hw) regardless of window size, no convolution
+    library."""
+    c = np.cumsum(np.cumsum(np.asarray(x, dtype=np.float64), axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    return c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]
+
+
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8,
+         L: float = 255.0) -> float:
+    """Mean structural similarity (Wang et al. 2004, public spec) between
+    two equal-shape grayscale images over uniform ``win``×``win`` sliding
+    windows.  Local means/variances/covariance come from integral images
+    (one pass, fully vectorized); constants are the standard
+    C1=(0.01·L)², C2=(0.03·L)².  Identical inputs give exactly 1.0;
+    degrades monotonically with added noise — the perceptual complement
+    to the pixel-wise ``codec.psnr`` gate."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    win = min(win, a.shape[0], a.shape[1])
+    n = float(win * win)
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2
+    mu_a = _box_sums(a, win) / n
+    mu_b = _box_sums(b, win) / n
+    va = np.maximum(_box_sums(a * a, win) / n - mu_a * mu_a, 0.0)
+    vb = np.maximum(_box_sums(b * b, win) / n - mu_b * mu_b, 0.0)
+    cov = _box_sums(a * b, win) / n - mu_a * mu_b
+    num = (2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)
+    den = (mu_a * mu_a + mu_b * mu_b + c1) * (va + vb + c2)
+    return float(np.mean(num / den))
+
+
 def quality_flags(sharpness: np.ndarray, mean: np.ndarray,
                   std: np.ndarray, entropy: np.ndarray,
                   min_sharpness: float = 1.0,

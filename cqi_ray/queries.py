@@ -2744,6 +2744,156 @@ def q_images_quality(sf_dir: str, limit: int = 500):
     return imgs.map_batches(analyze, batch_format="pandas")
 
 
+def q_images_ssim(sf_dir: str, limit: int = 400, quality: int = 80):
+    """Perceptual-quality gate for a lossy re-encode pass: decode each
+    image, round-trip it through the DCT-quantization lossy codec at the
+    given quality, and score the reconstruction with SSIM (structural)
+    and PSNR (pixel-wise) — the standard acceptance pair when a corpus
+    is transcoded to a cheaper storage format.  One stateless
+    map_batches over the binary column; per-image output is four
+    scalars, so stage output stays tiny at any payload size.  Rows-only
+    (codecs are not SQL-expressible); tests/test_images.py pins the
+    SSIM kernel (identity = 1.0, monotone under noise) and the ≥40 dB
+    PSNR invariant of the lossy codec."""
+    from .images.analysis import ssim, to_gray
+    from .images.codec import decode_image, lossy_decode, lossy_encode, psnr
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        ss = np.empty(n)
+        ps = np.empty(n)
+        nbytes = np.empty(n, dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            px = decode_image(data, fmt, int(w), int(h))
+            blob = lossy_encode(px, quality=quality)
+            rec = lossy_decode(blob)
+            ss[i] = ssim(to_gray(px), to_gray(rec))
+            p = psnr(px, rec)
+            ps[i] = 99.0 if p == float("inf") else p
+            nbytes[i] = len(blob)
+        rss = np.round(ss, 4)
+        rps = np.round(ps, 2)
+        return pd.DataFrame({
+            "image_id": b["image_id"].to_numpy(),
+            "fmt": b["fmt"].to_numpy(),
+            "ssim": rss,
+            "psnr": rps,
+            "lossy_bytes": nbytes,
+            # gate on the emitted (rounded) scores so downstream QA can
+            # recompute the flag from the columns alone
+            "keep": (rss >= 0.9) & (rps >= 30.0),
+        })
+
+    return imgs.map_batches(score, batch_format="pandas")
+
+
+def q_images_augment(sf_dir: str, limit: int = 400):
+    """Deterministic augmentation pass: decode → per-row plan (geometric
+    + photometric ops chosen by row index, no RNG state) → re-encode
+    PNG, emitting the augmented dims, pHash, and pixel checksum so QA
+    never re-decodes.  The corpus-scale shape is a stateless
+    map_batches over binary columns — augmentation is embarrassingly
+    parallel and the plan is shard-addressable, so retries and any
+    block layout produce identical bytes.  Rows-only; the kernel
+    algebra (involutions, crop/brightness closed forms) is pinned in
+    tests/test_images.py, and the emitted pHash is verified there by
+    decoding the augmented PNG back."""
+    from .images.augment import apply_plan, plan_for
+    from .images.codec import decode_image, phash64, png_encode
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"image_id": [], "ops": [], "out_w": [], "out_h": [],
+               "out_phash": [], "px_mean": [], "png_bytes": []}
+        for img_id, data, fmt, w, h in zip(
+                b["image_id"], b["bytes"], b["fmt"], b["w"], b["h"]):
+            index = int(str(img_id).split("_")[1])
+            px = decode_image(data, fmt, int(w), int(h))
+            aug = apply_plan(px, plan_for(index))
+            png = png_encode(aug)
+            out["image_id"].append(img_id)
+            out["ops"].append("+".join(plan_for(index)))
+            out["out_w"].append(aug.shape[1])
+            out["out_h"].append(aug.shape[0])
+            out["out_phash"].append(
+                np.uint64(phash64(aug)).astype(np.int64))
+            out["px_mean"].append(round(float(aug.mean()), 4))
+            out["png_bytes"].append(len(png))
+        return pd.DataFrame({
+            "image_id": out["image_id"],
+            "ops": out["ops"],
+            "out_w": np.asarray(out["out_w"], dtype=np.int64),
+            "out_h": np.asarray(out["out_h"], dtype=np.int64),
+            "out_phash": np.asarray(out["out_phash"], dtype=np.int64),
+            "px_mean": np.asarray(out["px_mean"], dtype=np.float64),
+            "png_bytes": np.asarray(out["png_bytes"], dtype=np.int64)})
+
+    return imgs.map_batches(augment, batch_format="pandas")
+
+
+def q_ar_bucket(sf_dir: str):
+    """Aspect-ratio bucketing — the image-training analogue of sequence
+    packing: every image is assigned to the nearest of seven canonical
+    aspect-ratio buckets so batches resize to a shared shape without
+    distortion.  Dims derive arithmetically from doc_id (the synthetic
+    corpus convention), and the fit metric is integer-exact across
+    engines: fit = max(w·b, h·a) / min(w·b, h·a) for bucket ratio a:b —
+    one IEEE division of two small ints, bit-identical in numpy and
+    DuckDB, ties broken by bucket index.  Pure vectorized map, no
+    shuffle; output one row per doc (doc_id, w, h, bucket, fit)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    names = np.array(["1:1", "4:3", "3:4", "16:9", "9:16", "3:2", "2:3"])
+    num = np.array([1, 4, 3, 16, 9, 3, 2], dtype=np.int64)
+    den = np.array([1, 3, 4, 9, 16, 2, 3], dtype=np.int64)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(dtype=np.int64)
+        w = 256 + (d * 37) % 768
+        h = 256 + (d * 73) % 768
+        # (n_rows, n_buckets) integer cross products; fit >= 1.0, =1 exact
+        wb = w[:, None] * den[None, :]
+        ha = h[:, None] * num[None, :]
+        hi = np.maximum(wb, ha).astype(np.float64)
+        lo = np.minimum(wb, ha).astype(np.float64)
+        fit = hi / lo
+        k = np.argmin(fit, axis=1)  # first index on ties, same as SQL idx
+        rows = np.arange(len(d))
+        return pd.DataFrame({
+            "doc_id": d, "w": w, "h": h,
+            "bucket": names[k],
+            "fit": fit[rows, k]})
+
+    return docs.map_batches(bucketize, batch_format="pandas")
+
+
+Q_AR_BUCKET_SQL = """
+WITH dims AS (
+  SELECT doc_id, 256 + (doc_id * 37) % 768 AS w,
+         256 + (doc_id * 73) % 768 AS h
+  FROM documents),
+buckets(idx, bucket, a, b) AS (VALUES
+  (0, '1:1', 1, 1), (1, '4:3', 4, 3), (2, '3:4', 3, 4), (3, '16:9', 16, 9),
+  (4, '9:16', 9, 16), (5, '3:2', 3, 2), (6, '2:3', 2, 3)),
+scored AS (
+  SELECT doc_id, w, h, bucket, idx,
+         CAST(greatest(w * b, h * a) AS DOUBLE)
+           / CAST(least(w * b, h * a) AS DOUBLE) AS fit,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(greatest(w * b, h * a) AS DOUBLE)
+                                   / CAST(least(w * b, h * a) AS DOUBLE),
+                                     idx) AS rn
+  FROM dims CROSS JOIN buckets)
+SELECT doc_id, w, h, bucket, fit FROM scored WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: passage dedup / repetition / decontamination / stats
 # ---------------------------------------------------------------------------
@@ -8077,6 +8227,62 @@ FROM events JOIN q USING (event_type)
 """
 
 
+def q_winsorize(sf_dir: str):
+    """Per-group winsorization (outlier capping at the discrete p05/p95
+    quantiles) — the tail-taming step feature pipelines run before any
+    mean/variance statistic.  Same two-pass shape as robust_scale: one
+    bucketed shuffle computes the tiny per-type (lo, hi) table with the
+    DISCRETE quantile (numpy inverted_cdf ≡ DuckDB quantile_disc —
+    element-picking, zero interpolation), the table broadcasts, and the
+    clip pass is comparisons only (no arithmetic) ⇒ engine-exact."""
+    events = _pq(sf_dir, "events",
+                 columns=["event_id", "event_type", "value"])
+
+    _WOUT = {"event_type": pd.Series(dtype="object"),
+             "lo": pd.Series(dtype="float64"),
+             "hi": pd.Series(dtype="float64")}
+
+    def quants(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(_WOUT)
+        out = {k: [] for k in _WOUT}
+        for et, g in bucket.groupby("event_type", sort=True):
+            lo, hi = np.quantile(g["value"].to_numpy(), [0.05, 0.95],
+                                 method="inverted_cdf")
+            out["event_type"].append(et)
+            out["lo"].append(float(lo))
+            out["hi"].append(float(hi))
+        return pd.DataFrame(out)
+
+    qt = grouped_map_buckets(events, ["event_type"], quants,
+                             num_buckets=8, whole_bucket=True).to_pandas()
+    ref = ray.put(qt)
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(ray.get(ref), on="event_type", how="left")
+        x = m["value"].to_numpy(dtype=np.float64)
+        lo = m["lo"].to_numpy(dtype=np.float64)
+        hi = m["hi"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "capped": np.minimum(np.maximum(x, lo), hi),
+            "was_outlier": (x < lo) | (x > hi)})
+
+    return events.map_batches(clip, batch_format="pandas")
+
+
+Q_WINSORIZE_SQL = """
+WITH q AS (
+  SELECT event_type, quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT event_id,
+       least(greatest(value, lo), hi) AS capped,
+       (value < lo OR value > hi) AS was_outlier
+FROM events JOIN q USING (event_type)
+"""
+
+
 def q_autocorr(sf_dir: str):
     """Lag-1 autocorrelation of the DAILY event-count series per type —
     the seasonality/burstiness check of telemetry QA: (type, epoch-day)
@@ -8834,6 +9040,10 @@ QUERIES = {
     "images_montage": q_images_montage,
     "pmi_pairs": q_pmi_pairs,
     "bm25": q_bm25,
+    "images_ssim": q_images_ssim,
+    "images_augment": q_images_augment,
+    "ar_bucket": q_ar_bucket,
+    "winsorize": q_winsorize,
 }
 
 ORACLES = {
@@ -8977,6 +9187,8 @@ ORACLES = {
     "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
     "zipf_fit": Q_ZIPF_FIT_SQL,
     "robust_scale": Q_ROBUST_SCALE_SQL,
+    "winsorize": Q_WINSORIZE_SQL,
+    "ar_bucket": Q_AR_BUCKET_SQL,
     "autocorr": Q_AUTOCORR_SQL,
     "benford": Q_BENFORD_SQL,
     "fk_audit": Q_FK_AUDIT_SQL,

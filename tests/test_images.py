@@ -338,3 +338,132 @@ class TestMontage:
             == int(out.loc[0, "pixel_sum"])
         # the canvas round-trips the from-scratch PNG codec losslessly
         assert (png_decode(png_encode(canvas)) == canvas).all()
+
+
+class TestSSIM:
+    def test_identity_is_one(self):
+        from cqi_ray.images.analysis import ssim, to_gray
+
+        g = to_gray(synth._pixels_for(3, 32, 32))
+        assert ssim(g, g) == 1.0
+
+    def test_monotone_under_noise(self):
+        from cqi_ray.images.analysis import ssim, to_gray
+
+        g = to_gray(synth._pixels_for(7, 48, 48))
+        rng = np.random.RandomState(11)
+        noise = rng.normal(0, 1, g.shape)
+        small = np.clip(g + 5 * noise, 0, 255)
+        big = np.clip(g + 40 * noise, 0, 255)
+        s_small, s_big = ssim(g, small), ssim(g, big)
+        assert 0 < s_big < s_small < 1.0
+
+    def test_constant_shift_beats_structure_loss(self):
+        """SSIM is built to punish structural change more than luminance
+        shift: a +10 global shift scores higher than a horizontal flip."""
+        from cqi_ray.images.analysis import ssim, to_gray
+
+        g = to_gray(synth._pixels_for(5, 48, 48))
+        assert ssim(g, np.clip(g + 10, 0, 255)) > ssim(g, g[:, ::-1])
+
+    def test_small_image_window_degrades(self):
+        from cqi_ray.images.analysis import ssim
+
+        g = np.arange(16, dtype=np.float64).reshape(4, 4)
+        assert ssim(g, g, win=8) == 1.0  # window clamps to 4
+
+    def test_lossy_codec_scores_high(self):
+        from cqi_ray.images.analysis import ssim, to_gray
+        from cqi_ray.images.codec import lossy_decode, lossy_encode
+
+        px = synth._pixels_for(9, 32, 32)
+        rec = lossy_decode(lossy_encode(px, quality=80))
+        s = ssim(to_gray(px), to_gray(rec))
+        assert 0.9 <= s < 1.0
+
+    def test_query_rows_and_gate(self, ray_session):
+        from cqi_ray.queries import q_images_ssim
+
+        out = q_images_ssim("/root/testdata/sf0.001", limit=48).to_pandas()
+        assert len(out) == 48
+        assert set(out.columns) == {"image_id", "fmt", "ssim", "psnr",
+                                    "lossy_bytes", "keep"}
+        assert (out["ssim"] <= 1.0).all() and (out["ssim"] > 0.5).all()
+        assert (out["psnr"] >= 30).all()
+        # the gate discriminates at quality=80: most frames pass, the
+        # hardest-to-code ones fall below the 0.9 SSIM bar
+        assert 0 < out["keep"].sum() < len(out)
+        expect = (out["ssim"].to_numpy() >= 0.9) \
+            & (out["psnr"].to_numpy() >= 30.0)
+        assert (out["keep"].to_numpy() == expect).all()
+
+
+class TestAugment:
+    def test_involutions(self):
+        from cqi_ray.images import augment
+
+        px = synth._pixels_for(4, 24, 32)
+        assert np.array_equal(augment.hflip(augment.hflip(px)), px)
+        assert np.array_equal(augment.vflip(augment.vflip(px)), px)
+        out = px
+        for _ in range(4):
+            out = augment.rot90(out)
+        assert np.array_equal(out, px)
+
+    def test_rot90_shape_and_content(self):
+        from cqi_ray.images import augment
+
+        px = synth._pixels_for(2, 10, 6)  # (h=6, w=10)
+        r = augment.rot90(px)
+        assert r.shape == (10, 6, 3)
+        assert np.array_equal(r, np.rot90(px, axes=(0, 1)))
+
+    def test_center_crop_closed_form(self):
+        from cqi_ray.images import augment
+
+        px = synth._pixels_for(6, 40, 40)
+        c = augment.center_crop(px, frac=0.5)
+        assert c.shape == (20, 20, 3)
+        assert np.array_equal(c, px[10:30, 10:30])
+
+    def test_brightness_saturates(self):
+        from cqi_ray.images import augment
+
+        px = np.full((4, 4, 3), 200, dtype=np.uint8)
+        up = augment.brightness(px, 1.5)
+        assert (up == 255).all()
+        down = augment.brightness(px, 0.5)
+        assert (down == 100).all()
+
+    def test_plan_deterministic_and_applies(self):
+        from cqi_ray.images import augment
+
+        assert augment.plan_for(0) == ["hflip", "brighten"]
+        assert augment.plan_for(1) == ["vflip"]
+        assert augment.plan_for(3) == ["crop", "darken"]
+        px = synth._pixels_for(0, 16, 16)
+        out = augment.apply_plan(px, augment.plan_for(0))
+        expect = augment.brightness(augment.hflip(px), 1.25)
+        assert np.array_equal(out, expect)
+
+    def test_query_decode_back(self, ray_session):
+        """The emitted pHash/dims must match recomputation from the source
+        pixels through the same plan — proving the distributed stage and
+        the local kernels agree byte-for-byte."""
+        from cqi_ray.images import augment
+        from cqi_ray.images.codec import phash64
+        from cqi_ray.queries import q_images_augment
+
+        out = q_images_augment("/root/testdata/sf0.001", limit=24) \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert len(out) == 24
+        for r in out.itertuples(index=False):
+            idx = int(r.image_id.split("_")[1])
+            src = synth._pixels_for(idx, 32, 32)
+            if idx % 3 == 2:  # jpeg rows store the lossy pixels
+                from cqi_ray.images.codec import lossy_decode, lossy_encode
+                src = lossy_decode(lossy_encode(src))
+            aug = augment.apply_plan(src, augment.plan_for(idx))
+            assert (r.out_h, r.out_w) == aug.shape[:2]
+            assert r.out_phash == np.uint64(phash64(aug)).astype(np.int64)
+            assert r.ops == "+".join(augment.plan_for(idx))
