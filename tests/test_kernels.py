@@ -105,6 +105,59 @@ class TestLines:
         right = lines.offset_polyline(line, -2.0)
         assert np.allclose(right, [[0, -2], [10, -2]])
 
+    def test_realistic_offset_fanout_geometry(self):
+        """End-to-end realistic-offset fan-out (reference:
+        calculate_offset_cycleway/_sidewalk, cycling_quality_index.py
+        :254-266): side rows carry geometry displaced by width/2
+        (cycleway) resp. width/2 + 2 (sidewalk), left positive /
+        right negative, parent geometry untouched."""
+        from dataclasses import replace
+
+        from cqi_ray.offsets import fan_out
+        from cqi_ray.params import DEFAULT_PARAMS
+
+        p = replace(DEFAULT_PARAMS, offset_distance="realistic")
+        geom = np.array([[0.0, 0.0], [50.0, 0.0], [100.0, 0.0]])
+        row = {
+            "id": "w1", "highway": "residential", "width": "8",
+            "cycleway:both": "track", "sidewalk:both:bicycle": "yes",
+            "geometry_m": geom,
+        }
+        out = fan_out(dict(row), p)
+        kinds = sorted((r.get("type"), r.get("side")) for r in out[1:])
+        assert kinds == [("cycleway", "left"), ("cycleway", "right"),
+                         ("sidewalk", "left"), ("sidewalk", "right")]
+        assert np.array_equal(out[0]["geometry_m"], geom)  # parent intact
+        for r in out[1:]:
+            expect = 4.0 if r["type"] == "cycleway" else 6.0  # 8/2 (+2)
+            assert r["offset"] == expect
+            sign = 1.0 if r["side"] == "left" else -1.0
+            g = r["geometry_m"]
+            assert g.shape == geom.shape
+            # straight line: every vertex displaced exactly offset in y
+            assert np.allclose(g[:, 1], sign * expect)
+            assert np.allclose(g[:, 0], geom[:, 0])
+
+    def test_realistic_offset_default_width_fallback(self):
+        """Ways without a width tag offset by the per-class default
+        width (or the global fallback when the class is unknown)."""
+        from dataclasses import replace
+
+        from cqi_ray.offsets import fan_out
+        from cqi_ray.params import DEFAULT_PARAMS
+
+        p = replace(DEFAULT_PARAMS, offset_distance="realistic")
+        geom = np.array([[0.0, 0.0], [10.0, 0.0]])
+        row = {"id": "w2", "highway": "residential",
+               "cycleway:right": "lane", "geometry_m": geom}
+        out = fan_out(dict(row), p)
+        side = [r for r in out[1:] if r["side"] == "right"]
+        assert len(side) == 1
+        want = p.default_highway_width.get(
+            "residential", p.default_highway_width_fallback) / 2
+        assert side[0]["offset"] == want
+        assert np.allclose(side[0]["geometry_m"][:, 1], -want)
+
 
 class TestUTMZones:
     def test_zone_selection(self):
