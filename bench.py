@@ -212,6 +212,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("images_augment", lambda: q.q_images_augment(sf_dir))
     bench("ar_bucket", lambda: q.q_ar_bucket(sf_dir))
     bench("winsorize", lambda: q.q_winsorize(sf_dir))
+    bench("joint_curation", lambda: q.q_joint_curation(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

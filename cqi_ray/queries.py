@@ -2894,6 +2894,75 @@ SELECT doc_id, w, h, bucket, fit FROM scored WHERE rn = 1
 """
 
 
+def q_joint_curation(sf_dir: str, limit: int = 400, min_tokens: int = 20):
+    """Cross-modal curation: an image+caption training pair survives only
+    if BOTH modalities pass their gates — the fused filter every
+    multimodal dataset build runs before packing.  Image side: the
+    decode→sharpness/exposure/entropy gate (q_images_quality kernels);
+    text side: TextStats + LangId over the caption documents.  The two
+    per-modality flag streams (tiny scalar rows regardless of payload
+    size) meet in ONE bucketed hash join on doc_id — neither modality's
+    features broadcast or materialize on the driver.  Emits a per-pair
+    verdict plus the failure reason so drops are auditable.  Rows-only
+    (the image half is not SQL-expressible); both halves' kernels are
+    pinned by their own oracle/pytest coverage."""
+    from .images.analysis import (dhash64, image_stats, laplacian_var,
+                                  quality_flags, to_gray)
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+
+    def img_flags(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        sharp = np.empty(n)
+        mean = np.empty(n)
+        std = np.empty(n)
+        ent = np.empty(n)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            g = to_gray(decode_image(data, fmt, int(w), int(h)))
+            sharp[i] = laplacian_var(g)
+            mean[i], std[i], ent[i] = image_stats(g)
+        return pd.DataFrame({
+            "doc_id": np.asarray(
+                [int(str(i).split("_")[1]) for i in b["image_id"]],
+                dtype=np.int64),
+            "img_keep": quality_flags(sharp, mean, std, ent)})
+
+    iflags = imgs.map_batches(img_flags, batch_format="pandas")
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .limit(limit)
+    stats = docs.map_batches(TextStats(), batch_format="pandas")
+    lang = stats.map_batches(LangId(), batch_format="pandas")
+
+    def text_flags(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "text_keep": (b["n_tokens"].to_numpy() >= min_tokens)
+            & (b["lang_pred"].to_numpy() != "und")})
+
+    tflags = lang.map_batches(text_flags, batch_format="pandas")
+
+    joined = bucketed_hash_join(
+        iflags, tflags, on="doc_id", right_cols=["doc_id", "text_keep"],
+        num_buckets=8, restore_dtypes={"doc_id": "int64"})
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        ik = b["img_keep"].to_numpy(dtype=bool)
+        tk = b["text_keep"].to_numpy(dtype=bool)
+        reason = np.where(ik & tk, "",
+                          np.where(~ik & ~tk, "image;text",
+                                   np.where(~ik, "image", "text")))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "img_keep": ik, "text_keep": tk,
+            "keep": ik & tk, "reason": reason})
+
+    return joined.map_batches(verdict, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: passage dedup / repetition / decontamination / stats
 # ---------------------------------------------------------------------------
@@ -9044,6 +9113,7 @@ QUERIES = {
     "images_augment": q_images_augment,
     "ar_bucket": q_ar_bucket,
     "winsorize": q_winsorize,
+    "joint_curation": q_joint_curation,
 }
 
 ORACLES = {

@@ -446,6 +446,41 @@ class TestAugment:
         expect = augment.brightness(augment.hflip(px), 1.25)
         assert np.array_equal(out, expect)
 
+    def test_joint_curation_consistency(self, ray_session):
+        """Cross-modal gate: keep ⇔ both modality flags, reasons name the
+        failing side(s), and each side matches its standalone pipeline."""
+        import pandas as pd
+
+        from cqi_ray.ops.text import LangId, TextStats
+        from cqi_ray.queries import q_images_quality, q_joint_curation
+
+        out = q_joint_curation("/root/testdata/sf0.001", limit=64) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == 64
+        assert (out["keep"] == (out["img_keep"] & out["text_keep"])).all()
+        for r in out.itertuples(index=False):
+            want = ";".join(
+                s for s, bad in (("image", not r.img_keep),
+                                 ("text", not r.text_keep)) if bad)
+            assert r.reason == want
+        # image side == the standalone quality pipeline on the same rows
+        iq = q_images_quality("/root/testdata/sf0.001", limit=64).to_pandas()
+        iq["doc_id"] = iq["image_id"].str.split("_").str[1].astype("int64")
+        merged = out.merge(iq[["doc_id", "keep"]].rename(
+            columns={"keep": "expect_img"}), on="doc_id")
+        assert (merged["img_keep"] == merged["expect_img"]).all()
+        # text side == TextStats+LangId recomputed locally
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"]).head(64)
+        stats = TextStats()(docs)
+        lang = LangId()(stats)
+        expect_txt = (lang["n_tokens"].to_numpy() >= 20) \
+            & (lang["lang_pred"].to_numpy() != "und")
+        by_id = dict(zip(lang["doc_id"].astype(int), expect_txt))
+        assert all(bool(by_id[int(d)]) == bool(k)
+                   for d, k in zip(out["doc_id"], out["text_keep"]))
+        assert 0 < out["keep"].sum()
+
     def test_query_decode_back(self, ray_session):
         """The emitted pHash/dims must match recomputation from the source
         pixels through the same plan — proving the distributed stage and
