@@ -103,6 +103,25 @@ def ssim(a: np.ndarray, b: np.ndarray, win: int = 8,
     return float(np.mean(num / den))
 
 
+def dihedral_phashes(pixels: np.ndarray) -> np.ndarray:
+    """pHash of all 8 dihedral transforms (4 rotations × optional
+    horizontal flip) of an image, as int64[8] in the fixed order
+    (rot0, rot0+hflip, rot90, rot90+hflip, rot180, rot180+hflip,
+    rot270, rot270+hflip).  A flipped/rotated re-upload of an image
+    hashes EXACTLY equal to one of its source's 8 entries — the
+    orientation-robust fingerprint family plain pHash lacks (pHash's
+    DCT is not flip/rotation invariant)."""
+    from .codec import phash64
+
+    out = np.empty(8, dtype=np.int64)
+    cur = np.asarray(pixels)
+    for r in range(4):
+        out[2 * r] = np.uint64(phash64(cur)).astype(np.int64)
+        out[2 * r + 1] = np.uint64(phash64(cur[:, ::-1])).astype(np.int64)
+        cur = np.rot90(cur, axes=(0, 1))
+    return out
+
+
 def quality_flags(sharpness: np.ndarray, mean: np.ndarray,
                   std: np.ndarray, entropy: np.ndarray,
                   min_sharpness: float = 1.0,

@@ -291,7 +291,13 @@ def phash64(pixels: np.ndarray) -> int:
     global _DCT_MAT
     if _DCT_MAT is None:
         _DCT_MAT = _dct_matrix(_DCT_N)
-    gray = np.asarray(pixels, dtype=np.float64) @ np.array([0.299, 0.587, 0.114])
+    # ascontiguousarray: BLAS picks different kernels (different float
+    # summation order) for strided views vs C-contiguous inputs — a rot90/
+    # flip VIEW would hash differently from its contiguous copy by 1-ulp
+    # drift flipping near-median bits.  Canonicalize the layout so the
+    # hash is a function of pixel VALUES only.
+    gray = np.ascontiguousarray(pixels, dtype=np.float64) \
+        @ np.array([0.299, 0.587, 0.114])
     small = _area_resize(gray, _DCT_N)
     dct = _DCT_MAT.T @ small @ _DCT_MAT
     block = dct[:8, :8].copy()

@@ -2894,6 +2894,91 @@ SELECT doc_id, w, h, bucket, fit FROM scored WHERE rn = 1
 """
 
 
+def q_dedup_orientation(sf_dir: str, limit: int = 200, max_hamming: int = 6):
+    """Orientation-robust image near-dup detection: a flipped/rotated
+    re-upload hashes EXACTLY equal to one of its source's 8 dihedral
+    pHashes (images/analysis.dihedral_phashes), so the match that plain
+    pHash misses becomes an ordinary hash-LSH join.  Corpus = originals
+    (8 hash rows each, one per dihedral transform — a bounded 8×
+    fan-out, like LSH banding) ∪ augmented re-uploads (1 hash row each,
+    from the deterministic augment plans); banding with
+    bands = max_hamming+1 gives exact pigeonhole recall at the verify
+    threshold; verification is the exact-dup-pile-safe grouped hamming
+    kernel, filtered to cross-kind (aug↔orig) pairs.  Photometric edits
+    are out of scope by design (pHash's DCT is brightness-fragile on
+    synthetic patterns; the dHash family covers brightness shifts).
+    Rows-only; tests/test_images.py pins exact recall of every
+    pure-geometric re-upload."""
+    from .images.analysis import dihedral_phashes
+    from .images.augment import apply_plan, plan_for
+    from .images.codec import decode_image, phash64
+    from .ops.dedup import (hamming_dup_pairs_grouped, hash_band_rows,
+                            run_bounds)
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+    bands = max_hamming + 1
+
+    def orig_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for img_id, data, fmt, w, h in zip(
+                b["image_id"], b["bytes"], b["fmt"], b["w"], b["h"]):
+            px = decode_image(data, fmt, int(w), int(h))
+            for hh in dihedral_phashes(px):
+                ids.append(f"o_{img_id}")
+                hs.append(hh)
+        return pd.DataFrame({"rid": ids,
+                             "phash": np.asarray(hs, dtype=np.int64)})
+
+    def aug_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for img_id, data, fmt, w, h in zip(
+                b["image_id"], b["bytes"], b["fmt"], b["w"], b["h"]):
+            index = int(str(img_id).split("_")[1])
+            px = decode_image(data, fmt, int(w), int(h))
+            aug = apply_plan(px, plan_for(index))
+            ids.append(f"a_{img_id}")
+            hs.append(np.uint64(phash64(aug)).astype(np.int64))
+        return pd.DataFrame({"rid": ids,
+                             "phash": np.asarray(hs, dtype=np.int64)})
+
+    union = imgs.map_batches(orig_rows, batch_format="pandas").union(
+        imgs.map_batches(aug_rows, batch_format="pandas"))
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        df = hash_band_rows(batch["phash"].to_numpy(),
+                            batch["rid"].to_numpy(), bands=bands)
+        df["phash"] = np.tile(batch["phash"].to_numpy(), bands)
+        return df
+
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"aug": pd.Series(dtype=object),
+                              "orig": pd.Series(dtype=object)})
+        if not len(bucket):
+            return empty
+        bounds = run_bounds(bucket["band_id"].to_numpy(),
+                            bucket["band_hash"].to_numpy())
+        a, b = hamming_dup_pairs_grouped(bucket["doc_id"].to_numpy(),
+                                         bucket["phash"].to_numpy(),
+                                         bounds, max_hamming)
+        if not len(a):
+            return empty
+        # cross-kind only; 'a_*' < 'o_*' so a is always the aug side
+        a = np.asarray(a, dtype=object)
+        b = np.asarray(b, dtype=object)
+        m = np.array([x[:2] == "a_" and y[:2] == "o_"
+                      for x, y in zip(a, b)], dtype=bool)
+        return pd.DataFrame({
+            "aug": [x[2:] for x in a[m]],
+            "orig": [y[2:] for y in b[m]]})
+
+    pairs = grouped_map_buckets(
+        union.map_batches(to_bands, batch_format="pandas"),
+        ["band_id", "band_hash"], verify_bucket, num_buckets=32,
+        whole_bucket=True)
+    return distinct_rows(pairs, ["aug", "orig"], num_buckets=8)
+
+
 def q_joint_curation(sf_dir: str, limit: int = 400, min_tokens: int = 20):
     """Cross-modal curation: an image+caption training pair survives only
     if BOTH modalities pass their gates — the fused filter every
@@ -9114,6 +9199,7 @@ QUERIES = {
     "ar_bucket": q_ar_bucket,
     "winsorize": q_winsorize,
     "joint_curation": q_joint_curation,
+    "dedup_orientation": q_dedup_orientation,
 }
 
 ORACLES = {

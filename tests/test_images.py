@@ -446,6 +446,51 @@ class TestAugment:
         expect = augment.brightness(augment.hflip(px), 1.25)
         assert np.array_equal(out, expect)
 
+    def test_dihedral_phashes_exact_under_transforms(self):
+        from cqi_ray.images.analysis import dihedral_phashes
+        from cqi_ray.images.codec import phash64
+
+        px = synth._pixels_for(13, 32, 32)
+        dh = set(dihedral_phashes(px).tolist())
+        for t in (px[:, ::-1], px[::-1, :], np.rot90(px, axes=(0, 1)),
+                  np.rot90(px, 3, axes=(0, 1))):
+            h = np.uint64(phash64(np.ascontiguousarray(t))).astype(np.int64)
+            assert int(h) in dh
+
+    def test_phash_layout_invariant(self):
+        """phash64 must be a function of pixel VALUES, not memory layout
+        (strided rot90/flip views vs contiguous copies hit different
+        BLAS summation orders)."""
+        from cqi_ray.images.codec import phash64
+
+        px = synth._pixels_for(10, 32, 32)
+        view = np.rot90(px, axes=(0, 1))
+        assert phash64(view) == phash64(np.ascontiguousarray(view))
+        flipped = px[:, ::-1]
+        assert phash64(flipped) == phash64(np.ascontiguousarray(flipped))
+
+    def test_dedup_orientation_exact_geo_recall(self, ray_session):
+        """Every purely-geometric re-upload (flip/rot plans, no
+        photometric op) must match its own source; photometric and crop
+        plans are documented out of scope."""
+        from cqi_ray.images.augment import plan_for
+        from cqi_ray.queries import q_dedup_orientation
+
+        n = 48
+        out = q_dedup_orientation("/root/testdata/sf0.001", limit=n) \
+            .to_pandas()
+        matched = set(zip(out["aug"], out["orig"]))
+        for idx in range(n):
+            plan = plan_for(idx)
+            img = f"img_{idx:012d}"
+            if "crop" not in plan and len(plan) == 1:  # pure geometric
+                assert (img, img) in matched, (idx, plan)
+        # crop plans never reach the hamming<=6 bar on this corpus
+        for idx in range(n):
+            if "crop" in plan_for(idx):
+                img = f"img_{idx:012d}"
+                assert (img, img) not in matched
+
     def test_joint_curation_consistency(self, ray_session):
         """Cross-modal gate: keep ⇔ both modality flags, reasons name the
         failing side(s), and each side matches its standalone pipeline."""
