@@ -214,6 +214,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("winsorize", lambda: q.q_winsorize(sf_dir))
     bench("joint_curation", lambda: q.q_joint_curation(sf_dir))
     bench("dedup_orientation", lambda: q.q_dedup_orientation(sf_dir))
+    bench("shards_roundtrip", lambda: q.q_shards_roundtrip(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -2979,6 +2979,48 @@ def q_dedup_orientation(sf_dir: str, limit: int = 200, max_hamming: int = 6):
     return distinct_rows(pairs, ["aug", "orig"], num_buckets=8)
 
 
+def q_shards_roundtrip(sf_dir: str, limit: int = 256,
+                       samples_per_shard: int = 64):
+    """WebDataset-style shard sink + source fidelity (io/shards.py):
+    pack image+caption samples into deterministic tar shards (one shard
+    per task, only the tiny manifest crosses the object store), stream
+    them back (one shard per task), and emit per-sample integrity
+    scalars (payload md5, pHash, caption) — proving the binary
+    encode→decode cycle loses nothing.  The dataloader-facing output
+    layout for multimodal training corpora; resumable by construction
+    (shard files are byte-identical on re-run/retry).  Rows-only
+    (binary payloads are not SQL-expressible); tests/test_images.py
+    compares every scalar against the source table."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .io.shards import read_image_shards, write_image_shards
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+    tmp = tempfile.mkdtemp(prefix="cqi_ray_shards_")
+    try:
+        manifest = write_image_shards(imgs, tmp, samples_per_shard) \
+            .to_pandas()  # executes the sink; one tiny row per shard
+        assert int(manifest["n_samples"].sum()) == limit
+
+        def digest(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "image_id": b["image_id"],
+                "fmt": b["fmt"],
+                "caption": b["caption"],
+                "n_bytes": b["bytes"].map(len).astype("int64"),
+                "bytes_md5": [hashlib.md5(bytes(x)).hexdigest()
+                              for x in b["bytes"]],
+                "phash": b["phash"].astype("int64")})
+
+        return read_image_shards(tmp).map_batches(
+            digest, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_joint_curation(sf_dir: str, limit: int = 400, min_tokens: int = 20):
     """Cross-modal curation: an image+caption training pair survives only
     if BOTH modalities pass their gates — the fused filter every
@@ -9200,6 +9242,7 @@ QUERIES = {
     "winsorize": q_winsorize,
     "joint_curation": q_joint_curation,
     "dedup_orientation": q_dedup_orientation,
+    "shards_roundtrip": q_shards_roundtrip,
 }
 
 ORACLES = {

@@ -491,6 +491,43 @@ class TestAugment:
                 img = f"img_{idx:012d}"
                 assert (img, img) not in matched
 
+    def test_shards_roundtrip_byte_exact(self, ray_session, tmp_path):
+        """Shard sink/source: every payload byte, caption, dim and hash
+        survives the tar round trip; shard bytes are deterministic."""
+        import hashlib
+
+        from cqi_ray.io.shards import read_image_shards, write_image_shards
+        from cqi_ray.pipelines.flagship import build_images
+        from cqi_ray.queries import q_shards_roundtrip
+
+        sf = "/root/testdata/sf0.001"
+        src = build_images(sf, limit=48).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+
+        d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+        m1 = write_image_shards(build_images(sf, limit=48), d1, 16).to_pandas()
+        m2 = write_image_shards(build_images(sf, limit=48), d2, 16).to_pandas()
+        assert int(m1["n_samples"].sum()) == 48
+        # deterministic shard bytes: same shard names -> same md5
+        a = m1.sort_values("shard").reset_index(drop=True)
+        b = m2.sort_values("shard").reset_index(drop=True)
+        assert list(a["shard"]) == list(b["shard"])
+        assert list(a["md5"]) == list(b["md5"])
+
+        back = read_image_shards(d1).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert list(back["image_id"]) == list(src["image_id"])
+        assert list(back["caption"]) == list(src["caption"])
+        assert list(back["phash"]) == list(src["phash"])
+        assert [bytes(x) for x in back["bytes"]] \
+            == [bytes(x) for x in src["bytes"]]
+
+        out = q_shards_roundtrip(sf, limit=48, samples_per_shard=16) \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert list(out["bytes_md5"]) \
+            == [hashlib.md5(bytes(x)).hexdigest() for x in src["bytes"]]
+        assert list(out["caption"]) == list(src["caption"])
+
     def test_joint_curation_consistency(self, ray_session):
         """Cross-modal gate: keep ⇔ both modality flags, reasons name the
         failing side(s), and each side matches its standalone pipeline."""
