@@ -215,6 +215,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("joint_curation", lambda: q.q_joint_curation(sf_dir))
     bench("dedup_orientation", lambda: q.q_dedup_orientation(sf_dir))
     bench("shards_roundtrip", lambda: q.q_shards_roundtrip(sf_dir))
+    bench("dedup_normalized", lambda: q.q_dedup_normalized(sf_dir))
+    bench("delta_dedup", lambda: q.q_delta_dedup(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

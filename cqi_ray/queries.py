@@ -567,6 +567,81 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Canonicalized exact dedup — catches the most common web-dupe
+    class (case / punctuation / whitespace variants) that byte-exact
+    dedup misses: canon = trim(collapse-ws(strip-punct(lower(text)))),
+    keep min doc_id per canonical md5.  Same bucketed-shuffle shape as
+    q_dedup_exact, but the shuffle key is the 32-hex md5 of the
+    canonical form, so long texts never travel — only (doc_id, md5)
+    rows cross the exchange."""
+    import hashlib
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        c = (b["text"].fillna("").str.lower()
+             .str.replace(r"[.,!?;:]", "", regex=True)
+             .str.replace(r"\s+", " ", regex=True)
+             .str.strip())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "canon_md5": [hashlib.md5(x.encode()).hexdigest() for x in c]})
+
+    keyed = docs.map_batches(canon, batch_format="pandas")
+    return exact_dedup(keyed, key="canon_md5", order_col="doc_id")
+
+
+Q_DEDUP_NORMALIZED_SQL = """
+SELECT min(doc_id) AS doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '',
+                                              'g'), '\\s+', ' ', 'g')))
+         AS canon_md5
+FROM documents
+GROUP BY canon_md5
+"""
+
+
+def q_delta_dedup(sf_dir: str):
+    """Incremental-ingest dedup: which INCOMING documents (doc_id % 5 =
+    0, the scale-free 20% delta slice) are new relative to the existing
+    CORPUS (the other 80%)?  Both sides project to (doc_id, md5(text))
+    so text never travels, then ONE co-partitioned bucketed ANTI join
+    on the content hash — the shape of a daily crawl-delta merge where
+    neither side fits anywhere whole.  Survivors keep their doc_id."""
+    from .ops.text import md5_fingerprint
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "content_md5": md5_fingerprint(b["text"].tolist())})
+
+    h = docs.map_batches(hashed, batch_format="pandas")
+    incoming = h.map_batches(
+        lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas")
+    corpus = h.map_batches(
+        lambda b: b.loc[b["doc_id"] % 5 != 0, ["content_md5"]],
+        batch_format="pandas")
+    out = bucketed_anti_join(incoming, corpus, on="content_md5",
+                             num_buckets=16)
+    # the anti join's union shuffle NaN-fills the right side's missing
+    # doc_id, upcasting it to float64 — restore the key dtype
+    return out.map_batches(
+        lambda b: b.assign(doc_id=b["doc_id"].astype("int64")),
+        batch_format="pandas")
+
+
+Q_DELTA_DEDUP_SQL = """
+SELECT i.doc_id, md5(i.text) AS content_md5
+FROM documents i
+WHERE i.doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % 5 != 0 AND md5(c.text) = md5(i.text))
+"""
+
+
 def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
                            num_perm: int = 64, threshold: float = 0.6,
                            est_prune: float | None = 0.45) -> rd.Dataset:
@@ -9243,6 +9318,8 @@ QUERIES = {
     "joint_curation": q_joint_curation,
     "dedup_orientation": q_dedup_orientation,
     "shards_roundtrip": q_shards_roundtrip,
+    "dedup_normalized": q_dedup_normalized,
+    "delta_dedup": q_delta_dedup,
 }
 
 ORACLES = {
@@ -9388,6 +9465,8 @@ ORACLES = {
     "robust_scale": Q_ROBUST_SCALE_SQL,
     "winsorize": Q_WINSORIZE_SQL,
     "ar_bucket": Q_AR_BUCKET_SQL,
+    "dedup_normalized": Q_DEDUP_NORMALIZED_SQL,
+    "delta_dedup": Q_DELTA_DEDUP_SQL,
     "autocorr": Q_AUTOCORR_SQL,
     "benford": Q_BENFORD_SQL,
     "fk_audit": Q_FK_AUDIT_SQL,
