@@ -28,8 +28,12 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(pixels: np.ndarray, compress_level: int = 6) -> bytes:
-    """RGB8 (h, w, 3) -> PNG bytes (color type 2, no interlace)."""
+def png_encode(pixels: np.ndarray, compress_level: int = 1) -> bytes:
+    """RGB8 (h, w, 3) -> PNG bytes (color type 2, no interlace).
+
+    Level-1 default: ~4x less deflate CPU than level 6 for a few % of
+    size on this payload class, and the flagship encodes millions of
+    frames through this path."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     h, w, ch = arr.shape
     if ch != 3:
@@ -45,6 +49,11 @@ def png_encode(pixels: np.ndarray, compress_level: int = 6) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     stride = w * bpp
+    # fast path: every scanline filter-0 (what this engine writes, and
+    # what most encoders emit for synthetic/flat content) — the whole
+    # image is one slice, no per-row loop
+    if not raw[:, 0].any():
+        return np.ascontiguousarray(raw[:, 1:])
     out = np.zeros((h, stride), dtype=np.uint8)
     for row in range(h):
         ftype = raw[row, 0]
@@ -193,10 +202,15 @@ def lossy_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
     planes = []
     for c in range(3):
         blocks, H, W = _to_blocks(arr[:, :, c].astype(np.float64) - 128.0)
-        coeff = np.einsum("ij,bjk,lk->bil", D, blocks, D)
+        # batched BLAS matmul, NOT einsum: same (b,8,8) contraction runs
+        # ~10x faster through dgemm (measured 1234 -> 119 us/img at 64px)
+        coeff = (D @ blocks) @ D.T
         quant = np.round(coeff / q).astype(np.int16)
         planes.append(quant.ravel())
-    payload = zlib.compress(np.concatenate(planes).astype("<i2").tobytes(), 6)
+    # level 1: the quantized planes are sparse small ints — level 6 costs
+    # ~4x the CPU (measured 1035 vs 273 us/img) for a few % of size on
+    # this payload class, and the codec stage is the flagship's hot path
+    payload = zlib.compress(np.concatenate(planes).astype("<i2").tobytes(), 1)
     return (_LJPG_MAGIC + struct.pack("<BHH", min(100, max(1, quality)), w, h)
             + payload)
 
@@ -216,7 +230,7 @@ def lossy_decode(data: bytes) -> np.ndarray:
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         quant = coeffs[c * per:(c + 1) * per].reshape(-1, _B, _B) * q
-        blocks = np.einsum("ji,bjk,kl->bil", D, quant, D)
+        blocks = (D.T @ quant) @ D  # batched BLAS, see lossy_encode
         chan = _from_blocks(blocks, H, W, h, w) + 128.0
         out[:, :, c] = np.clip(np.round(chan), 0, 255).astype(np.uint8)
     return out
