@@ -29,6 +29,27 @@ class TestCodec:
         assert out.shape == (8, 8, 3)
         assert np.array_equal(out[:, :, 0], gray)
 
+    def test_png_nonzero_filter_path(self):
+        """The filter-0 whole-image fast path must not break decoding of
+        externally-encoded PNGs using Up (type 2) filters."""
+        import struct
+        import zlib
+
+        h, w = 8, 8
+        img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+        flat = img.reshape(h, -1)
+        raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+        raw[:, 0] = 2  # Up filter on every scanline
+        raw[0, 1:] = flat[0]
+        for r in range(1, h):
+            raw[r, 1:] = (flat[r].astype(int) - flat[r - 1].astype(int)) \
+                & 0xFF
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (codec._PNG_SIG + codec._chunk(b"IHDR", ihdr)
+                + codec._chunk(b"IDAT", zlib.compress(raw.tobytes()))
+                + codec._chunk(b"IEND", b""))
+        assert np.array_equal(codec.png_decode(data), img)
+
     def test_raw_roundtrip(self):
         px = synth._pixels_for(9, 16, 16)
         assert np.array_equal(codec.raw_decode(codec.raw_encode(px), 16, 16), px)
