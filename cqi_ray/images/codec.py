@@ -314,13 +314,12 @@ def phash64(pixels: np.ndarray) -> int:
         @ np.array([0.299, 0.587, 0.114])
     small = _area_resize(gray, _DCT_N)
     dct = _DCT_MAT.T @ small @ _DCT_MAT
-    block = dct[:8, :8].copy()
-    flat = np.concatenate([block.ravel()[1:]])  # drop DC
+    flat = dct[:8, :8].ravel()[1:]  # drop DC
     med = np.median(flat)
-    bits = (block.ravel()[1:] > med).astype(np.uint64)
-    value = np.uint64(0)
-    for bit in bits:
-        value = (value << np.uint64(1)) | bit
+    # MSB-first weighted dot — same value as the former shift loop
+    weights = np.left_shift(np.uint64(1),
+                            np.arange(62, -1, -1, dtype=np.uint64))
+    value = np.uint64((flat > med).astype(np.uint64) @ weights)
     return int(value.astype(np.int64))  # store as signed int64 column
 
 
