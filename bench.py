@@ -349,3 +349,9 @@ if __name__ == "__main__":
         headline()
     else:
         main()
+    # ray.shutdown() occasionally wedges for minutes at interpreter exit
+    # on this VM (raylet teardown); the JSON contract line is already on
+    # stdout, so flush and leave without running atexit hooks
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
