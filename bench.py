@@ -217,6 +217,11 @@ def run_suite(sf_dir: str) -> dict:
     bench("shards_roundtrip", lambda: q.q_shards_roundtrip(sf_dir))
     bench("dedup_normalized", lambda: q.q_dedup_normalized(sf_dir))
     bench("delta_dedup", lambda: q.q_delta_dedup(sf_dir))
+    bench("bpe_train", lambda: q.q_bpe_train(sf_dir))
+    bench("bpe_tokenize", lambda: q.q_bpe_tokenize(sf_dir))
+    bench("scd2_merge", lambda: q.q_scd2_merge(sf_dir))
+    bench("embed_quantize", lambda: q.q_embed_quantize(sf_dir))
+    bench("quota_sample", lambda: q.q_quota_sample(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

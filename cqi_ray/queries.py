@@ -9140,6 +9140,212 @@ def q_images_montage(sf_dir: str, n_images: int = 64, grid: int = 4,
                             batch_size=per)
 
 
+def q_bpe_train(sf_dir: str, num_merges: int = 96, top_v: int = 8192):
+    """BPE vocabulary learning over the document corpus — the tokenizer-
+    training stage of an LLM data pipeline (Sennrich et al. 2016).  The
+    corpus-proportional work is ONE distributed word-frequency reduce
+    (per-block Counter partials -> bucketed global sum); the iterative
+    merge loop then runs over the BOUNDED top-V word table (per-block
+    partial top-V, <= V rows per block reach the driver — never the
+    corpus), the standard fastBPE/SentencePiece factorization.  Output:
+    the learned merge table (rank, left, right, merged, freq).
+    Deterministic: frequency ties break lexicographically."""
+    from .ops.bpe import block_word_counts, learn_merges
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+    wc = partial_then_global_sum(
+        docs.map_batches(block_word_counts, batch_format="pandas"),
+        keys=["word"], sums={"n": "n"}, num_buckets=8)
+
+    def block_topv(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "word"],
+                             ascending=[False, True]).head(top_v)
+
+    parts = wc.map_batches(block_topv, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["n", "word"],
+                            ascending=[False, True]).head(top_v)
+    merges = learn_merges(list(zip(top["word"], top["n"])), num_merges)
+    return pd.DataFrame({
+        "rank": np.asarray([m[0] for m in merges], dtype=np.int64),
+        "left": [m[1] for m in merges],
+        "right": [m[2] for m in merges],
+        "merged": [m[3] for m in merges],
+        "freq": np.asarray([m[4] for m in merges], dtype=np.int64)})
+
+
+def q_bpe_tokenize(sf_dir: str, num_merges: int = 96, top_v: int = 8192):
+    """Tokenize every document with the corpus-learned BPE vocabulary
+    and report per-doc token statistics — the token-counting pass that
+    sizes a training mix.  Train (bounded, see q_bpe_train) then ONE
+    pure map over documents: merge ranks are ray.put-broadcast once and
+    each worker keeps a word->pieces cache, so the hot path is a dict
+    hit per repeated word.  Integer-exact output (doc_id, n_tokens,
+    n_token_types)."""
+    from .ops.bpe import WordEncoder
+
+    merges = q_bpe_train(sf_dir, num_merges=num_merges, top_v=top_v)
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    ref = ray.put(ranks)
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        enc = WordEncoder(ray.get(ref))
+        n_tok, n_typ = enc.doc_stats(b["text"].tolist())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_tokens": n_tok, "n_token_types": n_typ})
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(tok, batch_format="pandas")
+
+
+def q_scd2_merge(sf_dir: str):
+    """Slowly-changing-dimension (type 2) collapse of the event stream:
+    per user, consecutive runs of the same event_type become ONE
+    version row with [valid_from_us, valid_to_us) validity (the open
+    current version carries valid_to_us = -1) and a per-user
+    version_no — the CDC-merge shape of a warehouse upsert.  One
+    bucketed shuffle on user_id; run collapse + validity + versioning
+    are vectorized numpy over each whole bucket.  Timestamps compare in
+    microseconds end-to-end (unit-safe; see ADVICE r1 on datetime64
+    units)."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id",
+                                        "event_type", "ts"])
+
+    def collapse(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        u = b["user_id"].to_numpy(dtype=np.int64)
+        et = b["event_type"].to_numpy(dtype=object)
+        ts = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if len(b) == 0:
+            return pd.DataFrame({
+                "user_id": np.array([], dtype=np.int64),
+                "event_type": np.array([], dtype=object),
+                "valid_from_us": np.array([], dtype=np.int64),
+                "valid_to_us": np.array([], dtype=np.int64),
+                "version_no": np.array([], dtype=np.int64)})
+        new_user = np.empty(len(b), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        changed = new_user.copy()
+        changed[1:] |= et[1:] != et[:-1]
+        idx = np.flatnonzero(changed)
+        ku, kt, kf = u[idx], et[idx], ts[idx]
+        valid_to = np.full(len(idx), -1, dtype=np.int64)
+        same = ku[:-1] == ku[1:]
+        valid_to[:-1][same] = kf[1:][same]
+        newk = np.empty(len(idx), dtype=bool)
+        newk[0] = True
+        newk[1:] = ku[1:] != ku[:-1]
+        starts = np.flatnonzero(newk)
+        run_id = np.cumsum(newk) - 1
+        version = np.arange(len(idx), dtype=np.int64) - starts[run_id] + 1
+        return pd.DataFrame({
+            "user_id": ku, "event_type": kt, "valid_from_us": kf,
+            "valid_to_us": valid_to, "version_no": version})
+
+    return grouped_map_buckets(ev, ["user_id"], collapse, num_buckets=16,
+                               whole_bucket=True)
+
+
+Q_SCD2_MERGE_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (SELECT user_id, event_type, event_id, ts_us FROM o
+      WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       coalesce(lead(ts_us) OVER w2, -1) AS valid_to_us,
+       CAST(row_number() OVER w2 AS BIGINT) AS version_no
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def q_embed_quantize(sf_dir: str):
+    """Symmetric per-vector int8 scalar quantization of the embedding
+    corpus — the storage/serving compression pass before ANN indexing
+    (scale = 127/max|v|, code = floor(v*scale + 0.5)).  A pure
+    streaming map; outputs are INTEGER-exact per-vector code moments
+    (sum, sum-of-squares, max|code|) so the cross-engine hash compare
+    is immune to float summation order (BASELINE.md float-parity
+    facts).  Explicit floor(x+0.5) rounding on BOTH sides dodges the
+    numpy-bankers vs DuckDB-half-away divergence."""
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        ma = np.abs(x).max(axis=1)
+        safe = np.where(ma == 0, 1.0, ma)
+        scale = np.where(ma == 0, 0.0, 127.0 / safe)
+        q = np.floor(x * scale[:, None] + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "q_sum": q.sum(axis=1),
+            "q_ssq": (q * q).sum(axis=1),
+            "q_max": np.abs(q).max(axis=1)})
+
+    return emb.map_batches(quant, batch_format="pandas")
+
+
+Q_EMBED_QUANTIZE_SQL = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+m AS (SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings),
+q AS (SELECT e.vec_id,
+             CASE WHEN m.ma = 0 THEN 0
+                  ELSE CAST(floor(CAST(e.embedding[d] AS DOUBLE)
+                                  * (127.0 / m.ma) + 0.5) AS BIGINT)
+             END AS qv
+      FROM embeddings e JOIN m ON m.vec_id = e.vec_id CROSS JOIN dims)
+SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
+       CAST(sum(qv * qv) AS BIGINT) AS q_ssq,
+       CAST(max(abs(qv)) AS BIGINT) AS q_max
+FROM q GROUP BY vec_id
+"""
+
+
+def q_quota_sample(sf_dir: str, cap: int = 20):
+    """Per-source quota sampling: keep at most ``cap`` documents per
+    source, chosen by deterministic content-hash order — the per-domain
+    cap of web-corpus curation (no single domain dominates the mix).
+    Differs from q_sample_stratified (per-stratum RATE) by enforcing an
+    absolute per-group COUNT.  One bucketed shuffle on source; rank +
+    cut are vectorized over each whole bucket.  Hash order makes the
+    kept set independent of partitioning and engine."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b["h"] = md5_lower64(b["doc_id"].astype(str).tolist())
+        b = b.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        rn = b.groupby("source", sort=False).cumcount() + 1
+        out = b.loc[rn.to_numpy() <= cap, ["doc_id", "source"]]
+        out["rn"] = rn[rn <= cap].astype("int64").to_numpy()
+        return out
+
+    return grouped_map_buckets(docs, ["source"], pick, num_buckets=8,
+                               whole_bucket=True)
+
+
+Q_QUOTA_SAMPLE_SQL = """
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS rn
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9320,6 +9526,11 @@ QUERIES = {
     "shards_roundtrip": q_shards_roundtrip,
     "dedup_normalized": q_dedup_normalized,
     "delta_dedup": q_delta_dedup,
+    "bpe_train": q_bpe_train,
+    "bpe_tokenize": q_bpe_tokenize,
+    "scd2_merge": q_scd2_merge,
+    "embed_quantize": q_embed_quantize,
+    "quota_sample": q_quota_sample,
 }
 
 ORACLES = {
@@ -9477,4 +9688,7 @@ ORACLES = {
     "copy_matrix": Q_COPY_MATRIX_SQL,
     "pmi_pairs": Q_PMI_PAIRS_SQL,
     "bm25": Q_BM25_SQL,
+    "scd2_merge": Q_SCD2_MERGE_SQL,
+    "embed_quantize": Q_EMBED_QUANTIZE_SQL,
+    "quota_sample": Q_QUOTA_SAMPLE_SQL,
 }
