@@ -222,6 +222,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("scd2_merge", lambda: q.q_scd2_merge(sf_dir))
     bench("embed_quantize", lambda: q.q_embed_quantize(sf_dir))
     bench("quota_sample", lambda: q.q_quota_sample(sf_dir))
+    bench("join_adaptive", lambda: q.q_join_adaptive(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -26,8 +26,9 @@ from .ops.ann import batch_topk_partials, merge_topk
 from .ops.dedup import (MinHasher, band_rows, char_shingles, jaccard,
                         md5_lower64, simhash64)
 from .ops.text import LangId, TextStats, fingerprint_batch
-from .relational import (broadcast_map_join, bucketed_anti_join,
-                         bucketed_hash_join, bucketed_set_op, distinct_rows,
+from .relational import (adaptive_join, broadcast_map_join,
+                         bucketed_anti_join, bucketed_hash_join,
+                         bucketed_set_op, distinct_rows,
                          exact_dedup, global_exact_quantiles,
                          global_row_number, grouped_map_buckets,
                          partial_then_global_sum)
@@ -9346,6 +9347,55 @@ WHERE rn <= 20
 """
 
 
+def q_join_adaptive(sf_dir: str,
+                    broadcast_threshold_bytes: int = 64 << 20):
+    """Cost-based join planning at runtime: ``adaptive_join`` executes
+    the candidate small side, reads its MEASURED size from block
+    metadata, and only then picks the physical join — broadcast (ray.put
+    once, zero shuffle of the fact side) under the threshold, bucketed
+    co-partitioned hash join above it.  This is the optimizer decision
+    every 100 TB query needs: at small sf customer broadcasts; at web
+    scale the same code path degrades gracefully to the shuffle join
+    with no query rewrite.  Revenue accumulates in integer cents per
+    block before one tiny global sum, so the result is engine-exact."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+                     batch_format="pyarrow")
+    joined = adaptive_join(
+        orders, cust, on="o_custkey",
+        right_cols=["o_custkey", "c_mktsegment"],
+        broadcast_threshold_bytes=broadcast_threshold_bytes, how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__c"] = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype("int64")
+        g = b.groupby("c_mktsegment", as_index=False, sort=False) \
+            .agg(n_orders=("__c", "size"), revenue_cents=("__c", "sum"))
+        return g
+
+    from ray.data.aggregate import Sum
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("c_mktsegment") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    return out.map_batches(
+        lambda b: b.astype({"n_orders": "int64",
+                            "revenue_cents": "int64"}),
+        batch_format="pandas")
+
+
+Q_JOIN_ADAPTIVE_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9531,6 +9581,7 @@ QUERIES = {
     "scd2_merge": q_scd2_merge,
     "embed_quantize": q_embed_quantize,
     "quota_sample": q_quota_sample,
+    "join_adaptive": q_join_adaptive,
 }
 
 ORACLES = {
@@ -9691,4 +9742,5 @@ ORACLES = {
     "scd2_merge": Q_SCD2_MERGE_SQL,
     "embed_quantize": Q_EMBED_QUANTIZE_SQL,
     "quota_sample": Q_QUOTA_SAMPLE_SQL,
+    "join_adaptive": Q_JOIN_ADAPTIVE_SQL,
 }

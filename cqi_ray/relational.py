@@ -561,3 +561,56 @@ def global_row_number(ds: rd.Dataset, value_col: str, id_col: str,
     ranked = grouped_map_buckets(with_part, ["part"], sort_bucket,
                                  num_buckets=parts, whole_bucket=True)
     return ranked, total
+
+
+def adaptive_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                  right_cols: Iterable[str],
+                  broadcast_threshold_bytes: int = 64 << 20,
+                  num_buckets: int = 16, how: str = "left",
+                  restore_dtypes: Optional[dict] = None) -> rd.Dataset:
+    """Stats-based join planning: execute the candidate small (RIGHT)
+    side once, read its ACTUAL size from block metadata, then pick the
+    physical join —
+
+      size <= threshold  ->  broadcast_map_join (ray.put once, no
+                             shuffle of the big side at all)
+      size >  threshold  ->  bucketed_hash_join (co-partitioned shuffle
+                             of both sides)
+
+    This is the runtime analogue of a cost-based optimizer's
+    broadcast-vs-exchange decision, made from measured bytes instead of
+    cardinality guesses.  The right side is materialized to the OBJECT
+    STORE (distributed, spillable) — never the driver heap; only the
+    broadcast path then funnels it through one pandas frame, and only
+    after the size check has bounded it.  The default 64 MiB mirrors the
+    usual per-executor broadcast budget on a 256-node cluster.
+
+    Returns (joined, plan) via the ``.plan`` attribute? No — keeps the
+    Dataset contract: the chosen strategy is recorded on the function
+    attribute ``adaptive_join.last_plan`` for tests/observability.
+    """
+    right = right.materialize()
+    size = right.size_bytes() or 0
+    right_cols = list(right_cols)
+    if size <= broadcast_threshold_bytes:
+        adaptive_join.last_plan = "broadcast"
+        small = right.to_pandas()[right_cols]
+        out = broadcast_map_join(left, small, on=on, how=how)
+        if restore_dtypes:
+            def _restore(b: pd.DataFrame) -> pd.DataFrame:
+                for c, t in restore_dtypes.items():
+                    if c in b.columns:
+                        try:
+                            b[c] = b[c].astype(t)
+                        except (ValueError, TypeError):
+                            pass
+                return b
+            out = out.map_batches(_restore, batch_format="pandas")
+        return out
+    adaptive_join.last_plan = "bucketed"
+    return bucketed_hash_join(left, right, on=on, right_cols=right_cols,
+                              num_buckets=num_buckets, how=how,
+                              restore_dtypes=restore_dtypes)
+
+
+adaptive_join.last_plan = None

@@ -280,3 +280,42 @@ class TestTriangleCount:
         edges = pd.DataFrame({"a": np.zeros(30, dtype=np.int64),
                               "b": np.arange(1, 31, dtype=np.int64)})
         assert triangle_count(_ds(edges, blocks=2), num_buckets=4) == 0
+
+
+class TestAdaptiveJoin:
+    def _sides(self):
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame({"k": rng.randint(0, 50, 2000),
+                             "v": rng.randint(0, 1000, 2000)})
+        right = pd.DataFrame({"k": np.arange(50),
+                              "seg": [f"s{i % 5}" for i in range(50)]})
+        return left, right
+
+    def _run(self, threshold):
+        from cqi_ray.relational import adaptive_join
+        left, right = self._sides()
+        out = adaptive_join(_ds(left), _ds(right, 2), on="k",
+                            right_cols=["k", "seg"],
+                            broadcast_threshold_bytes=threshold,
+                            how="inner",
+                            restore_dtypes={"v": "int64"}).to_pandas()
+        plan = adaptive_join.last_plan
+        want = left.merge(right, on="k", how="inner")
+        return out, plan, want
+
+    def test_broadcast_plan_under_threshold(self, ray_session):
+        out, plan, want = self._run(64 << 20)
+        assert plan == "broadcast"
+        cols = ["k", "v", "seg"]
+        got = out[cols].sort_values(cols).reset_index(drop=True)
+        exp = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_bucketed_plan_over_threshold(self, ray_session):
+        out, plan, want = self._run(0)
+        assert plan == "bucketed"
+        cols = ["k", "v", "seg"]
+        got = out[cols].sort_values(cols).reset_index(drop=True)
+        exp = want[cols].sort_values(cols).reset_index(drop=True)
+        got["v"] = got["v"].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
