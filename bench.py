@@ -223,6 +223,9 @@ def run_suite(sf_dir: str) -> dict:
     bench("embed_quantize", lambda: q.q_embed_quantize(sf_dir))
     bench("quota_sample", lambda: q.q_quota_sample(sf_dir))
     bench("join_adaptive", lambda: q.q_join_adaptive(sf_dir))
+    bench("pip_join", lambda: q.q_pip_join(sf_dir))
+    bench("feature_hash", lambda: q.q_feature_hash(sf_dir))
+    bench("quantile_cont", lambda: q.q_quantile_cont(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

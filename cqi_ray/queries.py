@@ -9396,6 +9396,168 @@ GROUP BY c_mktsegment
 """
 
 
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon join (the reverse-geocoding / region-assignment
+    shape): which customer points fall inside which region triangles.
+    Polygons are triangles with INTEGER vertices derived from nation
+    keys (area-positive by construction), so the three half-plane
+    orientation tests are exact on both engines — no epsilon, no float
+    ties.  The 25-triangle region table broadcasts once via ray.put and
+    each point batch evaluates all tests as one numpy broadcastized
+    sign check; with a web-scale polygon set the same kernel runs after
+    the q_bbox_join cell fan-out (bbox prefilter per grid cell) instead
+    of the full product."""
+    nation = _pq(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    k = np.sort(nation["n_nationkey"].to_numpy(dtype=np.int64))
+    x1 = (k * 173) % 1000
+    y1 = (k * 389) % 1000
+    x2 = x1 + 80 + k % 23
+    y2 = y1 + (k * 3) % 17
+    x3 = x1 + (k * 7) % 19
+    y3 = y1 + 90 + k % 31
+    ref = ray.put((k, x1, y1, x2, y2, x3, y3))
+
+    customer = _pq(sf_dir, "customer", columns=["c_custkey"])
+
+    def pip(b: pd.DataFrame) -> pd.DataFrame:
+        pk, tx1, ty1, tx2, ty2, tx3, ty3 = ray.get(ref)
+        kk = b["c_custkey"].to_numpy(dtype=np.int64)
+        px = ((kk * 37) % 1000)[:, None]
+        py = ((kk * 91) % 1000)[:, None]
+        s1 = (tx2 - tx1) * (py - ty1) - (ty2 - ty1) * (px - tx1)
+        s2 = (tx3 - tx2) * (py - ty2) - (ty3 - ty2) * (px - tx2)
+        s3 = (tx1 - tx3) * (py - ty3) - (ty1 - ty3) * (px - tx3)
+        ii, jj = np.nonzero((s1 >= 0) & (s2 >= 0) & (s3 >= 0))
+        return pd.DataFrame({"point_id": kk[ii].astype("int64"),
+                             "poly_id": pk[jj].astype("int64")})
+
+    return customer.map_batches(pip, batch_format="pandas")
+
+
+Q_PIP_JOIN_SQL = """
+WITH tri AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         (CAST(n_nationkey AS BIGINT) * 173) % 1000 AS x1,
+         (CAST(n_nationkey AS BIGINT) * 389) % 1000 AS y1
+  FROM nation),
+tri2 AS (
+  SELECT poly_id, x1, y1,
+         x1 + 80 + poly_id % 23 AS x2,
+         y1 + (poly_id * 3) % 17 AS y2,
+         x1 + (poly_id * 7) % 19 AS x3,
+         y1 + 90 + poly_id % 31 AS y3
+  FROM tri),
+pts AS (
+  SELECT c_custkey AS point_id,
+         (c_custkey * 37) % 1000 AS px,
+         (c_custkey * 91) % 1000 AS py
+  FROM customer)
+SELECT point_id, poly_id
+FROM pts, tri2
+WHERE (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+  AND (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2) >= 0
+  AND (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3) >= 0
+"""
+
+
+def q_feature_hash(sf_dir: str, dim: int = 32):
+    """Hashing-trick featurization (Weinberger et al. 2009 — the
+    vowpal-wabbit / sklearn HashingVectorizer shape): token → bucket
+    via md5 % dim, signed by the hash parity, summed per (doc, bucket).
+    Fixed dimensionality with NO vocabulary build, so it needs no
+    shuffle at all: a document's tokens live in its own row, every
+    (doc, bucket) group is batch-local, and the whole featurizer is one
+    streaming map — the embarrassing-parallel ideal for 100 TB.  Unique
+    tokens are hashed once per batch; md5_lower64 is bit-identical to
+    DuckDB's md5_number_lower, making the signed sums oracle-exact."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "bucket": pd.Series(dtype="int64"),
+                              "weight": pd.Series(dtype="int64")})
+        toks = b.assign(tok=b["text"].str.lower().str.split()) \
+                .explode("tok")
+        toks = toks[toks["tok"].notna() & (toks["tok"] != "")]
+        if not len(toks):
+            return empty
+        uniq, inv = np.unique(toks["tok"].to_numpy(dtype=object),
+                              return_inverse=True)
+        h = md5_lower64(uniq)
+        bucket = (h % np.uint64(dim)).astype(np.int64)[inv]
+        sign = np.where(h % np.uint64(2) == 0, 1, -1) \
+            .astype(np.int64)[inv]
+        g = pd.DataFrame({"doc_id": toks["doc_id"].to_numpy(dtype=np.int64),
+                          "bucket": bucket, "weight": sign})
+        out = g.groupby(["doc_id", "bucket"], as_index=False,
+                        sort=False)["weight"].sum()
+        return out.astype({"weight": "int64"})
+
+    return docs.map_batches(feat, batch_format="pandas")
+
+
+Q_FEATURE_HASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+f AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(tok) % 32 AS BIGINT) AS bucket,
+         CASE WHEN md5_number_lower(tok) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM toks WHERE tok <> '')
+SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+FROM f GROUP BY doc_id, bucket
+"""
+
+
+def q_quantile_cont(sf_dir: str):
+    """Per-group INTERPOLATED quantiles (p25/p75 — the IQR building
+    block), complementing q_group_quantiles' element-picking
+    quantile_disc.  Cross-engine float parity is engineered, not hoped
+    for: values are integer cents and the quantile fractions are
+    quarters, so position q·(n−1), the neighbor gap, and the linear
+    blend a + (b−a)·frac are all EXACT in double on both engines — the
+    interpolation never rounds, so FMA fusing and summation order can't
+    drift a ulp.  One bucketed shuffle on the (low-cardinality) group
+    key, numpy 'linear' quantile per whole bucket."""
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "c": np.round(b["o_totalprice"].to_numpy() * 100)
+                   .astype("int64")})
+
+    def quant(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                              "p25_cents": pd.Series(dtype="float64"),
+                              "p75_cents": pd.Series(dtype="float64")})
+        if not len(bucket):
+            return empty
+        rows = []
+        for k, g in bucket.groupby("o_orderpriority", sort=False):
+            v = g["c"].to_numpy(dtype=np.float64)
+            p25, p75 = np.quantile(v, [0.25, 0.75], method="linear")
+            rows.append((k, float(p25), float(p75)))
+        return pd.DataFrame(rows, columns=["o_orderpriority",
+                                           "p25_cents", "p75_cents"])
+
+    staged = orders.map_batches(cents, batch_format="pandas")
+    return grouped_map_buckets(staged, ["o_orderpriority"], quant,
+                               num_buckets=4, whole_bucket=True)
+
+
+Q_QUANTILE_CONT_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)
+         AS p25_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)
+         AS p75_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9582,6 +9744,9 @@ QUERIES = {
     "embed_quantize": q_embed_quantize,
     "quota_sample": q_quota_sample,
     "join_adaptive": q_join_adaptive,
+    "pip_join": q_pip_join,
+    "feature_hash": q_feature_hash,
+    "quantile_cont": q_quantile_cont,
 }
 
 ORACLES = {
@@ -9743,4 +9908,7 @@ ORACLES = {
     "embed_quantize": Q_EMBED_QUANTIZE_SQL,
     "quota_sample": Q_QUOTA_SAMPLE_SQL,
     "join_adaptive": Q_JOIN_ADAPTIVE_SQL,
+    "pip_join": Q_PIP_JOIN_SQL,
+    "feature_hash": Q_FEATURE_HASH_SQL,
+    "quantile_cont": Q_QUANTILE_CONT_SQL,
 }
