@@ -226,6 +226,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("pip_join", lambda: q.q_pip_join(sf_dir))
     bench("feature_hash", lambda: q.q_feature_hash(sf_dir))
     bench("quantile_cont", lambda: q.q_quantile_cont(sf_dir))
+    bench("kcore", lambda: q.q_kcore(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -9558,6 +9558,84 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_kcore(sf_dir: str, k: int = 64, max_rounds: int = 8):
+    """k-core decomposition (k=64 — the co-purchase graph is dense,
+    min degree ~42 at sf0.01, so smaller k peels nothing) by
+    iterative peeling: each round counts degrees with the combiner-
+    before-shuffle reduce, drops nodes below k, and prunes their edges;
+    the loop stops at the fixpoint (or after ``max_rounds``, matching
+    the oracle's unrolled CTE chain prune-for-prune, so the two agree
+    even short of convergence).  The keep-set is the BOUNDED node side
+    (same contract as q_pagerank's rank vector): it broadcasts once per
+    round via ray.put and pruning is a sorted-membership searchsorted
+    over edge batches — edges, the unbounded side, never leave the
+    object store.  materialize() per round cuts lineage growth."""
+    edges = _copurchase_edges(sf_dir)
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        a = b["a"].to_numpy(dtype=np.int64)
+        c = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.r_[a, c], "v": np.r_[c, a]})
+
+    e = edges.map_batches(both, batch_format="pandas").materialize()
+    for _ in range(max_rounds):
+        deg = partial_then_global_sum(e, keys=["u"], sums={},
+                                      counts="deg").to_pandas()
+        keep = np.sort(deg.loc[deg["deg"] >= k, "u"]
+                       .to_numpy(dtype=np.int64))
+        if len(keep) == len(deg):
+            break
+        ref = ray.put(keep)
+
+        def prune(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            kk = ray.get(_ref)
+            u = b["u"].to_numpy(dtype=np.int64)
+            v = b["v"].to_numpy(dtype=np.int64)
+            iu = np.searchsorted(kk, u)
+            iv = np.searchsorted(kk, v)
+            m = (iu < len(kk)) & (iv < len(kk))
+            m[m] &= (kk[iu[m]] == u[m]) & (kk[iv[m]] == v[m])
+            return b.loc[m]
+
+        e = e.map_batches(prune, batch_format="pandas").materialize()
+
+    out = partial_then_global_sum(e, keys=["u"], sums={},
+                                  counts="deg_in_core")
+    return out.map_batches(
+        lambda b: pd.DataFrame({"node": b["u"].astype("int64"),
+                                "deg_in_core":
+                                    b["deg_in_core"].astype("int64")}),
+        batch_format="pandas")
+
+
+def _kcore_sql(k: int = 64, rounds: int = 8) -> str:
+    # AS MATERIALIZED: each e{i} is referenced three times by round
+    # i+1 — inlined CTEs would re-expand the chain 3^rounds times and
+    # exhaust file handles re-scanning lineitem.
+    parts = ["""WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey),
+e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+       UNION ALL SELECT b AS u, a AS v FROM pairs)"""]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+k{i} AS MATERIALIZED (SELECT u FROM e{i - 1} GROUP BY u HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (SELECT u, v FROM e{i - 1}
+        WHERE u IN (SELECT u FROM k{i}) AND v IN (SELECT u FROM k{i}))""")
+    parts.append(f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg_in_core
+FROM e{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
+Q_KCORE_SQL = _kcore_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9747,6 +9825,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "feature_hash": q_feature_hash,
     "quantile_cont": q_quantile_cont,
+    "kcore": q_kcore,
 }
 
 ORACLES = {
@@ -9911,4 +9990,5 @@ ORACLES = {
     "pip_join": Q_PIP_JOIN_SQL,
     "feature_hash": Q_FEATURE_HASH_SQL,
     "quantile_cont": Q_QUANTILE_CONT_SQL,
+    "kcore": Q_KCORE_SQL,
 }
