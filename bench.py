@@ -227,6 +227,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("feature_hash", lambda: q.q_feature_hash(sf_dir))
     bench("quantile_cont", lambda: q.q_quantile_cont(sf_dir))
     bench("kcore", lambda: q.q_kcore(sf_dir))
+    bench("rendezvous", lambda: q.q_rendezvous(sf_dir))
+    bench("pit_join", lambda: q.q_pit_join(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -9636,6 +9636,141 @@ FROM e{rounds} GROUP BY u""")
 Q_KCORE_SQL = _kcore_sql()
 
 
+def q_rendezvous(sf_dir: str, shards: int = 8):
+    """Rendezvous (highest-random-weight) hashing — the consistent
+    shard-assignment rule (Thaler & Ravishankar 1998) that moves only
+    1/n of keys when a shard joins or leaves: every doc goes to
+    argmax over shards of md5(key ':' shard).  Pure streaming map
+    (zero shuffle, zero state); each batch hashes keys × shards with
+    the C-speed md5 kernel and takes a row argmax, ties broken by
+    lowest shard id (first argmax occurrence ≡ the oracle's ORDER BY
+    wgt DESC, shard)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        kk = b["doc_id"].to_numpy(dtype=np.int64)
+        keys = pd.Series(kk).astype(str)
+        wgt = np.empty((len(kk), shards), dtype=np.uint64)
+        for s in range(shards):
+            wgt[:, s] = md5_lower64((keys + f":{s}").tolist())
+        return pd.DataFrame({"doc_id": kk,
+                             "shard": wgt.argmax(axis=1).astype("int64")})
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+Q_RENDEZVOUS_SQL = """
+WITH s AS (SELECT unnest(range(8)) AS shard),
+w AS (
+  SELECT doc_id, shard,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(shard AS VARCHAR)) AS wgt
+  FROM documents, s)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard
+FROM (SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY wgt DESC, shard) AS rn
+      FROM w)
+WHERE rn = 1
+"""
+
+
+def q_pit_join(sf_dir: str):
+    """Point-in-time (temporal validity) join — the warehouse lookup
+    every SCD2 table exists for: each purchase fact is matched to the
+    dimension version whose [valid_from_us, valid_to_us) interval
+    covers its timestamp.  Composes q_scd2_merge's version table with
+    ONE bucketed shuffle of versions ∪ facts on user_id; because SCD2
+    intervals are contiguous per user, the in-bucket probe is the
+    as-of accumulate trick (last version start ≤ fact ts), with
+    version-payload columns carried through so equal-µs version starts
+    (empty older interval) resolve to the newer version exactly as the
+    oracle's half-open-interval predicate does."""
+    versions = q_scd2_merge(sf_dir)
+
+    def v_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["user_id"].astype("int64"),
+            "ts_us": b["valid_from_us"].astype("int64"),
+            "kind": np.zeros(len(b), dtype=np.int64),
+            "row_id": np.full(len(b), -1, dtype=np.int64),
+            "vno": b["version_no"].astype("int64"),
+            "seg_type": b["event_type"].astype(object)})
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "ts"])
+
+    def f_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "key": b["user_id"].astype("int64"),
+            "ts_us": b["ts"].to_numpy(dtype="datetime64[us]")
+                      .astype(np.int64),
+            "kind": np.ones(len(b), dtype=np.int64),
+            "row_id": b["event_id"].astype("int64"),
+            "vno": np.full(len(b), -1, dtype=np.int64),
+            "seg_type": np.full(len(b), "", dtype=object)})
+
+    union = versions.map_batches(v_side, batch_format="pandas").union(
+        ev.map_batches(f_side, batch_format="pandas"))
+
+    def pit(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "user_id": pd.Series(dtype="int64"),
+                              "seg_type": pd.Series(dtype=object),
+                              "version_no": pd.Series(dtype="int64")})
+        if not len(bucket):
+            return empty
+        df = bucket.sort_values(["key", "ts_us", "kind"], kind="mergesort")
+        key = df["key"].to_numpy(dtype=np.int64)
+        kind = df["kind"].to_numpy(dtype=np.int64)
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        is_build = kind == 0
+        last_build = np.maximum.accumulate(np.where(is_build, idx, -1))
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = key[1:] != key[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, -1))
+        probe = ~is_build
+        valid = (last_build >= seg_start) & probe
+        bi = last_build[valid]
+        vno = df["vno"].to_numpy(dtype=np.int64)
+        seg = df["seg_type"].to_numpy(dtype=object)
+        return pd.DataFrame({
+            "event_id": df["row_id"].to_numpy(dtype=np.int64)[valid],
+            "user_id": key[valid],
+            "seg_type": seg[bi],
+            "version_no": vno[bi]})
+
+    return grouped_map_buckets(union, ["key"], pit, num_buckets=32,
+                               whole_bucket=True)
+
+
+Q_PIT_JOIN_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (SELECT user_id, event_type, event_id, ts_us FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+v AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us,
+         coalesce(lead(ts_us) OVER w2, -1) AS valid_to_us,
+         CAST(row_number() OVER w2 AS BIGINT) AS version_no
+  FROM c
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, v.event_type AS seg_type, v.version_no
+FROM f JOIN v ON f.user_id = v.user_id
+  AND v.valid_from_us <= f.ts_us
+  AND (v.valid_to_us = -1 OR f.ts_us < v.valid_to_us)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9826,6 +9961,8 @@ QUERIES = {
     "feature_hash": q_feature_hash,
     "quantile_cont": q_quantile_cont,
     "kcore": q_kcore,
+    "rendezvous": q_rendezvous,
+    "pit_join": q_pit_join,
 }
 
 ORACLES = {
@@ -9991,4 +10128,6 @@ ORACLES = {
     "feature_hash": Q_FEATURE_HASH_SQL,
     "quantile_cont": Q_QUANTILE_CONT_SQL,
     "kcore": Q_KCORE_SQL,
+    "rendezvous": Q_RENDEZVOUS_SQL,
+    "pit_join": Q_PIT_JOIN_SQL,
 }
