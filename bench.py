@@ -229,6 +229,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("kcore", lambda: q.q_kcore(sf_dir))
     bench("rendezvous", lambda: q.q_rendezvous(sf_dir))
     bench("pit_join", lambda: q.q_pit_join(sf_dir))
+    bench("dedup_snm", lambda: q.q_dedup_snm(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

@@ -9771,6 +9771,141 @@ FROM f JOIN v ON f.user_id = v.user_id
 """
 
 
+def q_dedup_snm(sf_dir: str, window: int = 4, threshold: float = 0.5):
+    """Sorted-neighborhood (SNM, Hernandez & Stolfo 1995) dedup
+    blocking — the classic record-linkage alternative to hash/LSH
+    blocking: sort all records by a normalized key, compare only rows
+    within a sliding window of w positions.  Distributed shape: each
+    sort-key PREFIX group is an independent range partition (ONE
+    bucketed shuffle), in-group window pairs are a fully vectorized
+    shift-compare over a 37-bit charset mask (popcount AND / popcount
+    OR == DuckDB's char-set ``jaccard`` exactly — integer counts, one
+    IEEE division, no ulp drift).  Window pairs that straddle a
+    partition boundary are recovered from a HALO: every group also
+    emits its first/last w-1 rows (+ in-group rank and group size),
+    the driver reconstructs their exact global ranks from cumulative
+    group sizes (O(#prefixes x w) rows — bounded regardless of corpus
+    size) and verifies the cross-boundary pairs with the same mask
+    kernel.  Production note: prefix ranges would come from sampled
+    quantiles instead of fixed 2-char prefixes; the halo algebra is
+    unchanged."""
+    from .ops.dedup import _popcount64
+
+    W = window
+    ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (b["text"].astype(str).str.lower()
+                .str.replace(r"[^a-z0-9 ]+", "", regex=True))
+        keep = (norm.str.len() > 0).to_numpy()
+        norm = norm[keep]
+        mask = np.zeros(len(norm), dtype=np.uint64)
+        for k, ch in enumerate(ALPHABET):
+            mask |= (norm.str.contains(ch, regex=False).to_numpy()
+                     .astype(np.uint64) << np.uint64(k))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[keep],
+            "sk": norm.str.slice(0, 24).to_numpy(object),
+            "pfx": norm.str.slice(0, 2).to_numpy(object),
+            "mask": mask.astype(np.int64)})
+
+    def _window_sims(m: np.ndarray, d: int):
+        a, b = m[:-d], m[d:]
+        inter = _popcount64(a & b)
+        union = _popcount64(a | b)
+        return inter / union
+
+    def per_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sk", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        m = g["mask"].to_numpy().astype(np.uint64)
+        n = len(g)
+        outs = []
+        for d in range(1, min(W, n)):
+            sim = _window_sims(m, d)
+            k = sim >= threshold
+            if k.any():
+                outs.append(pd.DataFrame({
+                    "kind": np.int64(0),
+                    "id_a": ids[:-d][k], "id_b": ids[d:][k],
+                    "sim": sim[k],
+                    "pfx": "", "rk": np.int64(-1), "gsz": np.int64(-1),
+                    "mask": np.int64(0)}))
+        bidx = np.array(sorted(set(range(min(W - 1, n)))
+                               | set(range(max(0, n - (W - 1)), n))),
+                        dtype=np.int64)
+        outs.append(pd.DataFrame({
+            "kind": np.int64(1),
+            "id_a": ids[bidx], "id_b": np.int64(-1), "sim": 0.0,
+            "pfx": g["pfx"].to_numpy(object)[bidx],
+            "rk": bidx, "gsz": np.int64(n),
+            "mask": m[bidx].astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    res = grouped_map_buckets(
+        docs.map_batches(keyed, batch_format="pandas"),
+        ["pfx"], per_prefix, num_buckets=32).materialize()
+
+    pairs = res.map_batches(
+        lambda b: b.loc[b["kind"] == 0, ["id_a", "id_b", "sim"]],
+        batch_format="pandas")
+
+    # halo epilogue: bounded by #distinct prefixes x 2(w-1) rows.
+    bnd = res.map_batches(
+        lambda b: b.loc[b["kind"] == 1,
+                        ["id_a", "pfx", "rk", "gsz", "mask"]],
+        batch_format="pandas").to_pandas()
+    cross = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+    if len(bnd):
+        sizes = (bnd.drop_duplicates("pfx")[["pfx", "gsz"]]
+                 .sort_values("pfx", kind="mergesort"))
+        off = np.concatenate(([0], np.cumsum(
+            sizes["gsz"].to_numpy(np.int64))[:-1]))
+        offmap = dict(zip(sizes["pfx"], off))
+        bnd = bnd.assign(grank=bnd["pfx"].map(offmap).to_numpy(np.int64)
+                         + bnd["rk"].to_numpy(np.int64))
+        bnd = bnd.sort_values("grank", kind="mergesort")
+        ids = bnd["id_a"].to_numpy(np.int64)
+        m = bnd["mask"].to_numpy().astype(np.uint64)
+        gr = bnd["grank"].to_numpy(np.int64)
+        pf = bnd["pfx"].to_numpy(object)
+        parts = []
+        for d in range(1, min(W, len(bnd))):
+            near = (gr[d:] - gr[:-d] <= W - 1) & (pf[d:] != pf[:-d])
+            if near.any():
+                sim = _window_sims(m, d)
+                k = near & (sim >= threshold)
+                if k.any():
+                    parts.append(pd.DataFrame({
+                        "id_a": ids[:-d][k], "id_b": ids[d:][k],
+                        "sim": sim[k]}))
+        if parts:
+            cross = pd.concat(parts, ignore_index=True)
+    if len(cross):
+        pairs = pairs.union(rd.from_pandas(cross))
+    return pairs
+
+
+Q_DEDUP_SNM_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g') AS norm
+  FROM documents),
+nn AS (SELECT doc_id, norm, substr(norm, 1, 24) AS sk
+       FROM n WHERE length(norm) > 0),
+r AS (SELECT doc_id, norm,
+             row_number() OVER (ORDER BY sk, doc_id) AS rk
+      FROM nn)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, jaccard(a.norm, b.norm) AS sim
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+WHERE jaccard(a.norm, b.norm) >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9963,6 +10098,7 @@ QUERIES = {
     "kcore": q_kcore,
     "rendezvous": q_rendezvous,
     "pit_join": q_pit_join,
+    "dedup_snm": q_dedup_snm,
 }
 
 ORACLES = {
@@ -10130,4 +10266,5 @@ ORACLES = {
     "kcore": Q_KCORE_SQL,
     "rendezvous": Q_RENDEZVOUS_SQL,
     "pit_join": Q_PIT_JOIN_SQL,
+    "dedup_snm": Q_DEDUP_SNM_SQL,
 }
