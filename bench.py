@@ -230,6 +230,8 @@ def run_suite(sf_dir: str) -> dict:
     bench("rendezvous", lambda: q.q_rendezvous(sf_dir))
     bench("pit_join", lambda: q.q_pit_join(sf_dir))
     bench("dedup_snm", lambda: q.q_dedup_snm(sf_dir))
+    bench("images_patches", lambda: q.q_images_patches(sf_dir))
+    bench("images_nms", lambda: q.q_images_nms(sf_dir))
     return {"timings": timings, "rows": rows}
 
 

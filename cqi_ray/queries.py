@@ -9906,6 +9906,81 @@ WHERE jaccard(a.norm, b.norm) >= 0.5
 """
 
 
+def q_images_patches(sf_dir: str, limit: int = 400, patch: int = 8):
+    """ViT-style patch extraction: decode each image and split it into
+    the non-overlapping p x p patch grid (zero-copy view-reshape over
+    the whole decoded batch stack), then per-patch mean / std / centered
+    L2 energy — the tokenizer front-end of every vision transformer
+    and the standard signal for patch-level filtering (drop flat
+    patches, rank informative ones).  One map_batches over the binary
+    column; output is (images x grid) small scalar rows.  Rows-only
+    (decode is not SQL-expressible); tests/test_images.py pins the
+    patch grid against explicit slicing."""
+    from .images.boxes import patchify
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        px = np.stack([decode_image(d, f, int(w), int(h))
+                       for d, f, w, h in zip(b["bytes"], b["fmt"],
+                                             b["w"], b["h"])])
+        p = patchify(px.astype(np.float64), patch)
+        n, gy, gx = p.shape[:3]
+        flat = p.reshape(n, gy, gx, -1)
+        mean = flat.mean(-1)
+        std = flat.std(-1)
+        energy = np.sqrt(((flat - mean[..., None]) ** 2).sum(-1))
+        return pd.DataFrame({
+            "image_id": np.repeat(b["image_id"].to_numpy(object),
+                                  gy * gx),
+            "prow": np.tile(np.repeat(np.arange(gy, dtype=np.int64), gx), n),
+            "pcol": np.tile(np.tile(np.arange(gx, dtype=np.int64), gy), n),
+            "p_mean": np.round(mean.reshape(-1), 4),
+            "p_std": np.round(std.reshape(-1), 4),
+            "p_energy": np.round(energy.reshape(-1), 4)})
+
+    return imgs.map_batches(extract, batch_format="pandas")
+
+
+def q_images_nms(sf_dir: str, limit: int = 600, boxes_per: int = 24,
+                 iou: float = 0.5):
+    """Detection post-processing: greedy non-maximum suppression over
+    per-image box proposals (torchvision.ops.nms contract — score-desc
+    greedy keep, IoU threshold, index tiebreak).  Proposals are
+    synthesized deterministically per image id (no detector in this
+    env — an honest stand-in; the NMS kernel itself is real and
+    brute-force-verified in tests/test_images.py).  Boxes never leave
+    their image, so the stage is a pure streaming map_batches with a
+    vectorized IoU matrix per image — no shuffle at any scale."""
+    from .images.boxes import nms, synth_boxes
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    if limit:
+        docs = docs.limit(limit)
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        ids, box_ids, ranks, cols = [], [], [], {k: [] for k in
+                                                 ("x0", "y0", "x1", "y1",
+                                                  "score")}
+        for did in b["doc_id"].to_numpy(np.int64):
+            bx = synth_boxes(int(did), boxes_per, 640, 480)
+            keep = nms(bx[:, :4], bx[:, 4], iou)
+            ids.append(np.full(len(keep), did, dtype=np.int64))
+            box_ids.append(keep)
+            ranks.append(np.arange(len(keep), dtype=np.int64))
+            for j, k in enumerate(("x0", "y0", "x1", "y1", "score")):
+                cols[k].append(np.round(bx[keep, j], 6))
+        return pd.DataFrame({
+            "image_id": np.concatenate(ids),
+            "box_id": np.concatenate(box_ids),
+            "keep_rank": np.concatenate(ranks),
+            **{k: np.concatenate(v) for k, v in cols.items()}})
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10099,6 +10174,8 @@ QUERIES = {
     "rendezvous": q_rendezvous,
     "pit_join": q_pit_join,
     "dedup_snm": q_dedup_snm,
+    "images_patches": q_images_patches,
+    "images_nms": q_images_nms,
 }
 
 ORACLES = {

@@ -605,3 +605,68 @@ class TestAugment:
             assert (r.out_h, r.out_w) == aug.shape[:2]
             assert r.out_phash == np.uint64(phash64(aug)).astype(np.int64)
             assert r.ops == "+".join(augment.plan_for(idx))
+
+
+class TestBoxes:
+    """patchify / synth_boxes / NMS kernels (cqi_ray/images/boxes.py)."""
+
+    def test_patchify_matches_explicit_slicing(self):
+        from cqi_ray.images.boxes import patchify
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(3, 32, 32, 3)).astype(np.float64)
+        p = patchify(px, 8)
+        assert p.shape == (3, 4, 4, 8, 8, 3)
+        for n in range(3):
+            for gy in range(4):
+                for gx in range(4):
+                    want = px[n, gy * 8:(gy + 1) * 8, gx * 8:(gx + 1) * 8]
+                    assert np.array_equal(p[n, gy, gx], want)
+
+    def test_patchify_rejects_nondivisible(self):
+        import pytest
+
+        from cqi_ray.images.boxes import patchify
+
+        with pytest.raises(ValueError):
+            patchify(np.zeros((1, 30, 32, 3)), 8)
+
+    def test_synth_boxes_deterministic_and_bounded(self):
+        from cqi_ray.images.boxes import synth_boxes
+
+        a = synth_boxes(12345, 24, 640, 480)
+        b = synth_boxes(12345, 24, 640, 480)
+        assert np.array_equal(a, b)
+        assert a.shape == (24, 5)
+        assert (a[:, 0] < a[:, 2]).all() and (a[:, 1] < a[:, 3]).all()
+        assert (a[:, 0] >= 0).all() and (a[:, 2] <= 640).all()
+        assert (a[:, 1] >= 0).all() and (a[:, 3] <= 480).all()
+        assert not np.array_equal(a, synth_boxes(12346, 24, 640, 480))
+
+    def test_nms_matches_bruteforce_greedy(self):
+        from cqi_ray.images.boxes import iou_matrix, nms
+
+        rng = np.random.default_rng(11)
+        for trial in range(20):
+            n = int(rng.integers(1, 40))
+            x0 = rng.uniform(0, 80, n)
+            y0 = rng.uniform(0, 80, n)
+            boxes = np.stack([x0, y0, x0 + rng.uniform(5, 40, n),
+                              y0 + rng.uniform(5, 40, n)], axis=1)
+            scores = rng.uniform(0, 1, n)
+            got = nms(boxes, scores, 0.4)
+            # reference: textbook greedy, re-deriving IoU pairwise
+            m = iou_matrix(boxes)
+            order = sorted(range(n), key=lambda i: (-scores[i], i))
+            kept = []
+            for i in order:
+                if all(m[i, j] <= 0.4 for j in kept):
+                    kept.append(i)
+            assert got.tolist() == kept
+
+    def test_nms_suppresses_exact_duplicates(self):
+        from cqi_ray.images.boxes import nms
+
+        boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30.0]])
+        keep = nms(boxes, np.array([0.9, 0.8, 0.5]), 0.5)
+        assert keep.tolist() == [0, 2]
