@@ -9981,6 +9981,95 @@ def q_images_nms(sf_dir: str, limit: int = 600, boxes_per: int = 24,
     return docs.map_batches(run, batch_format="pandas")
 
 
+def q_assoc_rules(sf_dir: str, minsup: int = 3):
+    """Market-basket association rules (Agrawal & Srikant 1994's
+    frequent-pair core): which part pairs co-occur in the same order,
+    with the support counts a rule miner needs for confidence/lift.
+    Distributed shape: ONE bucketed shuffle on l_orderkey makes every
+    basket bucket-local, so distinct-ification, pair expansion
+    (vectorized triu over each basket's sorted parts) and the partial
+    pair/item/order counts all happen inside the bucket task; the only
+    other exchange is a native groupby-sum over packed pair keys whose
+    input is already pre-aggregated 64x.  Item counts (|parts| rows,
+    tiny vs the pair matrix) broadcast back via ray.put.  All outputs
+    are integer counts — confidence/lift are exact rationals the caller
+    derives — so the oracle compare has no float surface at all."""
+    from ray.data.aggregate import Sum
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    PACK = np.int64(1) << np.int64(32)  # partkeys < 2^32 by TPC-H construction
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.drop_duplicates(["l_orderkey", "l_partkey"]) \
+             .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        # basket boundaries -> all (i<j) index pairs within each basket
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        ii, jj = [], []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            a, bb = np.triu_indices(n, k=1)
+            ii.append(a + s)
+            jj.append(bb + s)
+        out = []
+        if ii:
+            ia, jb = np.concatenate(ii), np.concatenate(jj)
+            key = pk[ia] * PACK + pk[jb]
+            u, c = np.unique(key, return_counts=True)
+            out.append(pd.DataFrame({"kind": np.int64(0), "key": u,
+                                     "c": c.astype(np.int64)}))
+        iu, ic = np.unique(pk, return_counts=True)
+        out.append(pd.DataFrame({"kind": np.int64(1), "key": iu,
+                                 "c": ic.astype(np.int64)}))
+        out.append(pd.DataFrame({"kind": np.int64(2), "key": [np.int64(0)],
+                                 "c": [np.int64(len(starts))]}))
+        return pd.concat(out, ignore_index=True)
+
+    partials = grouped_map_buckets(li, ["l_orderkey"], per_bucket,
+                                   num_buckets=64, whole_bucket=True)
+    totals = partials.groupby(["kind", "key"]) \
+        .aggregate(Sum("c", alias_name="c")).materialize()
+
+    items = totals.filter(expr="kind == 1").to_pandas()
+    n_orders = int(totals.filter(expr="kind == 2").to_pandas()["c"].iloc[0])
+    cnt = dict(zip(items["key"].astype(np.int64),
+                   items["c"].astype(np.int64)))
+    ref = ray.put((cnt, n_orders))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["kind"] == 0) & (b["c"] >= minsup)]
+        icnt, n = ray.get(ref)
+        a = (b["key"].to_numpy(np.int64) // PACK).astype(np.int64)
+        bb = (b["key"].to_numpy(np.int64) % PACK).astype(np.int64)
+        return pd.DataFrame({
+            "part_a": a, "part_b": bb,
+            "pair_orders": b["c"].to_numpy(np.int64),
+            "a_orders": np.array([icnt[x] for x in a], dtype=np.int64),
+            "b_orders": np.array([icnt[x] for x in bb], dtype=np.int64),
+            "n_orders": np.int64(n)})
+
+    return totals.map_batches(finish, batch_format="pandas")
+
+
+Q_ASSOC_RULES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY 1),
+p AS (SELECT b1.l_partkey AS a, b2.l_partkey AS bb, COUNT(*) AS c
+      FROM b b1 JOIN b b2
+        ON b1.l_orderkey = b2.l_orderkey AND b1.l_partkey < b2.l_partkey
+      GROUP BY 1, 2)
+SELECT a AS part_a, bb AS part_b, c AS pair_orders,
+       ia.cnt AS a_orders, ib.cnt AS b_orders, n.n_orders
+FROM p JOIN ic ia ON ia.l_partkey = a
+       JOIN ic ib ON ib.l_partkey = bb, n
+WHERE c >= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10176,6 +10265,7 @@ QUERIES = {
     "dedup_snm": q_dedup_snm,
     "images_patches": q_images_patches,
     "images_nms": q_images_nms,
+    "assoc_rules": q_assoc_rules,
 }
 
 ORACLES = {
@@ -10344,4 +10434,5 @@ ORACLES = {
     "rendezvous": Q_RENDEZVOUS_SQL,
     "pit_join": Q_PIT_JOIN_SQL,
     "dedup_snm": Q_DEDUP_SNM_SQL,
+    "assoc_rules": Q_ASSOC_RULES_SQL,
 }
