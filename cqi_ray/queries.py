@@ -10070,6 +10070,196 @@ WHERE c >= 3
 """
 
 
+def _dbscan_synth(k: np.ndarray):
+    """Deterministic clumpy point cloud: 24 clump centers on a 4096 grid,
+    ±30 integer spread, every 5th key scattered uniformly (noise).  Pure
+    function of the key so later passes re-derive coordinates instead of
+    shipping them."""
+    k = k.astype(np.int64)
+    scatter = (k % 5) == 0
+    px = np.where(scatter, (k * 1299721) % 4096,
+                  ((k % 24) * 997) % 4096 + (k * 37) % 61 - 30)
+    py = np.where(scatter, (k * 7919) % 4096,
+                  ((k % 24) * 1613) % 4096 + (k * 91) % 61 - 30)
+    return px.astype(np.int64), py.astype(np.int64)
+
+
+def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3):
+    """Distributed DBSCAN (Ester et al. 1996) over an integer point
+    cloud — the density-clustering shape every geospatial stack needs.
+    Grid cells of side eps make every eps-ball local to a 3x3 cell
+    block, so each pass is ONE bucketed shuffle on the cell key with a
+    9x ghost fan-out (the halo trick from q_dedup_snm, in 2-D):
+
+    * pass 1 counts eps-neighbors per owner point entirely in-cell ->
+      core flags (|N_eps| >= minpts, self excluded);
+    * pass 2 re-fans-out points WITH their core flag (coordinates are
+      re-derived from the key — nothing but (pid, core) travels) and
+      emits each core-core edge exactly once (from min-endpoint's cell)
+      plus (non-core, core-neighbor) border candidates;
+    * the driver union-finds ONLY the core-core edge list (memory is
+      bounded by the core graph, the same contract as
+      q_dedup_phash_clusters), broadcasts the label map, and one final
+      pid-grouped pass assigns core/border/noise roles.
+
+    Squared distances on integer coordinates — both engines compare
+    exact ints, no epsilon.  Cluster id = min core pid of the component
+    (deterministic); border points take the min cluster among their
+    core neighbors, matching the oracle's MIN aggregation."""
+    from .ops.ccl import _find, _union_min
+
+    r2 = eps * eps
+    OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey"])
+
+    def fan_out(b: pd.DataFrame, core: np.ndarray | None = None) -> pd.DataFrame:
+        k = b.iloc[:, 0].to_numpy(np.int64)
+        px, py = _dbscan_synth(k)
+        cx, cy = px // eps, py // eps
+        parts = []
+        for dx, dy in OFFS:
+            parts.append(pd.DataFrame({
+                "pid": k, "px": px, "py": py,
+                "cell": (cx + dx + 4) * 1_000_000 + (cy + dy + 4),
+                "owner": np.uint8(dx == 0 and dy == 0),
+                "core": (core if core is not None
+                         else np.zeros(len(k), np.uint8))}))
+        return pd.concat(parts, ignore_index=True)
+
+    def count_cell(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["owner"] == 1]
+        if not len(own):
+            return pd.DataFrame({"pid": pd.Series(dtype="int64"),
+                                 "cnt": pd.Series(dtype="int64")})
+        d2 = ((own["px"].to_numpy()[:, None] - g["px"].to_numpy()) ** 2
+              + (own["py"].to_numpy()[:, None] - g["py"].to_numpy()) ** 2)
+        near = (d2 <= r2) & (own["pid"].to_numpy()[:, None]
+                             != g["pid"].to_numpy())
+        return pd.DataFrame({"pid": own["pid"].to_numpy(np.int64),
+                             "cnt": near.sum(axis=1).astype(np.int64)})
+
+    stats = grouped_map_buckets(
+        cust.map_batches(fan_out, batch_format="pandas"),
+        ["cell"], count_cell, num_buckets=64).materialize()
+
+    def refan(b: pd.DataFrame) -> pd.DataFrame:
+        return fan_out(b[["pid"]],
+                       core=(b["cnt"].to_numpy() >= minpts).astype(np.uint8))
+
+    def edges_cell(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["owner"] == 1]
+        empty = pd.DataFrame({"kind": pd.Series(dtype="uint8"),
+                              "a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(own):
+            return empty
+        opid = own["pid"].to_numpy(np.int64)
+        ocore = own["core"].to_numpy() == 1
+        npid = g["pid"].to_numpy(np.int64)
+        ncore = g["core"].to_numpy() == 1
+        d2 = ((own["px"].to_numpy()[:, None] - g["px"].to_numpy()) ** 2
+              + (own["py"].to_numpy()[:, None] - g["py"].to_numpy()) ** 2)
+        near = d2 <= r2
+        ee = near & ocore[:, None] & ncore & (opid[:, None] < npid)
+        bb = near & ~ocore[:, None] & ncore & (opid[:, None] != npid)
+        out = [empty]
+        for kind, m in ((np.uint8(0), ee), (np.uint8(1), bb)):
+            i, j = np.nonzero(m)
+            if len(i):
+                out.append(pd.DataFrame({"kind": kind, "a": opid[i],
+                                         "b": npid[j]}))
+        return pd.concat(out, ignore_index=True)
+
+    halo2 = grouped_map_buckets(
+        stats.map_batches(refan, batch_format="pandas"),
+        ["cell"], edges_cell, num_buckets=64).materialize()
+
+    # driver union-find over the core-core edge list only (documented
+    # bound: memory ∝ core-graph edges, not the point count)
+    ep = halo2.filter(expr="kind == 0").to_pandas()
+    parent: dict = {}
+    for a, b in zip(ep["a"].to_numpy(np.int64), ep["b"].to_numpy(np.int64)):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        _union_min(parent, a, b)
+    labels = {p: _find(parent, p) for p in parent}
+    ref = ray.put(labels)
+
+    def tag_stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pid": b["pid"].to_numpy(np.int64),
+                             "t": np.uint8(0),
+                             "core": (b["cnt"].to_numpy() >= minpts)
+                             .astype(np.uint8),
+                             "lab": np.int64(-1)})
+
+    def tag_cands(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["kind"] == 1]
+        lab = ray.get(ref)
+        return pd.DataFrame({"pid": b["a"].to_numpy(np.int64),
+                             "t": np.uint8(1),
+                             "core": np.uint8(0),
+                             "lab": np.array([lab.get(int(x), int(x)) for x
+                                              in b["b"].to_numpy(np.int64)],
+                                             dtype=np.int64)})
+
+    tagged = stats.map_batches(tag_stats, batch_format="pandas").union(
+        halo2.map_batches(tag_cands, batch_format="pandas"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(ref)
+        pid = int(g["pid"].iloc[0])
+        st = g[g["t"] == 0]
+        if len(st) and st["core"].iloc[0] == 1:
+            return pd.DataFrame({"point_id": [pid],
+                                 "cluster": [lab.get(pid, pid)],
+                                 "role": ["core"]})
+        cands = g.loc[g["t"] == 1, "lab"]
+        if len(cands):
+            return pd.DataFrame({"point_id": [pid],
+                                 "cluster": [int(cands.min())],
+                                 "role": ["border"]})
+        return pd.DataFrame({"point_id": [pid], "cluster": [np.int64(-1)],
+                             "role": ["noise"]})
+
+    return grouped_map_buckets(tagged, ["pid"], finish, num_buckets=32)
+
+
+Q_DBSCAN_SQL = """
+WITH RECURSIVE
+pts AS (SELECT CAST(c_custkey AS BIGINT) AS pid,
+        CASE WHEN c_custkey % 5 = 0 THEN (c_custkey * 1299721) % 4096
+             ELSE ((c_custkey % 24) * 997) % 4096 + (c_custkey * 37) % 61 - 30
+        END AS px,
+        CASE WHEN c_custkey % 5 = 0 THEN (c_custkey * 7919) % 4096
+             ELSE ((c_custkey % 24) * 1613) % 4096 + (c_custkey * 91) % 61 - 30
+        END AS py
+        FROM customer),
+nbr AS (SELECT a.pid pa, b.pid pb FROM pts a JOIN pts b
+        ON a.pid <> b.pid
+        AND (a.px-b.px)*(a.px-b.px)+(a.py-b.py)*(a.py-b.py) <= 1024),
+deg AS (SELECT pa AS pid, COUNT(*) AS c FROM nbr GROUP BY 1),
+core AS (SELECT pid FROM deg WHERE c >= 3),
+ce AS (SELECT pa, pb FROM nbr
+       WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
+reach AS (SELECT pid AS p, pid AS lab FROM core
+          UNION
+          SELECT ce.pb, reach.lab FROM reach JOIN ce ON ce.pa = reach.p),
+clu AS (SELECT p AS pid, MIN(lab) AS cluster FROM reach GROUP BY 1),
+border AS (SELECT n.pa AS pid, MIN(c.cluster) AS cluster
+           FROM nbr n JOIN clu c ON c.pid = n.pb
+           WHERE n.pa NOT IN (SELECT pid FROM core)
+           GROUP BY 1)
+SELECT pid AS point_id, cluster, 'core' AS role FROM clu
+UNION ALL
+SELECT pid AS point_id, cluster, 'border' AS role FROM border
+UNION ALL
+SELECT pid AS point_id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role FROM pts
+WHERE pid NOT IN (SELECT pid FROM clu) AND pid NOT IN (SELECT pid FROM border)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10266,6 +10456,7 @@ QUERIES = {
     "images_patches": q_images_patches,
     "images_nms": q_images_nms,
     "assoc_rules": q_assoc_rules,
+    "dbscan": q_dbscan,
 }
 
 ORACLES = {
@@ -10435,4 +10626,5 @@ ORACLES = {
     "pit_join": Q_PIT_JOIN_SQL,
     "dedup_snm": Q_DEDUP_SNM_SQL,
     "assoc_rules": Q_ASSOC_RULES_SQL,
+    "dbscan": Q_DBSCAN_SQL,
 }
