@@ -10260,6 +10260,75 @@ WHERE pid NOT IN (SELECT pid FROM clu) AND pid NOT IN (SELECT pid FROM border)
 """
 
 
+def q_images_colorstats(sf_dir: str, limit: int = 500):
+    """Per-image color statistics over DECODED bytes, with a full SQL
+    oracle — the first image-decode stage in the catalog whose output is
+    hash-verified end-to-end: the oracle replays the synthetic pixel
+    formulas (images/synth.py `_pixels_for`) in pure SQL via
+    generate_series, so any drift in the from-scratch PNG inflate / raw
+    codec shows up as a value mismatch, not just a unit-test failure.
+    Restricted to the lossless two-thirds of the format mix
+    (id % 3 != 2 — the DCT codec's quantization is not SQL-replayable,
+    by design).  Stats are integers only: per-channel pixel sums and the
+    dominant 3-bit RGB octant (argmax count, min-octant tie-break ==
+    ORDER BY c DESC, bucket ASC).  One streaming map_batches over the
+    binary column; output is O(#images) scalars regardless of payload."""
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit) \
+        .filter(expr="fmt != 'jpeg'") \
+        .select_columns(["image_id", "bytes", "fmt", "w", "h"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        px = np.empty((n, 32 * 32, 3), dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            px[i] = decode_image(data, fmt, int(w), int(h)) \
+                .reshape(-1, 3).astype(np.int64)
+        sums = px.sum(axis=1)
+        bucket = ((px[:, :, 0] >= 128).astype(np.int64) * 4
+                  + (px[:, :, 1] >= 128) * 2 + (px[:, :, 2] >= 128))
+        offs = bucket + 8 * np.arange(n, dtype=np.int64)[:, None]
+        counts = np.bincount(offs.ravel(), minlength=8 * n).reshape(n, 8)
+        dom = counts.argmax(axis=1)  # first max == min-octant tie-break
+        return pd.DataFrame({
+            "image_id": b["image_id"].to_numpy(),
+            "sum_r": sums[:, 0], "sum_g": sums[:, 1], "sum_b": sums[:, 2],
+            "dom_octant": dom.astype(np.int64),
+            "dom_count": counts[np.arange(n), dom].astype(np.int64)})
+
+    return imgs.map_batches(stats, batch_format="pandas")
+
+
+Q_IMAGES_COLORSTATS_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+             WHERE doc_id % 3 <> 2),
+px AS (
+  SELECT i,
+         (x * (i % 7 + 1)) % 256 AS r,
+         (y * (i % 5 + 2)) % 256 AS g,
+         ((x + y) * (i % 3 + 1) + i) % 256 AS b
+  FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y)),
+agg AS (SELECT i, SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+        FROM px GROUP BY 1),
+bkt AS (SELECT i,
+               4 * CAST(r >= 128 AS INT) + 2 * CAST(g >= 128 AS INT)
+                 + CAST(b >= 128 AS INT) AS octant,
+               COUNT(*) AS c
+        FROM px GROUP BY 1, 2),
+dom AS (SELECT i, octant, c,
+               ROW_NUMBER() OVER (PARTITION BY i
+                                  ORDER BY c DESC, octant ASC) AS rn
+        FROM bkt)
+SELECT printf('img_%012d', a.i) AS image_id,
+       a.sum_r, a.sum_g, a.sum_b,
+       d.octant AS dom_octant, d.c AS dom_count
+FROM agg a JOIN dom d ON d.i = a.i AND d.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10457,6 +10526,7 @@ QUERIES = {
     "images_nms": q_images_nms,
     "assoc_rules": q_assoc_rules,
     "dbscan": q_dbscan,
+    "images_colorstats": q_images_colorstats,
 }
 
 ORACLES = {
@@ -10627,4 +10697,5 @@ ORACLES = {
     "dedup_snm": Q_DEDUP_SNM_SQL,
     "assoc_rules": Q_ASSOC_RULES_SQL,
     "dbscan": Q_DBSCAN_SQL,
+    "images_colorstats": Q_IMAGES_COLORSTATS_SQL,
 }
