@@ -10329,6 +10329,59 @@ FROM agg a JOIN dom d ON d.i = a.i AND d.rn = 1
 """
 
 
+def q_images_pooled(sf_dir: str, limit: int = 500, block: int = 4):
+    """Box-sum pooling (the integer core of area-average resize and
+    pyramid levels): each decoded 32x32 image -> 8x8 grid of 4x4 block
+    sums per channel.  Same oracle strategy as q_images_colorstats —
+    the SQL side replays the synthetic pixel formulas and groups by
+    (x//4, y//4), so the kernel's pooling GEOMETRY (row/col order,
+    block alignment) is hash-verified, not just its arithmetic.  Sums
+    instead of means keep everything integer-exact (a mean is one
+    division the caller can do).  Output is 64 rows x 3 sums per image
+    — the pyramid level a thumbnail/tile renderer consumes."""
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit) \
+        .filter(expr="fmt != 'jpeg'") \
+        .select_columns(["image_id", "bytes", "fmt", "w", "h"])
+    g = 32 // block
+
+    def pool(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        px = np.empty((n, 32, 32, 3), dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            px[i] = decode_image(data, fmt, int(w), int(h)).astype(np.int64)
+        # (n, by, block, bx, block, ch) -> sum the two block axes
+        sums = px.reshape(n, g, block, g, block, 3).sum(axis=(2, 4))
+        by, bx = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+        return pd.DataFrame({
+            "image_id": np.repeat(b["image_id"].to_numpy(), g * g),
+            "bx": np.tile(bx.ravel(), n).astype(np.int64),
+            "by": np.tile(by.ravel(), n).astype(np.int64),
+            "sum_r": sums[:, :, :, 0].reshape(-1),
+            "sum_g": sums[:, :, :, 1].reshape(-1),
+            "sum_b": sums[:, :, :, 2].reshape(-1)})
+
+    return imgs.map_batches(pool, batch_format="pandas")
+
+
+Q_IMAGES_POOLED_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+             WHERE doc_id % 3 <> 2),
+px AS (
+  SELECT i, x // 4 AS bx, y // 4 AS by,
+         (x * (i % 7 + 1)) % 256 AS r,
+         (y * (i % 5 + 2)) % 256 AS g,
+         ((x + y) * (i % 3 + 1) + i) % 256 AS b
+  FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y))
+SELECT printf('img_%012d', i) AS image_id, bx, by,
+       SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+FROM px GROUP BY i, bx, by
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10527,6 +10580,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "dbscan": q_dbscan,
     "images_colorstats": q_images_colorstats,
+    "images_pooled": q_images_pooled,
 }
 
 ORACLES = {
@@ -10698,4 +10752,5 @@ ORACLES = {
     "assoc_rules": Q_ASSOC_RULES_SQL,
     "dbscan": Q_DBSCAN_SQL,
     "images_colorstats": Q_IMAGES_COLORSTATS_SQL,
+    "images_pooled": Q_IMAGES_POOLED_SQL,
 }
