@@ -10382,6 +10382,55 @@ FROM px GROUP BY i, bx, by
 """
 
 
+def q_images_edges(sf_dir: str, limit: int = 500, thresh: int = 64):
+    """Horizontal L1-gradient edge density per decoded image — the
+    integer skeleton of every edge/sharpness filter, with the same
+    SQL-replay oracle as q_images_colorstats.  The oracle computes
+    |ch(x+1,y) - ch(x,y)| from the pixel formulas directly, so the
+    kernel's SHIFT DIRECTION and boundary handling (31 diffs per row,
+    no wrap) are what's verified — exactly the off-by-one class of bug
+    a convolution kernel grows.  Output: per image, the count of pixel
+    positions whose summed channel gradient >= thresh, plus the total
+    L1 gradient mass (both int64)."""
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit) \
+        .filter(expr="fmt != 'jpeg'") \
+        .select_columns(["image_id", "bytes", "fmt", "w", "h"])
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        px = np.empty((n, 32, 32, 3), dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            px[i] = decode_image(data, fmt, int(w), int(h)).astype(np.int64)
+        d = np.abs(px[:, :, 1:, :] - px[:, :, :-1, :]).sum(axis=3)
+        return pd.DataFrame({
+            "image_id": b["image_id"].to_numpy(),
+            "edge_px": (d >= thresh).sum(axis=(1, 2)).astype(np.int64),
+            "grad_l1": d.sum(axis=(1, 2)).astype(np.int64)})
+
+    return imgs.map_batches(edges, batch_format="pandas")
+
+
+Q_IMAGES_EDGES_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+             WHERE doc_id % 3 <> 2),
+d AS (
+  SELECT i,
+         abs(((x + 1) * (i % 7 + 1)) % 256 - (x * (i % 7 + 1)) % 256)
+         + abs((y * (i % 5 + 2)) % 256 - (y * (i % 5 + 2)) % 256)
+         + abs(((x + 1 + y) * (i % 3 + 1) + i) % 256
+               - ((x + y) * (i % 3 + 1) + i) % 256) AS g
+  FROM ids, generate_series(0, 30) tx(x), generate_series(0, 31) ty(y))
+SELECT printf('img_%012d', i) AS image_id,
+       COUNT(*) FILTER (g >= 64) AS edge_px,
+       SUM(g) AS grad_l1
+FROM d GROUP BY i
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10581,6 +10630,7 @@ QUERIES = {
     "dbscan": q_dbscan,
     "images_colorstats": q_images_colorstats,
     "images_pooled": q_images_pooled,
+    "images_edges": q_images_edges,
 }
 
 ORACLES = {
@@ -10753,4 +10803,5 @@ ORACLES = {
     "dbscan": Q_DBSCAN_SQL,
     "images_colorstats": Q_IMAGES_COLORSTATS_SQL,
     "images_pooled": Q_IMAGES_POOLED_SQL,
+    "images_edges": Q_IMAGES_EDGES_SQL,
 }
