@@ -10207,23 +10207,25 @@ def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3):
     tagged = stats.map_batches(tag_stats, batch_format="pandas").union(
         halo2.map_batches(tag_cands, batch_format="pandas"))
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        lab = ray.get(ref)
-        pid = int(g["pid"].iloc[0])
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(ref)  # once per bucket task, not per pid group
         st = g[g["t"] == 0]
-        if len(st) and st["core"].iloc[0] == 1:
-            return pd.DataFrame({"point_id": [pid],
-                                 "cluster": [lab.get(pid, pid)],
-                                 "role": ["core"]})
-        cands = g.loc[g["t"] == 1, "lab"]
-        if len(cands):
-            return pd.DataFrame({"point_id": [pid],
-                                 "cluster": [int(cands.min())],
-                                 "role": ["border"]})
-        return pd.DataFrame({"point_id": [pid], "cluster": [np.int64(-1)],
-                             "role": ["noise"]})
+        pids = st["pid"].to_numpy(np.int64)
+        core = st["core"].to_numpy() == 1
+        borders = g[g["t"] == 1].groupby("pid", sort=False)["lab"].min()
+        blab = borders.reindex(pids).to_numpy()
+        core_lab = np.array([lab.get(int(p), int(p)) for p in pids],
+                            dtype=np.int64)
+        has_b = ~np.isnan(blab)
+        cluster = np.where(core, core_lab,
+                           np.where(has_b, np.nan_to_num(blab, nan=-1),
+                                    -1)).astype(np.int64)
+        role = np.where(core, "core", np.where(has_b, "border", "noise"))
+        return pd.DataFrame({"point_id": pids, "cluster": cluster,
+                             "role": role.astype(object)})
 
-    return grouped_map_buckets(tagged, ["pid"], finish, num_buckets=32)
+    return grouped_map_buckets(tagged, ["pid"], finish_bucket,
+                               num_buckets=32, whole_bucket=True)
 
 
 Q_DBSCAN_SQL = """
