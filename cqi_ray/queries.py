@@ -10433,6 +10433,47 @@ FROM d GROUP BY i
 """
 
 
+def q_dbscan_centroids(sf_dir: str):
+    """Per-cluster size + integer centroid sums over the DBSCAN output —
+    the composition shape (aggregate over an iterative operator's
+    result) a density-based map product needs: cluster extents for
+    tile labeling, sizes for filtering micro-clusters.  Coordinates are
+    re-derived from the point key (nothing but (pid, cluster) flows out
+    of the clustering), summed as integers; the mean is one division
+    the consumer does.  Noise (cluster = -1) is excluded, matching the
+    oracle's role filter."""
+    from ray.data.aggregate import Count, Sum
+
+    clustered = q_dbscan(sf_dir).filter(expr="cluster >= 0")
+
+    def coords(b: pd.DataFrame) -> pd.DataFrame:
+        px, py = _dbscan_synth(b["point_id"].to_numpy(np.int64))
+        return pd.DataFrame({"cluster": b["cluster"].to_numpy(np.int64),
+                             "px": px, "py": py})
+
+    return clustered.map_batches(coords, batch_format="pandas") \
+        .groupby("cluster").aggregate(Count(alias_name="n_pts"),
+                                      Sum("px", alias_name="sum_x"),
+                                      Sum("py", alias_name="sum_y"))
+
+
+Q_DBSCAN_CENTROIDS_SQL = Q_DBSCAN_SQL.replace(
+    """SELECT pid AS point_id, cluster, 'core' AS role FROM clu
+UNION ALL
+SELECT pid AS point_id, cluster, 'border' AS role FROM border
+UNION ALL
+SELECT pid AS point_id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role FROM pts
+WHERE pid NOT IN (SELECT pid FROM clu) AND pid NOT IN (SELECT pid FROM border)
+""",
+    """, lbl AS (SELECT pid, cluster FROM clu
+           UNION ALL SELECT pid, cluster FROM border)
+SELECT l.cluster, COUNT(*) AS n_pts,
+       SUM(p.px) AS sum_x, SUM(p.py) AS sum_y
+FROM lbl l JOIN pts p ON p.pid = l.pid
+GROUP BY l.cluster
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10633,6 +10674,7 @@ QUERIES = {
     "images_colorstats": q_images_colorstats,
     "images_pooled": q_images_pooled,
     "images_edges": q_images_edges,
+    "dbscan_centroids": q_dbscan_centroids,
 }
 
 ORACLES = {
@@ -10806,4 +10848,5 @@ ORACLES = {
     "images_colorstats": Q_IMAGES_COLORSTATS_SQL,
     "images_pooled": Q_IMAGES_POOLED_SQL,
     "images_edges": Q_IMAGES_EDGES_SQL,
+    "dbscan_centroids": Q_DBSCAN_CENTROIDS_SQL,
 }
