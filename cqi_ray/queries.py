@@ -10474,6 +10474,57 @@ GROUP BY l.cluster
 """)
 
 
+def q_images_histogram(sf_dir: str, limit: int = 500):
+    """16-bin integer-luma histogram per decoded image — the exposure
+    profile every curation pass reads, and the fourth member of the
+    SQL-pixel-replay oracle family.  Luma is the BT.601-weighted
+    integer combine luma = (77r + 150g + 29b) >> 8 (sums to 256, so
+    the result stays in 0..255 with pure integer ops both engines
+    compute identically), binned by luma >> 4.  Long-format output
+    (image_id, bin, n_px) with empty bins omitted — exactly what a
+    GROUP BY produces, so the oracle needs no bin scaffolding."""
+    from .images.codec import decode_image
+    from .pipelines.flagship import build_images
+
+    imgs = build_images(sf_dir, limit=limit) \
+        .filter(expr="fmt != 'jpeg'") \
+        .select_columns(["image_id", "bytes", "fmt", "w", "h"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        px = np.empty((n, 32 * 32, 3), dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(zip(
+                b["bytes"], b["fmt"], b["w"], b["h"])):
+            px[i] = decode_image(data, fmt, int(w), int(h)) \
+                .reshape(-1, 3).astype(np.int64)
+        luma = (px[:, :, 0] * 77 + px[:, :, 1] * 150 + px[:, :, 2] * 29) >> 8
+        bins = luma >> 4
+        offs = bins + 16 * np.arange(n, dtype=np.int64)[:, None]
+        counts = np.bincount(offs.ravel(), minlength=16 * n).reshape(n, 16)
+        img_idx, bin_idx = np.nonzero(counts)
+        return pd.DataFrame({
+            "image_id": b["image_id"].to_numpy()[img_idx],
+            "bin": bin_idx.astype(np.int64),
+            "n_px": counts[img_idx, bin_idx].astype(np.int64)})
+
+    return imgs.map_batches(hist, batch_format="pandas")
+
+
+Q_IMAGES_HISTOGRAM_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+             WHERE doc_id % 3 <> 2),
+px AS (
+  SELECT i,
+         ((x * (i % 7 + 1)) % 256 * 77
+          + (y * (i % 5 + 2)) % 256 * 150
+          + ((x + y) * (i % 3 + 1) + i) % 256 * 29) // 256 AS luma
+  FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y))
+SELECT printf('img_%012d', i) AS image_id, luma // 16 AS bin,
+       COUNT(*) AS n_px
+FROM px GROUP BY i, bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10675,6 +10726,7 @@ QUERIES = {
     "images_pooled": q_images_pooled,
     "images_edges": q_images_edges,
     "dbscan_centroids": q_dbscan_centroids,
+    "images_histogram": q_images_histogram,
 }
 
 ORACLES = {
@@ -10849,4 +10901,5 @@ ORACLES = {
     "images_pooled": Q_IMAGES_POOLED_SQL,
     "images_edges": Q_IMAGES_EDGES_SQL,
     "dbscan_centroids": Q_DBSCAN_CENTROIDS_SQL,
+    "images_histogram": Q_IMAGES_HISTOGRAM_SQL,
 }
