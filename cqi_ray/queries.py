@@ -10525,6 +10525,62 @@ FROM px GROUP BY i, bin
 """
 
 
+def q_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    l_quantity distributions of returnflag A vs R — the
+    distribution-shift gate next to q_source_drift's KL, in EXACT
+    integer-fraction form: D = d_num / d_den with
+    d_num = max_t |cdf_a(t)·n_r − cdf_r(t)·n_a| and d_den = n_a·n_r,
+    so both engines compare integers and the oracle has no float
+    surface.  Distributed shape: per-batch (flag, value) counts are the
+    partial aggregate (ONE small shuffle over the value domain), the
+    cumulative scan runs over the collected support — bounded by the
+    number of DISTINCT values, not rows, the same contract as
+    q_heavy_hitters/q_histogram."""
+    from ray.data.aggregate import Sum
+
+    li = _pq(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"].isin(["A", "R"])]
+        g = b.groupby([b["l_returnflag"],
+                       b["l_quantity"].astype(np.int64)], sort=False) \
+             .size().reset_index(name="c")
+        g.columns = ["flag", "q", "c"]
+        return g
+
+    counts = li.map_batches(partial, batch_format="pandas") \
+        .groupby(["flag", "q"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()  # bounded: |distinct quantities| x 2 rows
+
+    piv = counts.pivot_table(index="q", columns="flag", values="c",
+                             fill_value=0, aggfunc="sum").sort_index()
+    ca = piv.get("A", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    cr = piv.get("R", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    na, nr = int(ca.sum()), int(cr.sum())
+    d_num = int(np.abs(np.cumsum(ca) * nr - np.cumsum(cr) * na).max())
+    return pd.DataFrame({"d_num": [np.int64(d_num)],
+                         "d_den": [np.int64(na * nr)],
+                         "n_a": [np.int64(na)], "n_r": [np.int64(nr)]})
+
+
+Q_KS_TEST_SQL = """
+WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS c
+           FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+r AS (SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS c
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+na AS (SELECT SUM(c) AS n FROM a), nr AS (SELECT SUM(c) AS n FROM r),
+supp AS (SELECT q FROM a UNION SELECT q FROM r),
+cum AS (SELECT s.q,
+        (SELECT COALESCE(SUM(c), 0) FROM a WHERE a.q <= s.q) AS ca,
+        (SELECT COALESCE(SUM(c), 0) FROM r WHERE r.q <= s.q) AS cr
+        FROM supp s)
+SELECT MAX(ABS(ca * nr.n - cr * na.n)) AS d_num,
+       na.n * nr.n AS d_den, na.n AS n_a, nr.n AS n_r
+FROM cum, na, nr GROUP BY na.n, nr.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10727,6 +10783,7 @@ QUERIES = {
     "images_edges": q_images_edges,
     "dbscan_centroids": q_dbscan_centroids,
     "images_histogram": q_images_histogram,
+    "ks_test": q_ks_test,
 }
 
 ORACLES = {
@@ -10902,4 +10959,5 @@ ORACLES = {
     "images_edges": Q_IMAGES_EDGES_SQL,
     "dbscan_centroids": Q_DBSCAN_CENTROIDS_SQL,
     "images_histogram": Q_IMAGES_HISTOGRAM_SQL,
+    "ks_test": Q_KS_TEST_SQL,
 }
