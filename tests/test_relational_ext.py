@@ -319,3 +319,53 @@ class TestAdaptiveJoin:
         exp = want[cols].sort_values(cols).reset_index(drop=True)
         got["v"] = got["v"].astype("int64")
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestClusteringCoefficients:
+    def _graph(self):
+        rng = np.random.RandomState(13)
+        a = rng.randint(0, 50, 300)
+        b = rng.randint(0, 50, 300)
+        m = a != b
+        lo, hi = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    def _brute(self, edges: pd.DataFrame) -> pd.DataFrame:
+        n = 50
+        adj = np.zeros((n, n), dtype=bool)
+        adj[edges["a"], edges["b"]] = True
+        adj |= adj.T
+        ai = adj.astype(np.int64)
+        tri = np.einsum("ij,jk,ki->i", ai, ai, ai) // 2
+        deg = ai.sum(1)
+        nodes = np.flatnonzero(deg > 0)
+        d = deg[nodes].astype(np.float64)
+        coeff = np.where(deg[nodes] < 2, 0.0,
+                         2.0 * tri[nodes] / (d * np.maximum(d - 1, 1)))
+        return pd.DataFrame({"node": nodes, "triangles": tri[nodes],
+                             "deg": deg[nodes], "coeff": coeff})
+
+    def test_both_plans_match_brute_force(self, ray_session):
+        from cqi_ray.ops.graph import clustering_coefficients
+
+        edges = self._graph()
+        want = self._brute(edges)
+        for forced in (20_000_000, 0):  # broadcast plan, then bucketed
+            got = clustering_coefficients(_ds(edges, blocks=3),
+                                          num_buckets=8,
+                                          broadcast_below=forced)
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True).astype(
+                    {"node": "int64", "triangles": "int64", "deg": "int64"}),
+                want.astype({"node": "int64", "triangles": "int64",
+                             "deg": "int64"}),
+                check_exact=False, rtol=1e-12)
+
+    def test_star_graph_all_zero(self, ray_session):
+        from cqi_ray.ops.graph import clustering_coefficients
+
+        edges = pd.DataFrame({"a": np.zeros(20, dtype=np.int64),
+                              "b": np.arange(1, 21, dtype=np.int64)})
+        got = clustering_coefficients(_ds(edges, blocks=2), num_buckets=4)
+        assert (got["triangles"] == 0).all()
+        assert (got["coeff"] == 0.0).all()
