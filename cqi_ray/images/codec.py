@@ -363,3 +363,163 @@ def resize_bilinear(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     bot = p[y1[:, None], x0[None, :]] * (1 - wx) + p[y1[:, None], x1[None, :]] * wx
     out = top * (1 - wy) + bot * wy
     return np.round(out).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Batched encode paths: same bytes as the scalar functions, one numpy
+# pass across a whole block of images (the flagship synthesizer's hot
+# loop — per-image python overhead dominated the 8-CPU scaling leg).
+# tests/test_images.py asserts bit-identical output vs the scalar path
+# over the full synthetic corpus.
+# ---------------------------------------------------------------------------
+
+
+def png_encode_batch(pixels: np.ndarray, compress_level: int = 1) -> list:
+    """(n, h, w, 3) uint8 -> list of PNG byte strings == [png_encode(p)
+    for p in pixels].  The filter-0 scanline build runs once across the
+    batch; only the per-payload zlib/CRC stays a (C-level) loop."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    n, h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("png_encode_batch expects RGB8")
+    raw = np.empty((n, h, 1 + w * 3), dtype=np.uint8)
+    raw[:, :, 0] = 0
+    raw[:, :, 1:] = arr.reshape(n, h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    head = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    tail = _chunk(b"IEND", b"")
+    return [head + _chunk(b"IDAT", zlib.compress(r.tobytes(), compress_level))
+            + tail for r in raw]
+
+
+def raw_encode_batch(pixels: np.ndarray) -> list:
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    return [a.tobytes() for a in arr]
+
+
+def _to_blocks_batch(chans: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(n, h, w) float -> (n * nblocks, 8, 8) in the same block order
+    _to_blocks yields per image."""
+    n, h, w = chans.shape
+    ph = (-h) % _B
+    pw = (-w) % _B
+    if ph or pw:
+        chans = np.pad(chans, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    H, W = chans.shape[1:]
+    blocks = chans.reshape(n, H // _B, _B, W // _B, _B) \
+        .transpose(0, 1, 3, 2, 4)
+    return blocks.reshape(-1, _B, _B), H, W
+
+
+# internal chunk for the batched kernels: per-image working sets are
+# tiny (a 64px frame is 12 KB), so the win comes from amortizing python
+# dispatch — but monolithic batches blow the cache (measured: 1280-image
+# lossy pass 492 ms monolithic vs 319 ms at 64-image chunks, phash 439
+# vs 158 ms).  64 keeps every chunk's temporaries L2-resident.
+_BATCH_CHUNK = 64
+
+
+def lossy_encode_batch(pixels: np.ndarray, quality: int = 92) -> list:
+    """(n, h, w, 3) uint8 -> list of LJPG byte strings == [lossy_encode(p)
+    for p in pixels].  Batched dgemm pairs cover every 8x8 block of
+    every channel (same (b, 8, 8) contraction the scalar path uses, so
+    the coefficients are bit-identical); the entropy stage stays a
+    per-payload zlib loop.  Cache-chunked (see _BATCH_CHUNK)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if len(arr) > _BATCH_CHUNK:
+        out = []
+        for s in range(0, len(arr), _BATCH_CHUNK):
+            out.extend(lossy_encode_batch(arr[s:s + _BATCH_CHUNK], quality))
+        return out
+    n, h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("lossy_encode_batch expects RGB8")
+    q = _quant_table(quality)
+    D = _dct8()
+    # channel-major per image: stack as (n, 3, h, w) then block
+    chans = arr.transpose(0, 3, 1, 2).reshape(n * 3, h, w).astype(np.float64)
+    blocks, H, W = _to_blocks_batch(chans - 128.0)
+    coeff = (D @ blocks) @ D.T
+    quant = np.round(coeff / q).astype(np.int16)
+    per = (H // _B) * (W // _B)
+    planes = quant.reshape(n, 3 * per * _B * _B).astype("<i2")
+    head = _LJPG_MAGIC + struct.pack("<BHH", min(100, max(1, quality)), w, h)
+    return [head + zlib.compress(p.tobytes(), 1) for p in planes]
+
+
+def lossy_roundtrip_pixels_batch(pixels: np.ndarray,
+                                 quality: int = 92) -> tuple:
+    """(encoded blobs, decoded pixel stack) for a batch — the synthesizer
+    needs BOTH (the stored phash describes the stored lossy image), and
+    sharing the quantized coefficients skips a decode pass.  Decoded
+    pixels == [lossy_decode(b) for b in blobs] bit-for-bit (same
+    dequantize + inverse-DCT arithmetic on the same int16 values)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if len(arr) > _BATCH_CHUNK:
+        blobs, decs = [], []
+        for s in range(0, len(arr), _BATCH_CHUNK):
+            b, d = lossy_roundtrip_pixels_batch(arr[s:s + _BATCH_CHUNK],
+                                                quality)
+            blobs.extend(b)
+            decs.append(d)
+        return blobs, np.concatenate(decs)
+    n, h, w, ch = arr.shape
+    q = _quant_table(quality)
+    D = _dct8()
+    chans = arr.transpose(0, 3, 1, 2).reshape(n * 3, h, w).astype(np.float64)
+    blocks, H, W = _to_blocks_batch(chans - 128.0)
+    coeff = (D @ blocks) @ D.T
+    quant = np.round(coeff / q).astype(np.int16)
+    per = (H // _B) * (W // _B)
+    planes = quant.reshape(n, 3 * per * _B * _B).astype("<i2")
+    head = _LJPG_MAGIC + struct.pack("<BHH", min(100, max(1, quality)), w, h)
+    blobs = [head + zlib.compress(p.tobytes(), 1) for p in planes]
+    # decode from the SAME int16 values lossy_decode would read back
+    deq = quant.astype(np.float64) * q
+    rec = (D.T @ deq) @ D
+    nby, nbx = H // _B, W // _B
+    rec = rec.reshape(n * 3, nby, nbx, _B, _B).transpose(0, 1, 3, 2, 4) \
+        .reshape(n * 3, H, W)[:, :h, :w] + 128.0
+    rec = np.clip(np.round(rec), 0, 255).astype(np.uint8)
+    decoded = rec.reshape(n, 3, h, w).transpose(0, 2, 3, 1)
+    return blobs, np.ascontiguousarray(decoded)
+
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> int64 array == [phash64(p) for p in pixels].
+    Gray projection, area resize (batched integral image), the 32x32
+    DCT pair and the median threshold all run as single numpy/BLAS
+    calls over the batch; per-slice matmul kernels match the scalar
+    path's C-contiguous inputs, so near-median bits cannot drift (the
+    conformance test pins this over the whole corpus).  Cache-chunked
+    (see _BATCH_CHUNK)."""
+    global _DCT_MAT
+    if _DCT_MAT is None:
+        _DCT_MAT = _dct_matrix(_DCT_N)
+    if len(pixels) > _BATCH_CHUNK:
+        return np.concatenate(
+            [phash64_batch(pixels[s:s + _BATCH_CHUNK])
+             for s in range(0, len(pixels), _BATCH_CHUNK)])
+    arr = np.ascontiguousarray(pixels, dtype=np.float64)
+    n, h, w, _ = arr.shape
+    gray = arr @ np.array([0.299, 0.587, 0.114])
+    size = _DCT_N
+    ys = (np.arange(size + 1) * h // size).astype(np.int64)
+    xs = (np.arange(size + 1) * w // size).astype(np.int64)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    integral = np.zeros((n, h + 1, w + 1), dtype=np.float64)
+    integral[:, 1:, 1:] = np.cumsum(np.cumsum(gray, axis=1), axis=2)
+    total = (integral[:, y1[:, None], x1[None, :]]
+             - integral[:, y0[:, None], x1[None, :]]
+             - integral[:, y1[:, None], x0[None, :]]
+             + integral[:, y0[:, None], x0[None, :]])
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    small = total / areas
+    dct = np.matmul(np.matmul(_DCT_MAT.T, small), _DCT_MAT)
+    flat = dct[:, :8, :8].reshape(n, 64)[:, 1:]
+    med = np.median(flat, axis=1, keepdims=True)
+    weights = np.left_shift(np.uint64(1),
+                            np.arange(62, -1, -1, dtype=np.uint64))
+    vals = (flat > med).astype(np.uint64) @ weights
+    return vals.astype(np.int64)

@@ -157,3 +157,19 @@ def synth_ways_grid(n_ways: int = 64, seed: int = 42,
     tag mixes spanning the classifier's families.  Used when no real ways
     table is provided (tests / bench)."""
     return synth_way_rows_range(0, n_ways, n_ways, extent=extent)
+
+
+def pixels_for_batch(indices: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(n,) int ids -> (n, h, w, 3) uint8 == np.stack([_pixels_for(i, w, h)
+    for i in ids]) — one broadcasted pass instead of a per-image loop
+    (the flagship synthesizer's hot path)."""
+    idx = np.asarray(indices, dtype=np.int64)
+    if len(idx) > 64:  # cache-chunked, same reasoning as codec._BATCH_CHUNK
+        return np.concatenate([pixels_for_batch(idx[s:s + 64], w, h)
+                               for s in range(0, len(idx), 64)])
+    idx = idx[:, None, None]
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = ((xx[None] * (idx % 7 + 1)) % 256).astype(np.uint8)
+    g = ((yy[None] * (idx % 5 + 2)) % 256).astype(np.uint8)
+    b = (((xx[None] + yy[None]) * (idx % 3 + 1) + idx) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=3)

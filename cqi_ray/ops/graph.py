@@ -487,3 +487,54 @@ def clustering_coefficients(edges: rd.Dataset, a: str = "a", b: str = "b",
     out = pd.DataFrame({"node": node_by_rank, "triangles": tri_by_rank,
                         "deg": deg_by_rank, "coeff": coeff})
     return out.sort_values("node", kind="mergesort", ignore_index=True)
+
+
+def components_label_map(a, b, distributed_above: int = 5_000_000,
+                         num_buckets: int = 16) -> dict:
+    """Edge endpoint arrays -> {node: min reachable node} — the adaptive
+    component-labeling step behind q_dedup_phash_clusters and q_dbscan.
+    Below ``distributed_above`` edges the driver union-find (min-root,
+    path-compressed) wins on task overhead; above it the pointer-doubling
+    dataset ``connected_components`` takes over so the edge list never
+    has to fit one process.  Both plans produce the identical min-label
+    map (pytest forces the distributed plan and asserts equality).  The
+    returned dict is O(nodes) — the broadcast contract both callers
+    already carry for their assign step."""
+    import ray.data as rd
+
+    from .ccl import _find, _union_min
+
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a) <= distributed_above:
+        parent: dict = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            _union_min(parent, x, y)
+        return {x: _find(parent, x) for x in parent}
+    edges = rd.from_pandas(pd.DataFrame({"a": a, "b": b})) \
+        .repartition(num_buckets)
+    cc = connected_components(edges, num_buckets=num_buckets).to_pandas()
+    return {int(v): int(c) for v, c in zip(cc["vertex"], cc["component"])}
+
+
+def components_label_map_ds(edges: rd.Dataset, src: str = "a",
+                            dst: str = "b",
+                            distributed_above: int = 5_000_000,
+                            num_buckets: int = 16) -> dict:
+    """Dataset-native form of ``components_label_map``: the plan choice
+    happens BEFORE any driver materialization — edge count comes from
+    block metadata, and only the below-threshold branch ever pulls the
+    edge list into one process.  Above it, the pointer-doubling CC runs
+    on the Dataset directly and just the O(nodes) label map returns."""
+    edges = edges.materialize()
+    m = edges.count()
+    if m <= distributed_above:
+        ep = edges.to_pandas()
+        return components_label_map(ep[src].to_numpy(np.int64),
+                                    ep[dst].to_numpy(np.int64),
+                                    distributed_above=m)
+    cc = connected_components(edges, src=src, dst=dst,
+                              num_buckets=num_buckets).to_pandas()
+    return {int(v): int(c) for v, c in zip(cc["vertex"], cc["component"])}

@@ -57,31 +57,42 @@ def images_from_documents(batch: pd.DataFrame, size_px: int = 32,
     lon = centers_lon[center] + (u2 - 0.5) * 0.01
     lat = centers_lat[center] + (u3 - 0.5) * 0.006
 
-    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
-            "caption": [], "phash": [], "lon": [], "lat": []}
-    for i, img_id in enumerate(ids):
-        px = synth._pixels_for(int(img_id), size_px, size_px)
-        fmt = ("png", "raw", "jpeg")[int(img_id) % 3]
-        if fmt == "png":
-            blob = codec.png_encode(px)
-        elif fmt == "raw":
-            blob = codec.raw_encode(px)
-        else:
-            # genuinely lossy DCT-quantization codec; the stored phash
-            # describes the STORED (lossy) image, as it would in a real
-            # catalog, so the decode-side integrity check stays exact
-            blob = codec.lossy_encode(px)
-            px = codec.lossy_decode(blob)
-        rows["image_id"].append(f"img_{int(img_id):012d}")
-        rows["bytes"].append(blob)
-        rows["w"].append(size_px)
-        rows["h"].append(size_px)
-        rows["fmt"].append(fmt)
-        rows["caption"].append(texts[i])
-        rows["phash"].append(codec.phash64(px))
-        rows["lon"].append(float(lon[i]))
-        rows["lat"].append(float(lat[i]))
-    return pd.DataFrame(rows)
+    n = len(ids)
+    px = synth.pixels_for_batch(ids, size_px, size_px)
+    fmt_idx = ids % 3
+    blobs = np.empty(n, dtype=object)
+    phash = np.empty(n, dtype=np.int64)
+    # batched per-format encodes (bit-identical to the scalar codec
+    # paths — tests/test_images.py pins byte equality over the corpus);
+    # the jpeg group's stored phash describes the STORED lossy image, as
+    # it would in a real catalog, so the decode-side integrity check
+    # stays exact
+    for fi, enc in ((0, codec.png_encode_batch), (1, codec.raw_encode_batch)):
+        sel = np.flatnonzero(fmt_idx == fi)
+        if len(sel):
+            out = np.empty(len(sel), dtype=object)
+            out[:] = enc(px[sel])
+            blobs[sel] = out
+            phash[sel] = codec.phash64_batch(px[sel])
+    sel = np.flatnonzero(fmt_idx == 2)
+    if len(sel):
+        jblobs, dec = codec.lossy_roundtrip_pixels_batch(px[sel])
+        out = np.empty(len(sel), dtype=object)
+        out[:] = jblobs
+        blobs[sel] = out
+        phash[sel] = codec.phash64_batch(dec)
+    return pd.DataFrame({
+        "image_id": np.array([f"img_{int(i):012d}" for i in ids],
+                             dtype=object),
+        "bytes": blobs,
+        "w": np.full(n, size_px, dtype=np.int64),
+        "h": np.full(n, size_px, dtype=np.int64),
+        "fmt": np.array(("png", "raw", "jpeg"), dtype=object)[fmt_idx],
+        "caption": texts,
+        "phash": phash,
+        "lon": lon,
+        "lat": lat,
+    })
 
 
 def build_images(sf_dir: str, limit: Optional[int] = None,

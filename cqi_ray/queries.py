@@ -1002,7 +1002,8 @@ WHERE bit_count(xor(a.h, b.h)) <= 10
 """
 
 
-def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10):
+def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10,
+                           cc_distributed_above: int = 5_000_000):
     """Scale-sane perceptual-hash dedup: one row per item with its
     duplicate-cluster representative (min reachable doc_id), instead of
     the O(group²) pair list.  Oracle: DuckDB recursive min-label
@@ -1010,7 +1011,10 @@ def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10):
 
     exact collapse (groupby phash -> min doc_id rep)
       -> band-LSH pairs among DISTINCT hashes (reuses q_dedup_phash)
-      -> driver-side union-find over the tiny rep-pair set
+      -> ADAPTIVE component labeling over the rep-pair set
+         (ops.graph.components_label_map: driver union-find below
+         ``cc_distributed_above`` edges, pointer-doubling distributed CC
+         above — tests force the distributed plan and assert equality)
       -> broadcast cluster map, per-batch lookup.
     Driver memory is bounded by the number of distinct near-dup hashes,
     not the row count (near-dup *pairs* after exact collapse are rare at
@@ -1050,25 +1054,20 @@ def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10):
     pa, pb = hamming_dup_pairs_grouped(banded["doc_id"].to_numpy(),
                                        banded["phash"].to_numpy(),
                                        bounds, max_hamming)
-    pairs = set(zip(pa.astype(np.int64).tolist(), pb.astype(np.int64).tolist()))
+    pairs = sorted(set(zip(pa.astype(np.int64).tolist(),
+                           pb.astype(np.int64).tolist())))
 
-    # union-find over representative pairs (tiny)
-    parent: dict = {}
+    # adaptive component labeling over the representative pairs
+    from .ops.graph import components_label_map
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in sorted(pairs):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    lbl = components_label_map(
+        np.array([p[0] for p in pairs], dtype=np.int64),
+        np.array([p[1] for p in pairs], dtype=np.int64),
+        distributed_above=cc_distributed_above)
 
     cluster_of_hash = {
-        int(h): find(int(r)) for h, r in zip(reps["phash"], reps["rep"])
+        int(h): lbl.get(int(r), int(r))
+        for h, r in zip(reps["phash"], reps["rep"])
     }
     ref = ray.put(cluster_of_hash)
 
@@ -1899,6 +1898,43 @@ def q_images_assign(sf_dir: str):
         batch_format="pandas")
 
 
+def q_flagship_resume(sf_dir: str, n_ways: int = 48):
+    """Checkpoint-resume proof as a first-class driver surface: run the
+    checkpointed flagship TWICE into a scratch directory and report, per
+    stage, whether the second run resumed from the completed manifest
+    (build_id unchanged ⇒ nothing recomputed) plus the persisted row and
+    partition counts.  Exercises the whole lineage chain — per-stage
+    fingerprints include upstream build_ids, so a hit here proves both
+    the manifest short-circuit AND that no upstream invalidation leaked.
+    Rows-only for the driver (wall-clock/uuids are not SQL-replayable);
+    tests/test_multimodal.py pins cross-process manifest-hit counts."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .pipelines.flagship import run_flagship_checkpointed
+    from .state.checkpoint import load_manifest
+
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"cqi_resume_{_uuid.uuid4().hex[:8]}")
+    try:
+        run_flagship_checkpointed(sf_dir, out_dir, n_ways=n_ways)
+        stages = ["scores", "assignments", "tiles"]
+        first = {s: load_manifest(os.path.join(out_dir, s)) for s in stages}
+        run_flagship_checkpointed(sf_dir, out_dir, n_ways=n_ways)
+        second = {s: load_manifest(os.path.join(out_dir, s))
+                  for s in stages}
+        return pd.DataFrame({
+            "stage": stages,
+            "resumed": [first[s]["build_id"] == second[s]["build_id"]
+                        for s in stages],
+            "rows": [int(second[s]["row_count"]) for s in stages],
+            "n_partitions": [len(second[s]["partitions"]) for s in stages],
+        })
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_images_assign_rtree(sf_dir: str):
     """Flagship image->way assignment through the broadcast R-tree join
     (assign_images_broadcast): identical logical join as images_assign,
@@ -2538,9 +2574,12 @@ def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     bounded (k x dim) partials move — the embedding rows never leave
     their blocks.  Deterministic seeding (k smallest vec_ids), so the
     assignment is stable across runs (identical partitioning; across
-    partitionings the partial sums re-associate at float-noise level).
-    Iterative and
-    non-relational -> no SQL oracle; tests/test_ops.py checks the
+    partitionings the partial sums re-associate at float-noise level —
+    the INTEGER cluster labels survive that noise).  Oracle: the Lloyd
+    recurrence unrolled as ``iters`` chained CTEs (the q_pagerank
+    fixed-iteration pattern) — normalize, argmax-dot assign (ties to
+    lowest cluster), re-normalized cluster sums — over the unnested
+    embedding lists.  tests/test_ops.py additionally checks the
     distributed fold against a single-process reference run of the
     identical algorithm."""
     from .ops.ann import kmeans_distributed
@@ -2548,6 +2587,68 @@ def q_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     _, assign = kmeans_distributed(emb, k=k, iters=iters)
     return assign
+
+
+def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Unrolled-CTE replay of q_kmeans' spherical Lloyd iterations (the
+    q_pagerank fixed-iteration oracle pattern): c0 = the k smallest
+    vec_ids L2-normalized; each iteration assigns every vector to its
+    argmax-dot centroid (row_number ties to the lowest cluster, matching
+    np.argmax first-max) and re-normalizes the per-cluster vector sums,
+    keeping the old centroid for empty/zero-norm clusters exactly like
+    the engine fold.  Output is the final INTEGER assignment — robust to
+    the float-noise-level difference between SQL sum order and the
+    engine's block-partial re-association.  Constants mirror q_kmeans'
+    defaults (see ORACLES note)."""
+    parts = [f"""
+WITH dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
+e AS (SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN dims),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+x AS (SELECT e.vec_id, e.d,
+             CASE WHEN n.n > 0 THEN e.v / n.n ELSE e.v END AS v
+      FROM e JOIN nrm n USING (vec_id)),
+seeds AS (SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cluster
+          FROM (SELECT DISTINCT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cluster, x.d, x.v FROM seeds s JOIN x USING (vec_id))"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT x.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY sum(x.v * c.v) DESC, c.cluster) AS rn
+    FROM x JOIN {prev} c USING (d)
+    GROUP BY x.vec_id, c.cluster)
+  WHERE rn = 1),
+s{i} AS (SELECT a.cluster, x.d, sum(x.v) AS sv
+         FROM a{i} a JOIN x USING (vec_id) GROUP BY a.cluster, x.d),
+n{i} AS (SELECT cluster, sqrt(sum(sv * sv)) AS n FROM s{i} GROUP BY cluster),
+c{i} AS (
+  SELECT c.cluster, c.d,
+         CASE WHEN s.cluster IS NOT NULL AND n.n > 0
+              THEN s.sv / n.n ELSE c.v END AS v
+  FROM {prev} c
+  LEFT JOIN s{i} s ON s.cluster = c.cluster AND s.d = c.d
+  LEFT JOIN n{i} n ON n.cluster = c.cluster)""")
+        prev = f"c{i}"
+    parts.append(f"""
+SELECT vec_id, cluster FROM (
+  SELECT x.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY sum(x.v * c.v) DESC, c.cluster) AS rn
+  FROM x JOIN {prev} c USING (d)
+  GROUP BY x.vec_id, c.cluster)
+WHERE rn = 1
+""")
+    return "".join(parts)
+
+
+Q_KMEANS_SQL = _kmeans_sql(8, 5)
 
 
 def q_join3_topk(sf_dir: str, k: int = 10):
@@ -2779,45 +2880,111 @@ def q_images_thumbnail(sf_dir: str, limit: int = 500):
 
 def q_images_quality(sf_dir: str, limit: int = 500):
     """Image quality-filter pipeline: decode → per-image sharpness
-    (Laplacian variance), exposure/contrast stats, 16-bin entropy, and a
-    difference hash, then the vectorized keep/drop decision — the image
-    analogue of q_text_quality for training-data curation.  One
-    map_batches chain over binary columns; scores are per-image scalars
-    so the stage output is tiny regardless of payload size.  Rows-only
-    (decode is not SQL-expressible); tests/test_images.py pins the
-    kernel semantics on synthetic frames."""
-    from .images.analysis import (dhash64, image_stats, laplacian_var,
-                                  quality_flags, to_gray)
+    (Laplacian variance), exposure/contrast stats and 16-bin luma
+    entropy, then the vectorized keep/drop decision — the image
+    analogue of q_text_quality for training-data curation.  Fully
+    oracle-backed via the q_images_colorstats pixel-replay pattern:
+    restricted to the lossless two-thirds of the format mix (the DCT
+    codec's quantization is not SQL-replayable, by design — the jpeg
+    path keeps its PSNR/pytest pins), every float is computed in a
+    PINNED expression order the SQL mirrors term for term (luma
+    r*.299+g*.587+b*.114 left-to-right; Laplacian (up+down)+left+right
+    −4c; variance as E[x²]−E[x]² over plain sums), and the keep flag
+    gates on the EMITTED rounded scores so the decision is recomputable
+    from the output columns alone.  One stateless map_batches over the
+    binary column; per-image output is five scalars, so stage output is
+    tiny at any payload size."""
     from .images.codec import decode_image
     from .pipelines.flagship import build_images
 
-    imgs = build_images(sf_dir, limit=limit)
+    imgs = build_images(sf_dir, limit=limit) \
+        .filter(expr="fmt != 'jpeg'") \
+        .select_columns(["image_id", "bytes", "fmt", "w", "h"])
 
     def analyze(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
-        sharp = np.empty(n)
-        mean = np.empty(n)
-        std = np.empty(n)
-        ent = np.empty(n)
-        dh = np.empty(n, dtype=np.int64)
+        px = np.empty((n, 32, 32, 3), dtype=np.float64)
         for i, (data, fmt, w, h) in enumerate(zip(
                 b["bytes"], b["fmt"], b["w"], b["h"])):
-            g = to_gray(decode_image(data, fmt, int(w), int(h)))
-            sharp[i] = laplacian_var(g)
-            mean[i], std[i], ent[i] = image_stats(g)
-            dh[i] = np.uint64(dhash64(g)).astype(np.int64)
+            px[i] = decode_image(data, fmt, int(w), int(h))
+        g = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+        # 4-neighbour Laplacian on the interior, pinned addition order
+        lap = (((g[:, :-2, 1:-1] + g[:, 2:, 1:-1]) + g[:, 1:-1, :-2])
+               + g[:, 1:-1, 2:]) - 4.0 * g[:, 1:-1, 1:-1]
+        n_lap = float(lap.shape[1] * lap.shape[2])
+        ml = lap.reshape(n, -1).sum(axis=1) / n_lap
+        sharp = (lap * lap).reshape(n, -1).sum(axis=1) / n_lap - ml * ml
+        mean = g.reshape(n, -1).sum(axis=1) / 1024.0
+        ex2 = (g * g).reshape(n, -1).sum(axis=1) / 1024.0
+        std = np.sqrt(np.maximum(ex2 - mean * mean, 0.0))
+        bins = np.clip(g.astype(np.int64) >> 4, 0, 15).reshape(n, -1)
+        hist = np.stack([np.bincount(row, minlength=16) for row in bins]) \
+            .astype(np.float64) / 1024.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(hist > 0, hist * np.log2(hist), 0.0)
+        ent = -terms.sum(axis=1)
+        rs = np.round(sharp, 4)
+        rm = np.round(mean, 4)
+        rsd = np.round(std, 4)
+        re_ = np.round(ent, 4)
         return pd.DataFrame({
             "image_id": b["image_id"].to_numpy(),
             "fmt": b["fmt"].to_numpy(),
-            "sharpness": np.round(sharp, 4),
-            "mean_px": np.round(mean, 4),
-            "std_px": np.round(std, 4),
-            "entropy": np.round(ent, 4),
-            "dhash": dh,
-            "keep": quality_flags(sharp, mean, std, ent),
+            "sharpness": rs,
+            "mean_px": rm,
+            "std_px": rsd,
+            "entropy": re_,
+            "keep": (rs >= 1.0) & (rm > 8.0) & (rm < 247.0)
+            & (rsd >= 2.0) & (re_ >= 0.5),
         })
 
     return imgs.map_batches(analyze, batch_format="pandas")
+
+
+Q_IMAGES_QUALITY_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+             WHERE doc_id % 3 <> 2 AND doc_id < 500),
+lum AS (
+  SELECT i, x, y,
+         ((x * (i % 7 + 1)) % 256) * CAST(0.299 AS DOUBLE)
+           + ((y * (i % 5 + 2)) % 256) * CAST(0.587 AS DOUBLE)
+           + (((x + y) * (i % 3 + 1) + i) % 256) * CAST(0.114 AS DOUBLE)
+           AS l
+  FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y)),
+st AS (SELECT i, sum(l) / 1024.0 AS mean, sum(l * l) / 1024.0 AS ex2
+       FROM lum GROUP BY i),
+lap AS (
+  SELECT c.i, (((u.l + d.l) + lf.l) + rt.l) - 4.0 * c.l AS v
+  FROM lum c
+  JOIN lum u  ON u.i = c.i AND u.x = c.x AND u.y = c.y - 1
+  JOIN lum d  ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1
+  JOIN lum lf ON lf.i = c.i AND lf.x = c.x - 1 AND lf.y = c.y
+  JOIN lum rt ON rt.i = c.i AND rt.x = c.x + 1 AND rt.y = c.y
+  WHERE c.x BETWEEN 1 AND 30 AND c.y BETWEEN 1 AND 30),
+shp AS (SELECT i, sum(v * v) / 900.0 - (sum(v) / 900.0) * (sum(v) / 900.0)
+               AS sharp
+        FROM lap GROUP BY i),
+hist AS (SELECT i,
+                LEAST(GREATEST(CAST(floor(l) AS BIGINT), 0), 255) // 16
+                  AS bin,
+                count(*) AS c
+         FROM lum GROUP BY 1, 2),
+ent AS (SELECT i, -sum((c / 1024.0) * log2(c / 1024.0)) AS e
+        FROM hist GROUP BY i),
+sc AS (
+  SELECT s.i,
+         round(sh.sharp, 4) AS sharpness,
+         round(s.mean, 4) AS mean_px,
+         round(sqrt(GREATEST(s.ex2 - s.mean * s.mean, 0.0)), 4) AS std_px,
+         round(e.e, 4) AS entropy
+  FROM st s JOIN shp sh ON sh.i = s.i JOIN ent e ON e.i = s.i)
+SELECT printf('img_%012d', i) AS image_id,
+       CASE WHEN i % 3 = 0 THEN 'png' ELSE 'raw' END AS fmt,
+       sharpness, mean_px, std_px, entropy,
+       (sharpness >= 1.0 AND mean_px > 8.0 AND mean_px < 247.0
+        AND std_px >= 2.0 AND entropy >= 0.5) AS keep
+FROM sc
+"""
 
 
 def q_images_ssim(sf_dir: str, limit: int = 400, quality: int = 80):
@@ -3109,7 +3276,7 @@ def q_joint_curation(sf_dir: str, limit: int = 400, min_tokens: int = 20):
     verdict plus the failure reason so drops are auditable.  Rows-only
     (the image half is not SQL-expressible); both halves' kernels are
     pinned by their own oracle/pytest coverage."""
-    from .images.analysis import (dhash64, image_stats, laplacian_var,
+    from .images.analysis import (image_stats, laplacian_var,
                                   quality_flags, to_gray)
     from .images.codec import decode_image
     from .pipelines.flagship import build_images
@@ -4587,18 +4754,72 @@ JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
-def q_tiles_vectorize(sf_dir: str, n_ways: int = 64):
-    """raster->vector: render the CQI tile pyramid, then extract vector
-    run segments (class + lon/lat endpoints) back out of the PNGs — the
-    inverse direction of the raster<->vector pair.  Pure map_batches
-    after the render's (z,x,y) shuffle; exact on the class raster
-    (tests/test_spatial.py asserts the pixel-level round-trip).
-    Rows-only driver check (PNG decode is not SQL-expressible)."""
-    from .pipelines.flagship import build_scored_ways
-    from .pipelines.tiles import render_tiles, vectorize_tiles
+def q_tiles_vectorize(sf_dir: str, n_tiles: int = 4, z: int = 15,
+                      x0: int = 17600, y0: int = 10850):
+    """raster->vector with a full SQL oracle, via the pixel-replay
+    pattern (q_images_colorstats family): deterministic class rasters —
+    closed-form cls(i, r, c) covering all 11 index classes, the
+    no-index color AND background gaps — are painted with the real
+    palette, round-tripped through the real PNG encoder + decoder,
+    classified back and RLE-vectorized by the production
+    ``vectorize_tiles`` stage; the oracle replays the class formula in
+    SQL and extracts the identical runs with gaps-and-islands.  Any
+    drift in PNG encode/inflate, palette classification or the run
+    extraction shows up as a hash mismatch.  Output is the INTEGER run
+    table; the lon/lat endpoint columns are a pure per-row mercator map
+    pinned by tests/test_spatial.py property tests, and the CQI-pyramid
+    round trip itself keeps its pixel-level pytest assertions there."""
+    from .images import codec
+    from .pipelines.tiles import (INDEX_COLORS, NO_INDEX_COLOR,
+                                  vectorize_tiles)
 
-    tiles = render_tiles(build_scored_ways(n_ways), zooms=(15,))
-    return vectorize_tiles(tiles)
+    palette = np.concatenate([INDEX_COLORS, NO_INDEX_COLOR[None]], axis=0)
+
+    def make(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"z": [], "x": [], "y": [], "png": []}
+        for i in b["id"]:
+            i = int(i)
+            r = np.arange(256)[:, None]
+            c = np.arange(256)[None, :]
+            v = (c // (8 + (r + i) % 9) + r // 7 + i) % 13
+            cls = v - 1  # -1 = background, 0..10 = index, 11 = no-index
+            img = np.zeros((256, 256, 3), dtype=np.uint8)
+            m = cls >= 0
+            img[m] = palette[cls[m]]
+            out["z"].append(z)
+            out["x"].append(x0 + i % 2)
+            out["y"].append(y0 + i // 2)
+            out["png"].append(codec.png_encode(img))
+        return pd.DataFrame(out)
+
+    tiles = rd.range(n_tiles).repartition(n_tiles)         .map_batches(make, batch_format="pandas")
+    return vectorize_tiles(tiles).select_columns(
+        ["z", "x", "y", "cls", "row_px", "col0", "col1", "n_px"])
+
+
+Q_TILES_VECTORIZE_SQL = """
+WITH t AS (SELECT unnest(range(0, 4)) AS i),
+px AS (
+  SELECT i, r, c,
+         ((c // (8 + (r + i) % 9) + r // 7 + i) % 13) - 1 AS cls
+  FROM t, generate_series(0, 255) tr(r), generate_series(0, 255) tc(c)),
+runs AS (
+  SELECT i, r, cls, min(c) AS col0, max(c) + 1 AS col1,
+         count(*) AS n_px
+  FROM (SELECT *, c - row_number() OVER (PARTITION BY i, r, cls
+                                         ORDER BY c) AS grp
+        FROM px WHERE cls >= 0)
+  GROUP BY i, r, cls, grp)
+SELECT CAST(15 AS BIGINT) AS z,
+       CAST(17600 + i % 2 AS BIGINT) AS x,
+       CAST(10850 + i // 2 AS BIGINT) AS y,
+       CAST(cls AS BIGINT) AS cls,
+       CAST(r AS BIGINT) AS row_px,
+       CAST(col0 AS BIGINT) AS col0,
+       CAST(col1 AS BIGINT) AS col1,
+       CAST(n_px AS BIGINT) AS n_px
+FROM runs
+"""
 
 
 def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
@@ -10048,7 +10269,8 @@ def _dbscan_synth(k: np.ndarray):
     return px.astype(np.int64), py.astype(np.int64)
 
 
-def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3):
+def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3,
+             cc_distributed_above: int = 5_000_000):
     """Distributed DBSCAN (Ester et al. 1996) over an integer point
     cloud — the density-clustering shape every geospatial stack needs.
     Grid cells of side eps make every eps-ball local to a 3x3 cell
@@ -10061,17 +10283,17 @@ def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3):
       re-derived from the key — nothing but (pid, core) travels) and
       emits each core-core edge exactly once (from min-endpoint's cell)
       plus (non-core, core-neighbor) border candidates;
-    * the driver union-finds ONLY the core-core edge list (memory is
-      bounded by the core graph, the same contract as
-      q_dedup_phash_clusters), broadcasts the label map, and one final
-      pid-grouped pass assigns core/border/noise roles.
+    * the core-core edge list goes through ADAPTIVE component labeling
+      (ops.graph.components_label_map: driver union-find below
+      ``cc_distributed_above`` edges, pointer-doubling distributed CC
+      above — tests force the distributed plan and assert equality);
+      the label map broadcasts and one final pid-grouped pass assigns
+      core/border/noise roles.
 
     Squared distances on integer coordinates — both engines compare
     exact ints, no epsilon.  Cluster id = min core pid of the component
     (deterministic); border points take the min cluster among their
     core neighbors, matching the oracle's MIN aggregation."""
-    from .ops.ccl import _find, _union_min
-
     r2 = eps * eps
     OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
@@ -10139,16 +10361,17 @@ def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3):
         stats.map_batches(refan, batch_format="pandas"),
         ["cell"], edges_cell, num_buckets=64).materialize()
 
-    # driver union-find over the core-core edge list only (documented
-    # bound: memory ∝ core-graph edges, not the point count)
-    ep = halo2.filter(expr="kind == 0").to_pandas()
-    parent: dict = {}
-    for a, b in zip(ep["a"].to_numpy(np.int64), ep["b"].to_numpy(np.int64)):
-        a, b = int(a), int(b)
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        _union_min(parent, a, b)
-    labels = {p: _find(parent, p) for p in parent}
+    # adaptive component labeling over the core-core edge list only:
+    # the plan choice happens on block metadata BEFORE any driver
+    # materialization — below the threshold the edge list folds locally
+    # (driver memory ∝ core-graph edges), above it the pointer-doubling
+    # CC runs on the Dataset and only the O(core nodes) label map returns
+    from .ops.graph import components_label_map_ds
+
+    labels = components_label_map_ds(
+        halo2.filter(expr="kind == 0").map_batches(
+            lambda b: b[["a", "b"]], batch_format="pandas"),
+        distributed_above=cc_distributed_above)
     ref = ray.put(labels)
 
     def tag_stats(b: pd.DataFrame) -> pd.DataFrame:
@@ -10649,6 +10872,7 @@ QUERIES = {
     "spatial_join_rtree": q_spatial_join_rtree,
     "cqi_scores": q_cqi_scores,
     "images_assign": q_images_assign,
+    "flagship_resume": q_flagship_resume,
     "images_assign_rtree": q_images_assign_rtree,
     "tiles": q_tiles,
     "bfs_hops": q_bfs_hops,
@@ -10893,6 +11117,9 @@ ORACLES = {
     "sssp": Q_SSSP_SQL,
     "home_cell": Q_HOME_CELL_SQL,
     "embed_dims": Q_EMBED_DIMS_SQL,
+    "kmeans": Q_KMEANS_SQL,
+    "images_quality": Q_IMAGES_QUALITY_SQL,
+    "tiles_vectorize": Q_TILES_VECTORIZE_SQL,
     "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
     "zipf_fit": Q_ZIPF_FIT_SQL,
     "robust_scale": Q_ROBUST_SCALE_SQL,

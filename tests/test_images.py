@@ -305,11 +305,16 @@ class TestAnalysisKernels:
     def test_query_runs_and_flags(self, ray_session):
         from cqi_ray.queries import q_images_quality
 
-        out = q_images_quality("/root/testdata/sf0.001", limit=64).to_pandas()
-        assert len(out) == 64
+        # full 500 docs: the small-index frames never wrap their modulo
+        # ramps (Laplacian == 0 everywhere), so discrimination needs the
+        # higher doc_ids where the stripes fold
+        out = q_images_quality("/root/testdata/sf0.001").to_pandas()
+        # 500 docs, restricted to the lossless two-thirds (id%3 != 2)
+        assert len(out) == 334
         assert set(out.columns) == {"image_id", "fmt", "sharpness",
                                     "mean_px", "std_px", "entropy",
-                                    "dhash", "keep"}
+                                    "keep"}
+        assert set(out["fmt"]) == {"png", "raw"}
         # the synthetic corpus mixes pure linear ramps (Laplacian == 0 ->
         # "blurred") with striped frames: the filter must discriminate
         assert 0 < out["keep"].sum() < len(out)
@@ -321,7 +326,7 @@ class TestAnalysisKernels:
                                out["entropy"].to_numpy())
         assert (out["keep"].to_numpy() == expect).all()
         # determinism across runs
-        out2 = q_images_quality("/root/testdata/sf0.001", limit=64).to_pandas()
+        out2 = q_images_quality("/root/testdata/sf0.001").to_pandas()
         a = out.sort_values("image_id").reset_index(drop=True)
         b = out2.sort_values("image_id").reset_index(drop=True)
         import pandas as pd
@@ -566,11 +571,14 @@ class TestAugment:
                 s for s, bad in (("image", not r.img_keep),
                                  ("text", not r.text_keep)) if bad)
             assert r.reason == want
-        # image side == the standalone quality pipeline on the same rows
+        # image side == the standalone quality pipeline on the shared
+        # (lossless) rows — q_images_quality covers the SQL-replayable
+        # two-thirds; joint_curation gates all formats
         iq = q_images_quality("/root/testdata/sf0.001", limit=64).to_pandas()
         iq["doc_id"] = iq["image_id"].str.split("_").str[1].astype("int64")
         merged = out.merge(iq[["doc_id", "keep"]].rename(
             columns={"keep": "expect_img"}), on="doc_id")
+        assert len(merged) == 43
         assert (merged["img_keep"] == merged["expect_img"]).all()
         # text side == TextStats+LangId recomputed locally
         docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
@@ -670,3 +678,67 @@ class TestBoxes:
         boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30.0]])
         keep = nms(boxes, np.array([0.9, 0.8, 0.5]), 0.5)
         assert keep.tolist() == [0, 2]
+
+
+class TestBatchedCodecPaths:
+    """The flagship synthesizer's batched encode/phash paths must be
+    BIT-IDENTICAL to the scalar codec functions — the batching is a pure
+    throughput change (it sits inside the timed scaling headline)."""
+
+    def _px(self, n=200, size=32):
+        from cqi_ray.images import synth
+
+        return synth.pixels_for_batch(np.arange(n), size, size)
+
+    def test_pixels_batch_matches_scalar(self):
+        from cqi_ray.images import synth
+
+        ids = np.array([0, 1, 2, 63, 499, 12345])
+        got = synth.pixels_for_batch(ids, 32, 32)
+        want = np.stack([synth._pixels_for(int(i), 32, 32) for i in ids])
+        assert (got == want).all()
+
+    def test_png_and_raw_batch_bytes_identical(self):
+        from cqi_ray.images import codec
+
+        px = self._px(120)
+        assert codec.png_encode_batch(px) == [codec.png_encode(p)
+                                              for p in px]
+        assert codec.raw_encode_batch(px) == [codec.raw_encode(p)
+                                              for p in px]
+
+    def test_lossy_batch_bytes_and_decode_identical(self):
+        from cqi_ray.images import codec
+
+        for size in (32, 64):
+            px = self._px(90, size)
+            blobs, dec = codec.lossy_roundtrip_pixels_batch(px)
+            want = [codec.lossy_encode(p) for p in px]
+            assert blobs == want
+            assert codec.lossy_encode_batch(px) == want
+            assert (dec == np.stack([codec.lossy_decode(b)
+                                     for b in want])).all()
+
+    def test_phash_batch_identical_over_corpus(self):
+        from cqi_ray.images import codec
+
+        px = self._px(500)
+        got = codec.phash64_batch(px)
+        want = np.array([codec.phash64(p) for p in px])
+        assert (got == want).all()
+
+    def test_synthesizer_output_schema_and_determinism(self):
+        import pandas as pd
+
+        from cqi_ray.pipelines.flagship import images_from_documents
+
+        docs = pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"]).head(60)
+        a = images_from_documents(docs, size_px=32, per_doc=2)
+        b = images_from_documents(docs, size_px=32, per_doc=2)
+        assert len(a) == 120
+        assert list(a.columns) == ["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash", "lon", "lat"]
+        for c in a.columns:
+            assert a[c].tolist() == b[c].tolist()

@@ -188,3 +188,20 @@ class TestGroupedHammingPairs:
         bounds = run_bounds(np.array([0, 1, 2]))  # all singleton groups
         a, b = hamming_dup_pairs_grouped(ids, h, bounds, max_hamming=1)
         assert len(a) == 0 and len(b) == 0
+
+
+def test_flagship_resume_catalog_entry(ray_session):
+    """The catalog's resume proof: second run must hit every stage
+    manifest (resumed=True across the chain) and persist rows."""
+    from cqi_ray.queries import q_flagship_resume
+
+    out = q_flagship_resume("/root/testdata/sf0.001", n_ways=32)
+    assert list(out["stage"]) == ["scores", "assignments", "tiles"]
+    assert out["resumed"].all()
+    assert (out["rows"] > 0).all()
+    # assignments are hash-partitioned (cell % 8; sf0.001's tiny extent
+    # concentrates into few cells), tiles partition by zoom
+    assert int(out.loc[out["stage"] == "assignments",
+                       "n_partitions"].iloc[0]) >= 1
+    assert int(out.loc[out["stage"] == "tiles",
+                       "n_partitions"].iloc[0]) >= 1

@@ -369,3 +369,42 @@ class TestClusteringCoefficients:
         got = clustering_coefficients(_ds(edges, blocks=2), num_buckets=4)
         assert (got["triangles"] == 0).all()
         assert (got["coeff"] == 0.0).all()
+
+
+class TestAdaptiveComponentLabeling:
+    """components_label_map: driver union-find vs the forced distributed
+    pointer-doubling CC must produce the identical min-label map — and
+    the two catalog consumers (phash clusters, dbscan) must be
+    plan-invariant end to end."""
+
+    def test_label_map_plans_agree(self, ray_session):
+        from cqi_ray.ops.graph import components_label_map
+
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 400, 900).astype(np.int64)
+        b = rng.randint(0, 400, 900).astype(np.int64)
+        m = a != b
+        fast = components_label_map(a[m], b[m])                # driver UF
+        slow = components_label_map(a[m], b[m],
+                                    distributed_above=0)      # forced CC
+        assert fast == slow
+
+    def test_phash_clusters_plan_invariant(self, ray_session):
+        from cqi_ray.queries import q_dedup_phash_clusters
+
+        sf = "/root/testdata/sf0.001"
+        fast = q_dedup_phash_clusters(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        slow = q_dedup_phash_clusters(sf, cc_distributed_above=0) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_dbscan_plan_invariant(self, ray_session):
+        from cqi_ray.queries import q_dbscan
+
+        sf = "/root/testdata/sf0.001"
+        fast = q_dbscan(sf).to_pandas() \
+            .sort_values("point_id").reset_index(drop=True)
+        slow = q_dbscan(sf, cc_distributed_above=0).to_pandas() \
+            .sort_values("point_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow)
