@@ -16,6 +16,8 @@ registers.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -65,12 +67,22 @@ def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
 
 def hll_estimate(regs: np.ndarray) -> int:
     """Cardinality estimate with the original small-range correction
-    (linear counting when E <= 2.5m and empty registers remain)."""
+    (linear counting when E <= 2.5m and empty registers remain).
+
+    The harmonic sum is computed EXACTLY in integers — sum(2^-reg)
+    scaled by 2^64 is a sum of powers of two, a python int — so the
+    estimate is a deterministic, float-order-independent function of
+    the registers.  That makes it SQL-replayable: the DuckDB oracle
+    (queries.Q_APPROX_COUNT_DISTINCT_SQL) recomputes the identical
+    registers from the identical splitmix64 hashes and applies the
+    identical closed-form expression, operation for operation."""
     m = len(regs)
-    e = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
+    counts = np.bincount(regs)
+    sum_scaled = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    e = _alpha(m) * m * m * 18446744073709551616.0 / float(sum_scaled)
+    zeros = int(counts[0]) if len(counts) else m
     if e <= 2.5 * m and zeros:
-        e = m * np.log(m / zeros)
+        e = m * math.log(m / zeros)
     return int(round(e))
 
 

@@ -400,13 +400,64 @@ FROM events GROUP BY event_type
 def q_approx_count_distinct(sf_dir: str, p: int = 12):
     """HyperLogLog approximate COUNT DISTINCT (ops/sketch.py): O(2^p)
     bytes per group cross the shuffle instead of the whole key set.
-    Approximate BY DESIGN (±1.04/sqrt(2^p) ~ 1.6%), hence no SQL hash
-    oracle — accuracy and determinism are asserted against the exact
-    distinct in tests/test_ops.py."""
+    Approximate relative to the TRUE distinct (±1.04/sqrt(2^p) ~ 1.6%)
+    but an exact deterministic function of the data: the unseeded
+    splitmix64 hash and the integer-exact register sum make the whole
+    sketch SQL-replayable, so the oracle recomputes identical registers
+    and the identical closed-form estimate (ops/sqlhash.py).  Accuracy
+    vs the exact distinct is separately asserted in tests/test_ops.py."""
     from .ops.sketch import approx_count_distinct
 
     events = _pq(sf_dir, "events", columns=["event_type", "user_id"])
     return approx_count_distinct(events, ["event_type"], "user_id", p=p)
+
+
+def _hll_oracle_sql(p: int = 12) -> str:
+    """DuckDB replay of the p=12 HyperLogLog on (event_type, user_id):
+    distinct pairs -> splitmix64^2 hash -> register index/rank -> per-
+    register max -> exact integer harmonic sum -> the same float
+    formula, operation for operation, as ops/sketch.hll_estimate."""
+    from .ops.sqlhash import splitmix64_select
+
+    m = 1 << p
+    wbits = 64 - p
+    wmask = (1 << wbits) - 1
+    hashed = splitmix64_select(
+        "SELECT DISTINCT event_type, user_id FROM events",
+        "user_id", "hh", rounds=2)
+    return f"""
+WITH regs AS (
+  SELECT event_type, hh >> {wbits} AS ridx,
+         MAX(CASE WHEN (hh & {wmask}::UBIGINT) > 0
+                  THEN {wbits + 1} - length(bin(hh & {wmask}::UBIGINT))
+                  ELSE {wbits + 1} END) AS rnk
+  FROM ({hashed}) GROUP BY event_type, ridx),
+stats AS (
+  SELECT event_type,
+         SUM((1::HUGEINT) << (64 - rnk)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         CAST(present_sum + ({m} - n_present) * ((1::HUGEINT) << 64)
+              AS DOUBLE) AS sum_scaled,
+         {m} - n_present AS zeros
+  FROM stats),
+final AS (
+  SELECT event_type, zeros,
+         0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}.0::DOUBLE)
+           * {m}.0::DOUBLE * {m}.0::DOUBLE
+           * 18446744073709551616.0::DOUBLE / sum_scaled AS e_raw
+  FROM est)
+SELECT event_type,
+       CAST(round(CASE WHEN e_raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m}.0::DOUBLE * ln({m}.0::DOUBLE / zeros)
+                       ELSE e_raw END) AS BIGINT) AS n_approx
+FROM final
+"""
+
+
+Q_APPROX_COUNT_DISTINCT_SQL = _hll_oracle_sql()
 
 
 def q_group_quantiles(sf_dir: str):
@@ -2275,37 +2326,80 @@ WHERE md5_number_lower(CAST(event_id AS VARCHAR))
 """
 
 
-def q_approx_heavy_hitters(sf_dir: str, k: int = 20, m: int = 80):
-    """Approximate heavy hitters via count-min sketch (ops/sketch.py):
-    each block reduces to ONE fixed-size CMS matrix plus its local top-m
-    candidate values; the driver sums the bounded sketches, estimates
-    each candidate's global count from the merged CMS (row-wise min —
-    an overestimate bounded by eps*N) and keeps the top k.  Nothing but
-    O(depth x width + m) per block crosses the wire — the one-pass
-    sketch path next to the exact two-shuffle q_heavy_hitters.
-    Approximate BY DESIGN -> no SQL hash oracle; tests/test_ops.py
-    checks it against the exact operator."""
+def q_approx_heavy_hitters(sf_dir: str, k: int = 20):
+    """Count-min-sketch point estimates for the top-k heavy hitters:
+    each block reduces to ONE fixed-size 4x4096 CMS matrix inside
+    map_batches; matrices merge by elementwise ADD (partitioning-
+    independent integer sums), so the merged sketch is an exact
+    deterministic function of the value multiset.  Candidates come from
+    the exact bounded-head heavy-hitter pass (per-block partial counts
+    -> bucketed sum -> k-row block heads), and the output pairs each
+    candidate's exact count with its CMS estimate (an overestimate
+    bounded by eps*N, eps = e/width).  At 100 TB the CMS path answers
+    point queries in one pass when the exact count table is
+    unaffordable; here the exact pass doubles as the candidate oracle.
+    The splitmix64 double-hash is SQL-replayable (ops/sqlhash.py), so
+    the DuckDB oracle rebuilds the identical counter matrix and
+    row-wise-min estimates — a hash-exact check of the whole sketch."""
     from .ops.sketch import CountMinSketch
 
     li = _pq(sf_dir, "lineitem", columns=["l_partkey"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        vals = b["l_partkey"].to_numpy()
-        cms = CountMinSketch().add(vals)
-        cand = pd.Series(vals).value_counts().index[:m].to_numpy(np.int64)
-        return pd.DataFrame({"table": [cms.table.ravel()],
-                             "cand": [cand]})
+        cms = CountMinSketch().add(b["l_partkey"].to_numpy())
+        return pd.DataFrame({"table": [cms.table.ravel()]})
 
     parts = li.map_batches(partial, batch_format="pandas",
                            batch_size=None).to_pandas()
     merged = CountMinSketch()
     merged.table = np.sum(np.stack(parts["table"].to_numpy()), axis=0) \
         .reshape(merged.table.shape)
-    cands = np.unique(np.concatenate(parts["cand"].to_list()))
-    est = merged.query(cands)
-    order = np.lexsort((cands, -est))[:k]
-    return pd.DataFrame({"l_partkey": cands[order],
-                         "est_cnt": est[order].astype("int64")})
+    top = q_heavy_hitters(sf_dir, k=k)
+    est = merged.query(top["l_partkey"].to_numpy(np.int64))
+    return pd.DataFrame({"l_partkey": top["l_partkey"].astype("int64"),
+                         "cnt": top["cnt"].astype("int64"),
+                         "est_cnt": est.astype("int64")})
+
+
+def _cms_oracle_sql(k: int = 20, depth: int = 4, width: int = 4096) -> str:
+    """DuckDB replay of the 4x4096 count-min sketch on l_partkey:
+    per-key exact counts -> splitmix64 double hash (h1; h2 = sm64(h1 ^
+    C)|1) -> the d bucket ids (width divides 2^64, so only the low bits
+    matter) -> per-(row,bucket) counter sums -> row-wise min per
+    candidate.  Candidates = exact top-k, as in q_approx_heavy_hitters."""
+    from .ops.sqlhash import splitmix64_select
+
+    h1 = splitmix64_select(
+        "SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey",
+        "l_partkey", "h1", rounds=2)
+    h2 = splitmix64_select(
+        f"SELECT *, xor(h1, {0xD6E8FEB86659FD93}::UBIGINT) AS x2 "
+        f"FROM ({h1})", "x2", "h2r", rounds=1)
+    wm = width - 1
+    buckets = ", ".join(
+        f"(((h1 & {wm}::UBIGINT) + {d}::UBIGINT * "
+        f"((h2r | 1::UBIGINT) & {wm}::UBIGINT)) % {width}::UBIGINT) AS b{d}"
+        for d in range(depth))
+    unions = " UNION ALL ".join(
+        f"SELECT {d} AS d, b{d} AS b, cnt FROM bk" for d in range(depth))
+    joins = " ".join(
+        f"JOIN tab t{d} ON t{d}.d = {d} AND t{d}.b = c.b{d}"
+        for d in range(depth))
+    least = ", ".join(f"t{d}.c" for d in range(depth))
+    return f"""
+WITH bk AS (
+  SELECT l_partkey, cnt, {buckets} FROM ({h2})),
+tab AS (
+  SELECT d, b, SUM(cnt) AS c FROM ({unions}) GROUP BY d, b),
+cand AS (
+  SELECT * FROM bk ORDER BY cnt DESC, l_partkey LIMIT {k})
+SELECT c.l_partkey, c.cnt, CAST(LEAST({least}) AS BIGINT) AS est_cnt
+FROM cand c {joins}
+ORDER BY c.cnt DESC, c.l_partkey
+"""
+
+
+Q_APPROX_HEAVY_HITTERS_SQL = _cms_oracle_sql()
 
 
 def q_tfidf_topk(sf_dir: str, k: int = 3):
@@ -10992,6 +11086,8 @@ ORACLES = {
     "sessionize": Q_SESSIONIZE_SQL,
     "grouped_topn": Q_GROUPED_TOPN_SQL,
     "count_distinct": Q_COUNT_DISTINCT_SQL,
+    "approx_count_distinct": Q_APPROX_COUNT_DISTINCT_SQL,
+    "approx_heavy_hitters": Q_APPROX_HEAVY_HITTERS_SQL,
     "group_quantiles": Q_GROUP_QUANTILES_SQL,
     "sample_hash": Q_SAMPLE_HASH_SQL,
     "join_left_outer": Q_JOIN_LEFT_OUTER_SQL,

@@ -312,14 +312,16 @@ class TestCountMinSketch:
         sf = "/root/testdata/sf0.001"
         approx = q_approx_heavy_hitters(sf)
         exact = q_heavy_hitters(sf)
-        # CMS estimates are upper bounds on the true counts
-        truth = dict(zip(exact["l_partkey"], exact["cnt"]))
-        for pk, est in zip(approx["l_partkey"], approx["est_cnt"]):
-            if pk in truth:
-                assert est >= truth[pk]
-        # and the top candidate set substantially agrees
-        overlap = set(approx["l_partkey"]) & set(exact["l_partkey"])
-        assert len(overlap) >= 15
+        # candidates ARE the exact top-k, estimates are upper bounds
+        assert list(approx["l_partkey"]) == list(exact["l_partkey"])
+        assert list(approx["cnt"]) == list(exact["cnt"])
+        assert (approx["est_cnt"] >= approx["cnt"]).all()
+        # eps*N overestimate bound (loose 3x): eps = e/width
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf}/lineitem.parquet").num_rows
+        assert (approx["est_cnt"] - approx["cnt"]).max() \
+            <= 3 * np.e / 4096 * n + 1
 
 
 class TestTDigest:
@@ -620,3 +622,37 @@ class TestVocabCap:
         # same source-pair grid, finite KL everywhere
         assert len(capped) == len(full)
         assert np.isfinite(capped["kl"]).all()
+
+
+class TestSqlHashReplay:
+    """ops/sqlhash.py: DuckDB replays the engine's splitmix64 chain
+    element-for-element — the primitive behind the HLL and CMS exact
+    oracles."""
+
+    def test_splitmix64_select_matches_numpy(self):
+        import duckdb
+
+        from cqi_ray.ops.sqlhash import splitmix64_select
+        from cqi_ray.relational import _splitmix64
+
+        rng = np.random.default_rng(7)
+        vals = np.concatenate([
+            rng.integers(0, 2 ** 63, 5000, dtype=np.int64),
+            np.arange(64), [2 ** 63 - 1, 0, 1]])
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"i": np.arange(len(vals)),
+                                        "v": vals}))
+        sql = splitmix64_select("SELECT i, v FROM t", "v", "hh", rounds=2)
+        got = con.sql(f"SELECT hh FROM ({sql}) ORDER BY i") \
+            .fetchnumpy()["hh"].astype(np.uint64)
+        assert np.array_equal(got, _splitmix64(_splitmix64(vals)))
+
+    def test_hll_estimate_integer_sum_is_exact(self):
+        from cqi_ray.ops.sketch import hll_estimate, hll_partial
+
+        vals = np.arange(100_000, dtype=np.int64)
+        regs = hll_partial(vals, p=12)
+        est = hll_estimate(regs)
+        assert abs(est - 100_000) / 100_000 < 0.05
+        # pure function of the registers (no float-order dependence)
+        assert hll_estimate(regs.copy()) == est
