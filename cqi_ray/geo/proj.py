@@ -124,3 +124,18 @@ def unproject_coords(coords, zone: int = 33):
     arr = np.asarray(coords, dtype=np.float64)
     lon, lat = utm_to_lonlat(arr[:, 0], arr[:, 1], zone)
     return np.stack([lon, lat], axis=1)
+
+
+def equirect_project_coords(coords, lon0: float = 13.5, lat0: float = 51.05,
+                            kx: float = 70000.0, ky: float = 111320.0):
+    """Equirectangular planar projection: x = (lon-lon0)*kx, y =
+    (lat-lat0)*ky.  Two IEEE ops per axis — bit-for-bit replayable in
+    ANSI SQL, which is the whole point: the flagship spatial join run
+    through this projection (queries.q_images_assign_planar) gets an
+    EXACT DuckDB oracle, whereas the Karney UTM series above uses sinh /
+    atan whose libm vs numpy results differ in the last ulp.  Within the
+    flagship extent (0.2 x 0.1 deg) the metric distortion vs UTM is
+    < 1%, far inside the join's pad slack."""
+    arr = np.asarray(coords, dtype=np.float64)
+    return np.stack([(arr[:, 0] - lon0) * kx,
+                     (arr[:, 1] - lat0) * ky], axis=1)

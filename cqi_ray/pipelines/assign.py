@@ -114,15 +114,19 @@ def _empty_assign() -> pd.DataFrame:
 
 def make_way_cell_rows(batch: pd.DataFrame, res: int, pad_m: float,
                        geom_col: str = "geometry_m",
-                       lonlat_geom: bool = False) -> pd.DataFrame:
-    """Replicate each scored way into every cell its padded bbox covers."""
+                       lonlat_geom: bool = False,
+                       project=None) -> pd.DataFrame:
+    """Replicate each scored way into every cell its padded bbox covers.
+    ``project`` overrides the lonlat->metric projection (default Karney
+    UTM; the SQL-replayable equirect variant powers the planar oracle)."""
+    project = project or proj.project_coords
     out = {c: [] for c in _WAY_CELL_COLS}
     for row in batch.itertuples(index=False):
         blob = getattr(row, geom_col)
         geom_m = _geom_from_bytes(blob)
         if lonlat_geom:
             lonlat = geom_m
-            geom_m = proj.project_coords(lonlat)
+            geom_m = project(lonlat)
         else:
             lonlat = proj.unproject_coords(geom_m)
         for cell in cells.cover_polyline(lonlat, res, pad_m=pad_m):
@@ -160,18 +164,19 @@ def make_image_cell_rows(batch: pd.DataFrame, res: int) -> pd.DataFrame:
 
 
 def match_cell_group(group: pd.DataFrame, buffer_m: float,
-                     knn_radius_m: float) -> pd.DataFrame:
+                     knn_radius_m: float, project=None) -> pd.DataFrame:
     """Assign each image in one cell group to a way: PIP against the way
     buffer first, else nearest way within the kNN radius, else unassigned.
     (Single-group form; the pipeline uses the whole-bucket form below.)"""
     return match_bucket(group.sort_values(["cell"], kind="mergesort"),
-                        buffer_m, knn_radius_m)
+                        buffer_m, knn_radius_m, project=project)
 
 
 def match_bucket(bucket: pd.DataFrame, buffer_m: float,
-                 knn_radius_m: float) -> pd.DataFrame:
+                 knn_radius_m: float, project=None) -> pd.DataFrame:
     """Whole-bucket assignment: frame sorted by (cell[, salt]); every
     (cell, salt) slice is matched with numpy kernels."""
+    project = project or proj.project_coords
     if not len(bucket):
         return _empty_assign()
     cellv = bucket["cell"].to_numpy().astype(np.int64)
@@ -197,7 +202,7 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
             continue
         wi = np.nonzero(kslice == 1)[0] + s
         n = len(ii)
-        pts_m = proj.project_coords(
+        pts_m = project(
             np.stack([lon[ii].astype(np.float64), lat[ii].astype(np.float64)], 1))
         best_dist = np.full(n, np.inf)
         best_way = np.full(n, None, dtype=object)
@@ -293,15 +298,25 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
                           res: Optional[int] = None, lat_hint: float = 51.0,
                           decode_concurrency=None,
                           metric_geom: bool = True,
-                          hot_cells: Optional[dict[int, int]] = None) -> rd.Dataset:
+                          hot_cells: Optional[dict[int, int]] = None,
+                          project=None,
+                          pad_m: Optional[float] = None) -> rd.Dataset:
     """Full image->way assignment pipeline.  ``scored_ways`` needs columns
     (id, index, stress_level, geometry_m).  Returns ASSIGN_COLS rows.
 
     ``hot_cells`` ({cell: k} from :func:`estimate_hot_cells`) splits
     oversized urban cells into k salted sub-groups (images scattered, ways
-    replicated) so no single group exceeds the per-task memory budget."""
+    replicated) so no single group exceeds the per-task memory budget.
+
+    ``project`` swaps the lonlat->metric projection (default Karney UTM);
+    ``pad_m`` widens the way cell cover beyond ``knn_radius_m`` — cover
+    slop never changes the output (the match thresholds on the exact
+    distance), so a non-metric projection just needs enough pad to keep
+    every within-radius candidate co-celled."""
     if res is None:
         res = cells.res_for_meters(knn_radius_m, lat_hint)
+    if pad_m is None:
+        pad_m = knn_radius_m
 
     if decode_concurrency is None:
         # stateless-task decode: no actor spin-up, elastic with the executor
@@ -316,14 +331,17 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
     img_cells = imgs.map_batches(
         lambda b: _salted(make_image_cell_rows(b, res), hot_cells or {}, False),
         batch_format="pandas", batch_size=None)
+    way_geom_col = "geometry_m" if metric_geom else "geometry"
     way_cells = scored_ways.map_batches(
-        lambda b: _salted(make_way_cell_rows(b, res, pad_m=knn_radius_m,
-                                             lonlat_geom=not metric_geom),
+        lambda b: _salted(make_way_cell_rows(b, res, pad_m=pad_m,
+                                             geom_col=way_geom_col,
+                                             lonlat_geom=not metric_geom,
+                                             project=project),
                           hot_cells or {}, True),
         batch_format="pandas", batch_size=None)
     return grouped_map_buckets(
         img_cells.union(way_cells), ["cell", "salt"],
-        lambda g: match_bucket(g, buffer_m, knn_radius_m),
+        lambda g: match_bucket(g, buffer_m, knn_radius_m, project=project),
         num_buckets=128, whole_bucket=True)
 
 

@@ -1949,6 +1949,131 @@ def q_images_assign(sf_dir: str):
         batch_format="pandas")
 
 
+def q_images_assign_planar(sf_dir: str, n_ways: int = 64, limit: int = 500):
+    """Flagship image->way spatial join with an EXACT SQL oracle: the
+    identical distributed machinery as images_assign (decode -> cell
+    encode -> padded way-cell cover -> salted groupby -> whole-bucket
+    numpy PIP/kNN match, pipelines/assign.py) run through the
+    equirectangular projection instead of Karney UTM.  The planar
+    projection is two IEEE ops per axis, the image positions and the
+    way grid are closed-form in (doc_id, way index), and the
+    point-to-segment kernel is pure +,-,*,/,clip,sqrt — so DuckDB
+    replays every float operation for operation and the driver check is
+    hash-exact, including the pip/knn method thresholds, the
+    smaller-way-id tie-break, and the unassigned NULL rows.  The UTM
+    flagship path (images_assign) stays rows-only because libm sinh /
+    atan differ from numpy in the last ulp; the two paths share every
+    line of join code except the projection callable.  Extra cover pad
+    (180 m vs the 150 m radius) keeps every within-radius candidate
+    co-celled under the <1% planar-vs-UTM metric distortion; cover slop
+    cannot change the output since the match thresholds on the exact
+    distance."""
+    from .geo.proj import equirect_project_coords
+    from .images.synth import synth_way_rows_range
+    from .pipelines.assign import _geom_to_bytes, assign_images_to_ways
+    from .pipelines.flagship import build_images
+
+    rows = synth_way_rows_range(0, n_ways, n_ways)
+    ways_ds = rd.from_pandas(pd.DataFrame({
+        "id": [r["id"] for r in rows],
+        "index": np.nan,
+        "stress_level": np.nan,
+        "geometry": [_geom_to_bytes(r["geometry"]) for r in rows],
+    }))
+    out = assign_images_to_ways(build_images(sf_dir, limit=limit), ways_ds,
+                                metric_geom=False,
+                                project=equirect_project_coords,
+                                pad_m=180.0)
+    return out.map_batches(
+        lambda b: b[["image_id", "way_id", "method", "dist_m", "caption"]],
+        batch_format="pandas")
+
+
+def _images_assign_planar_sql(limit: int = 500) -> str:
+    """DuckDB replay of q_images_assign_planar: closed-form image
+    positions (Knuth multiplicative hash mod 2^32 -> uniforms -> skewed
+    center pick), the 8x8 synthetic way grid, the equirect projection,
+    the exact point-to-segment distance kernel, and argmin by
+    (distance, way_id).  Every float literal is cast to DOUBLE so DuckDB
+    does not fall into DECIMAL arithmetic; operation order mirrors the
+    numpy/python expressions in pipelines/flagship.images_from_documents
+    and images/synth.synth_way_rows_range."""
+    D = "::DOUBLE"
+    u = lambda salt: (  # noqa: E731 — local SQL fragment builder
+        f"CAST((CAST(doc_id AS UBIGINT) * 2654435761::UBIGINT"
+        f" + {salt}::UBIGINT) & 4294967295::UBIGINT AS DOUBLE)"
+        f" / 4294967296.0{D}")
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+         text AS caption,
+         {u(1)} AS u1, {u(2)} AS u2, {u(3)} AS u3
+  FROM documents WHERE doc_id < {limit}),
+pos AS (
+  SELECT image_id, caption,
+    (13.40{D} + (CAST(c AS DOUBLE) + 0.5{D}) * (13.60{D} - 13.40{D})
+       / 8.0{D}) + (u2 - 0.5{D}) * 0.01{D} AS lon,
+    (51.00{D} + (CAST((c * 37) % 8 AS DOUBLE) + 0.5{D})
+       * (51.10{D} - 51.00{D}) / 8.0{D})
+      + (u3 - 0.5{D}) * 0.006{D} AS lat
+  FROM (SELECT *, CAST(floor(u1 * u1 * 8.0{D}) AS BIGINT) AS c FROM imgs)),
+pts AS (
+  SELECT image_id, caption,
+         (lon - 13.5{D}) * 70000.0{D} AS px,
+         (lat - 51.05{D}) * 111320.0{D} AS py
+  FROM pos),
+wgrid AS (
+  SELECT 'way_' || lpad(CAST(i AS VARCHAR), 6, '0') AS way_id,
+    13.40{D} + (CAST(i % 8 AS DOUBLE) + 0.5{D}) * (13.60{D} - 13.40{D})
+      / 8.0{D} AS wlon,
+    51.00{D} + (CAST(i // 8 AS DOUBLE) + 0.5{D}) * (51.10{D} - 51.00{D})
+      / 8.0{D} AS wlat,
+    CASE WHEN i % 2 = 0
+         THEN (13.60{D} - 13.40{D}) / 8.0{D} * 0.4{D} ELSE 0.0{D}
+    END AS dlon,
+    CASE WHEN i % 2 = 0
+         THEN 0.0{D} ELSE (51.10{D} - 51.00{D}) / 8.0{D} * 0.4{D}
+    END AS dlat
+  FROM range(64) t(i)),
+segs AS (
+  SELECT way_id,
+    ((wlon - dlon) - 13.5{D}) * 70000.0{D} AS ax,
+    ((wlat - dlat) - 51.05{D}) * 111320.0{D} AS ay,
+    ((wlon + dlon) - 13.5{D}) * 70000.0{D} AS bx,
+    ((wlat + dlat) - 51.05{D}) * 111320.0{D} AS by2
+  FROM wgrid),
+proj1 AS (
+  SELECT p.image_id, p.caption, p.px, p.py, s.way_id, s.ax, s.ay,
+         s.bx - s.ax AS abx, s.by2 - s.ay AS aby
+  FROM pts p CROSS JOIN segs s),
+proj2 AS (
+  SELECT *, LEAST(GREATEST(
+      ((px - ax) * abx + (py - ay) * aby) / (abx * abx + aby * aby),
+      0.0{D}), 1.0{D}) AS tt
+  FROM proj1),
+dist AS (
+  SELECT image_id, caption, way_id,
+         sqrt((px - (ax + abx * tt)) * (px - (ax + abx * tt))
+            + (py - (ay + aby * tt)) * (py - (ay + aby * tt))) AS d
+  FROM proj2),
+best AS (
+  SELECT * FROM dist
+  QUALIFY row_number() OVER (PARTITION BY image_id
+                             ORDER BY d ASC, way_id ASC) = 1)
+SELECT image_id,
+  CASE WHEN d <= 150.0{D} THEN way_id END AS way_id,
+  CASE WHEN d <= 15.0{D} THEN 'pip'
+       WHEN d <= 150.0{D} THEN 'knn' END AS method,
+  CASE WHEN d <= 150.0{D} THEN round(d, 3) END AS dist_m,
+  caption
+FROM best
+"""
+
+
+Q_IMAGES_ASSIGN_PLANAR_SQL = _images_assign_planar_sql()
+
+
 def q_flagship_resume(sf_dir: str, n_ways: int = 48):
     """Checkpoint-resume proof as a first-class driver surface: run the
     checkpointed flagship TWICE into a scratch directory and report, per
@@ -10966,6 +11091,7 @@ QUERIES = {
     "spatial_join_rtree": q_spatial_join_rtree,
     "cqi_scores": q_cqi_scores,
     "images_assign": q_images_assign,
+    "images_assign_planar": q_images_assign_planar,
     "flagship_resume": q_flagship_resume,
     "images_assign_rtree": q_images_assign_rtree,
     "tiles": q_tiles,
@@ -11088,6 +11214,7 @@ ORACLES = {
     "count_distinct": Q_COUNT_DISTINCT_SQL,
     "approx_count_distinct": Q_APPROX_COUNT_DISTINCT_SQL,
     "approx_heavy_hitters": Q_APPROX_HEAVY_HITTERS_SQL,
+    "images_assign_planar": Q_IMAGES_ASSIGN_PLANAR_SQL,
     "group_quantiles": Q_GROUP_QUANTILES_SQL,
     "sample_hash": Q_SAMPLE_HASH_SQL,
     "join_left_outer": Q_JOIN_LEFT_OUTER_SQL,

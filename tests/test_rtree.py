@@ -106,3 +106,29 @@ class TestBroadcastAssign:
             else:
                 assert (av.fillna("-").astype(str)
                         == bv.fillna("-").astype(str)).all(), c
+
+
+class TestPlanarAssign:
+    """q_images_assign_planar: the SQL-oracle-able flagship join variant
+    (equirect projection threaded through the same match machinery)."""
+
+    def test_outcome_variety_and_utm_agreement(self, ray_session):
+        from cqi_ray.queries import q_images_assign, q_images_assign_planar
+
+        sf = "/root/testdata/sf0.001"
+        planar = q_images_assign_planar(sf).to_pandas()
+        assert len(planar) == 500
+        methods = set(planar["method"].dropna())
+        assert methods == {"pip", "knn"}
+        assert planar["method"].isna().any()  # unassigned rows exist
+        # within the flagship extent the equirect vs UTM distortion is
+        # <1%, so assignments agree except at radius/tie boundaries
+        utm = q_images_assign(sf).to_pandas().set_index("image_id")
+        joined = planar.set_index("image_id").join(
+            utm, rsuffix="_utm")
+        both = joined.dropna(subset=["way_id", "way_id_utm"])
+        agree = (both["way_id"] == both["way_id_utm"]).mean()
+        assert agree > 0.95, agree
+        # distances agree to the projection distortion (<1% + 1 m slack)
+        d = (both["dist_m"] - both["dist_m_utm"]).abs()
+        assert (d <= both["dist_m_utm"] * 0.02 + 1.0).all()
