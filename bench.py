@@ -181,6 +181,9 @@ def run_suite(sf_dir: str) -> dict:
     bench("simplify", lambda: q.q_simplify(sf_dir))
     bench("bbox_join", lambda: q.q_bbox_join(sf_dir))
     bench("hull", lambda: q.q_hull(sf_dir))
+    bench("approx_count_distinct", lambda: q.q_approx_count_distinct(sf_dir))
+    bench("approx_heavy_hitters", lambda: q.q_approx_heavy_hitters(sf_dir))
+    bench("images_assign_planar", lambda: q.q_images_assign_planar(sf_dir))
     bench("hilbert", lambda: q.q_hilbert(sf_dir))
     bench("cusum", lambda: q.q_cusum(sf_dir))
     bench("feature_snapshot", lambda: q.q_feature_snapshot(sf_dir))

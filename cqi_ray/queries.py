@@ -7597,9 +7597,15 @@ def q_hull(sf_dir: str):
     (geo/hull.py), output hull size + shoelace area.  The hull is a
     LOSSLESS COMBINER (hull(hull(A) ∪ hull(B)) = hull(A ∪ B), the
     property-test law), so a skewed user could be pre-hulled per block
-    before the shuffle — not needed at these group sizes.  Geometry not
-    SQL-expressible → rows-only driver check + hypothesis containment/
-    convexity/merge-law tests."""
+    before the shuffle — not needed at these group sizes.  The integer
+    point grid makes the hull SQL-expressible after all: a pair (a,b)
+    of distinct points is a directed CCW hull edge iff every other
+    point is strictly left of a->b or collinear strictly between — an
+    exact integer cross/dot test — so the oracle (Q_HULL_SQL) counts
+    hull edges and replays the shoelace sum in exact integer
+    arithmetic (O(m^3) per group, fine at oracle scale).  Hypothesis
+    containment/convexity/merge-law tests carry the float general
+    case."""
     from .geo.hull import convex_hull, shoelace_area
 
     events = _pq(sf_dir, "events", columns=["event_id", "user_id"])
@@ -7637,6 +7643,50 @@ def q_hull(sf_dir: str):
 
     return grouped_map_buckets(events, ["user_id"], hulls,
                                num_buckets=32, whole_bucket=True)
+
+
+# Convex hull replay in exact integer arithmetic: (a,b) is a directed
+# CCW hull edge iff every other point q is strictly left (cross > 0) or
+# collinear strictly between (cross = 0, 0 < dot < |ab|^2) — matching
+# geo/hull.convex_hull's strict-turn monotone chain (collinear boundary
+# points dropped).  Degenerates: 1 distinct point -> n_hull 1; 2 points
+# or an all-collinear set -> both directed extreme pairs qualify ->
+# n_hull 2, area 0 — exactly the engine's returns.  The shoelace sum
+# over CCW edges is a sum of integer cross products (exact in float64
+# on both engines, order-independent), |.|/2 at the end.
+Q_HULL_SQL = """
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         ((event_id * 48271) % 65537) % 256 AS x,
+         ((event_id * 16807) % 65537) % 256 AS y
+  FROM events),
+stats AS (SELECT user_id, count(*) AS n_distinct FROM pts GROUP BY user_id),
+edges AS (
+  SELECT a.user_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+  FROM pts a JOIN pts b USING (user_id)
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.user_id = a.user_id
+        AND NOT (q.x = a.x AND q.y = a.y)
+        AND NOT (q.x = b.x AND q.y = b.y)
+        AND NOT (
+          (b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) > 0
+          OR ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) = 0
+              AND (q.x - a.x) * (b.x - a.x) + (q.y - a.y) * (b.y - a.y) > 0
+              AND (q.x - a.x) * (b.x - a.x) + (q.y - a.y) * (b.y - a.y)
+                  < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))))),
+eagg AS (
+  SELECT user_id, count(*) AS n_edges,
+         abs(COALESCE(SUM(ax * by2 - ay * bx), 0)) AS area2
+  FROM edges GROUP BY user_id)
+SELECT s.user_id,
+       s.n_distinct AS n_points,
+       CASE WHEN s.n_distinct = 1 THEN 1
+            ELSE COALESCE(e.n_edges, 0) END AS n_hull,
+       CAST(COALESCE(e.area2, 0) AS DOUBLE) / 2.0 AS area
+FROM stats s LEFT JOIN eagg e USING (user_id)
+"""
 
 
 def q_hilbert(sf_dir: str, parts: int = 16):
@@ -11215,6 +11265,7 @@ ORACLES = {
     "approx_count_distinct": Q_APPROX_COUNT_DISTINCT_SQL,
     "approx_heavy_hitters": Q_APPROX_HEAVY_HITTERS_SQL,
     "images_assign_planar": Q_IMAGES_ASSIGN_PLANAR_SQL,
+    "hull": Q_HULL_SQL,
     "group_quantiles": Q_GROUP_QUANTILES_SQL,
     "sample_hash": Q_SAMPLE_HASH_SQL,
     "join_left_outer": Q_JOIN_LEFT_OUTER_SQL,
