@@ -10367,14 +10367,19 @@ def q_images_patches(sf_dir: str, limit: int = 400, patch: int = 8):
     L2 energy — the tokenizer front-end of every vision transformer
     and the standard signal for patch-level filtering (drop flat
     patches, rank informative ones).  One map_batches over the binary
-    column; output is (images x grid) small scalar rows.  Rows-only
-    (decode is not SQL-expressible); tests/test_images.py pins the
-    patch grid against explicit slicing."""
+    column; output is (images x grid) small scalar rows.  Oracle-backed
+    via the q_images_quality pixel-replay pattern: restricted to the
+    lossless two-thirds of the format mix (the DCT codec's quantization
+    is not SQL-replayable by design; the jpeg path keeps its pytest
+    pins), the per-patch mean is an exact integer sum / 192 and
+    std/energy are 4-dp-rounded sqrt moments the SQL mirrors;
+    tests/test_images.py additionally pins the patch grid against
+    explicit slicing."""
     from .images.boxes import patchify
     from .images.codec import decode_image
     from .pipelines.flagship import build_images
 
-    imgs = build_images(sf_dir, limit=limit)
+    imgs = build_images(sf_dir, limit=limit).filter(expr="fmt != 'jpeg'")
 
     def extract(b: pd.DataFrame) -> pd.DataFrame:
         px = np.stack([decode_image(d, f, int(w), int(h))
@@ -10396,6 +10401,32 @@ def q_images_patches(sf_dir: str, limit: int = 400, patch: int = 8):
             "p_energy": np.round(energy.reshape(-1), 4)})
 
     return imgs.map_batches(extract, batch_format="pandas")
+
+
+# ViT patch-stat replay over the synthetic pixel formulas (lossless
+# formats only): per-patch mean is an exact integer sum / 192; std and
+# energy replay sqrt moments (4-dp rounding absorbs numpy-pairwise vs
+# SQL-sequential summation ulps, as in the other pixel-replay oracles).
+Q_IMAGES_PATCHES_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+             WHERE doc_id % 3 <> 2 AND doc_id < 400),
+pv AS (
+  SELECT i, y // 8 AS prow, x // 8 AS pcol, CAST(v AS DOUBLE) AS v
+  FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y),
+       LATERAL (VALUES (((x * (i % 7 + 1)) % 256)),
+                       (((y * (i % 5 + 2)) % 256)),
+                       ((((x + y) * (i % 3 + 1) + i) % 256))) ch(v)),
+agg AS (SELECT i, prow, pcol, sum(v) / 192.0 AS mean
+        FROM pv GROUP BY 1, 2, 3),
+dev AS (SELECT p.i, p.prow, p.pcol,
+               sum((p.v - a.mean) * (p.v - a.mean)) AS ssd
+        FROM pv p JOIN agg a USING (i, prow, pcol) GROUP BY 1, 2, 3)
+SELECT printf('img_%012d', a.i) AS image_id, a.prow, a.pcol,
+       round(a.mean, 4) AS p_mean,
+       round(sqrt(d.ssd / 192.0), 4) AS p_std,
+       round(sqrt(d.ssd), 4) AS p_energy
+FROM agg a JOIN dev d ON d.i = a.i AND d.prow = a.prow AND d.pcol = a.pcol
+"""
 
 
 def q_images_nms(sf_dir: str, limit: int = 600, boxes_per: int = 24,
@@ -11266,6 +11297,7 @@ ORACLES = {
     "approx_heavy_hitters": Q_APPROX_HEAVY_HITTERS_SQL,
     "images_assign_planar": Q_IMAGES_ASSIGN_PLANAR_SQL,
     "hull": Q_HULL_SQL,
+    "images_patches": Q_IMAGES_PATCHES_SQL,
     "group_quantiles": Q_GROUP_QUANTILES_SQL,
     "sample_hash": Q_SAMPLE_HASH_SQL,
     "join_left_outer": Q_JOIN_LEFT_OUTER_SQL,
