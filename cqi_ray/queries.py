@@ -2622,8 +2622,14 @@ def q_approx_quantiles(sf_dir: str):
     centroid list (~delta rows), the driver merges the digests and reads
     the quantiles off — a single streaming scan where
     q_global_quantiles' exact histogram refinement needs three.
-    Approximate BY DESIGN (rank error ~1/delta) -> no SQL hash oracle;
-    tests/test_ops.py bounds the rank error against the exact path."""
+    Unlike the HLL/CMS sketches (whose counters are exact functions of
+    the value multiset and therefore got SQL-replay oracles), t-digest
+    partials are LOSSY block summaries — a block centroid is a weighted
+    mean of that block's values — so the merged digest depends on the
+    block boundaries by construction and no partitioning-independent
+    SQL replay exists.  Rows-only for the driver; tests/test_ops.py
+    bounds the rank error against the exact path, and the exact
+    q_global_quantiles oracle covers the same statistic."""
     from .ops.sketch import TDigest
 
     li = _pq(sf_dir, "lineitem", columns=["l_extendedprice"])
