@@ -184,6 +184,7 @@ def run_suite(sf_dir: str) -> dict:
     bench("approx_count_distinct", lambda: q.q_approx_count_distinct(sf_dir))
     bench("approx_heavy_hitters", lambda: q.q_approx_heavy_hitters(sf_dir))
     bench("images_assign_planar", lambda: q.q_images_assign_planar(sf_dir))
+    bench("hex_bin", lambda: q.q_hex_bin(sf_dir))
     bench("hilbert", lambda: q.q_hilbert(sf_dir))
     bench("cusum", lambda: q.q_cusum(sf_dir))
     bench("feature_snapshot", lambda: q.q_feature_snapshot(sf_dir))

@@ -246,3 +246,92 @@ def hilbert_xy2d(order: int, x, y) -> np.ndarray:
         y[swap] = xs
         s >>= 1
     return d
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal cells (H3-style, from scratch)
+# ---------------------------------------------------------------------------
+# Axial-coordinate pointy-top hex grid over planar (x, y): the H3-class
+# complement to the Morton quadtree above.  Hexagons give the property
+# squares lack — all 6 neighbors are EQUIDISTANT — so k-ring expansion
+# (radius queries, hot-cell spill, spatial smoothing) has no diagonal
+# bias.  Every kernel is vectorized numpy over float64/int64; the
+# float->cell quantization uses floor(v + 0.5) (not banker's rounding)
+# so the DuckDB oracle replays it bit-for-bit.
+
+_SQRT3 = float(np.sqrt(3.0))
+_HEX_OFF = np.int64(1) << 25  # axial offset to non-negative; 26-bit fields
+
+
+def hex_axial(x, y, size: float):
+    """Planar (x, y) -> fractional axial (q, r) for pointy-top hexes of
+    circumradius ``size``."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    q = (_SQRT3 / 3.0 * x - 1.0 / 3.0 * y) / size
+    r = (2.0 / 3.0 * y) / size
+    return q, r
+
+
+def _round_half_up(v: np.ndarray) -> np.ndarray:
+    return np.floor(v + 0.5)
+
+
+def hex_encode(x, y, size: float) -> np.ndarray:
+    """Planar points -> int64 hex cell ids (axial (q, r) cube-rounded and
+    packed as (q + 2^25) << 26 | (r + 2^25) — 52 bits, |q|,|r| < 2^25)."""
+    qf, rf = hex_axial(x, y, size)
+    sf = -qf - rf
+    rq, rr, rs = _round_half_up(qf), _round_half_up(rf), _round_half_up(sf)
+    dq, dr, ds = np.abs(rq - qf), np.abs(rr - rf), np.abs(rs - sf)
+    # cube-rounding constraint repair: recompute the axis with the
+    # largest rounding error from the other two so q + r + s == 0
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    rq = np.where(fix_q, -rr - rs, rq)
+    rr = np.where(fix_r, -rq - rs, rr)
+    # (the s axis needs no repair — it is not part of the packed id)
+    qi = rq.astype(np.int64) + _HEX_OFF
+    ri = rr.astype(np.int64) + _HEX_OFF
+    return (qi << np.int64(26)) | ri
+
+
+def hex_decode(cell) -> tuple:
+    """int64 cell ids -> integer axial (q, r)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    return ((cell >> np.int64(26)) - _HEX_OFF,
+            (cell & np.int64(0x3FFFFFF)) - _HEX_OFF)
+
+
+def hex_center(cell, size: float):
+    """Cell ids -> planar (x, y) hex centers."""
+    q, r = hex_decode(cell)
+    q = q.astype(np.float64)
+    r = r.astype(np.float64)
+    x = size * (_SQRT3 * q + _SQRT3 / 2.0 * r)
+    y = size * (1.5 * r)
+    return x, y
+
+
+_HEX_DIRS = np.array([[1, 0], [1, -1], [0, -1], [-1, 0], [-1, 1], [0, 1]],
+                     dtype=np.int64)
+
+
+def hex_kring(cell, k: int = 1) -> np.ndarray:
+    """All cells within hex distance k of each input cell (the H3 kRing):
+    (n, 3k(k+1)+1) int64 — ring cells enumerated by axial offsets."""
+    q, r = hex_decode(cell)
+    offs = [(dq, dr) for dq in range(-k, k + 1)
+            for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)]
+    offs = np.array(offs, dtype=np.int64)
+    qq = q[:, None] + offs[None, :, 0] + _HEX_OFF
+    rr = r[:, None] + offs[None, :, 1] + _HEX_OFF
+    return (qq << np.int64(26)) | rr
+
+
+def hex_distance(a, b) -> np.ndarray:
+    """Hex grid distance between cell ids (axial Manhattan / 2)."""
+    qa, ra = hex_decode(a)
+    qb, rb = hex_decode(b)
+    dq, dr = qa - qb, ra - rb
+    return (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2

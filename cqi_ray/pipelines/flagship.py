@@ -35,6 +35,24 @@ def _hash_unit(ids: np.ndarray, salt: int) -> np.ndarray:
     return x.astype(np.float64) / float(2**32)
 
 
+def positions_for_ids(ids: np.ndarray):
+    """Closed-form capture positions for image ids: heavy-tailed around
+    the 8 urban centers (u1^2 bias onto center 0).  Shared by the image
+    synthesizer and the position-only pipelines (hex binning) so the
+    SQL oracles replay ONE formula."""
+    lon0, lat0, lon1, lat1 = EXTENT
+    centers_lon = lon0 + (np.arange(_N_CENTERS) + 0.5) * (lon1 - lon0) / _N_CENTERS
+    centers_lat = lat0 + ((np.arange(_N_CENTERS) * 37) % _N_CENTERS + 0.5) \
+        * (lat1 - lat0) / _N_CENTERS
+    u1 = _hash_unit(ids, 1)
+    u2 = _hash_unit(ids, 2)
+    u3 = _hash_unit(ids, 3)
+    center = np.floor(u1 * u1 * _N_CENTERS).astype(np.int64)
+    lon = centers_lon[center] + (u2 - 0.5) * 0.01
+    lat = centers_lat[center] + (u3 - 0.5) * 0.006
+    return lon, lat
+
+
 def images_from_documents(batch: pd.DataFrame, size_px: int = 32,
                           per_doc: int = 1) -> pd.DataFrame:
     """``per_doc`` synthetic street-level image rows per document row.
@@ -46,16 +64,7 @@ def images_from_documents(batch: pd.DataFrame, size_px: int = 32,
     ids = (np.repeat(base_ids, per_doc) * per_doc
            + np.tile(np.arange(per_doc, dtype=np.int64), len(base_ids)))
     texts = np.repeat(batch["text"].to_numpy(), per_doc)
-    lon0, lat0, lon1, lat1 = EXTENT
-    centers_lon = lon0 + (np.arange(_N_CENTERS) + 0.5) * (lon1 - lon0) / _N_CENTERS
-    centers_lat = lat0 + ((np.arange(_N_CENTERS) * 37) % _N_CENTERS + 0.5) \
-        * (lat1 - lat0) / _N_CENTERS
-    u1 = _hash_unit(ids, 1)
-    u2 = _hash_unit(ids, 2)
-    u3 = _hash_unit(ids, 3)
-    center = np.floor(u1 * u1 * _N_CENTERS).astype(np.int64)  # skew: ~heavy on 0
-    lon = centers_lon[center] + (u2 - 0.5) * 0.01
-    lat = centers_lat[center] + (u3 - 0.5) * 0.006
+    lon, lat = positions_for_ids(ids)
 
     n = len(ids)
     px = synth.pixels_for_batch(ids, size_px, size_px)

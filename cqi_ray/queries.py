@@ -1989,35 +1989,44 @@ def q_images_assign_planar(sf_dir: str, n_ways: int = 64, limit: int = 500):
         batch_format="pandas")
 
 
-def _images_assign_planar_sql(limit: int = 500) -> str:
-    """DuckDB replay of q_images_assign_planar: closed-form image
-    positions (Knuth multiplicative hash mod 2^32 -> uniforms -> skewed
-    center pick), the 8x8 synthetic way grid, the equirect projection,
-    the exact point-to-segment distance kernel, and argmin by
-    (distance, way_id).  Every float literal is cast to DOUBLE so DuckDB
-    does not fall into DECIMAL arithmetic; operation order mirrors the
-    numpy/python expressions in pipelines/flagship.images_from_documents
-    and images/synth.synth_way_rows_range."""
+def _image_pos_sql(limit: int = 500) -> str:
+    """SQL fragment: closed-form image capture positions (Knuth
+    multiplicative hash mod 2^32 -> uniforms -> skewed center pick),
+    mirroring pipelines/flagship.positions_for_ids operation for
+    operation — the shared position replay under the planar-assign and
+    hex-bin oracles.  Yields (image_id, caption, lon, lat)."""
     D = "::DOUBLE"
     u = lambda salt: (  # noqa: E731 — local SQL fragment builder
         f"CAST((CAST(doc_id AS UBIGINT) * 2654435761::UBIGINT"
         f" + {salt}::UBIGINT) & 4294967295::UBIGINT AS DOUBLE)"
         f" / 4294967296.0{D}")
     return f"""
-WITH imgs AS (
+SELECT image_id, caption,
+  (13.40{D} + (CAST(c AS DOUBLE) + 0.5{D}) * (13.60{D} - 13.40{D})
+     / 8.0{D}) + (u2 - 0.5{D}) * 0.01{D} AS lon,
+  (51.00{D} + (CAST((c * 37) % 8 AS DOUBLE) + 0.5{D})
+     * (51.10{D} - 51.00{D}) / 8.0{D})
+    + (u3 - 0.5{D}) * 0.006{D} AS lat
+FROM (SELECT *, CAST(floor(u1 * u1 * 8.0{D}) AS BIGINT) AS c FROM (
   SELECT doc_id,
          'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
          text AS caption,
          {u(1)} AS u1, {u(2)} AS u2, {u(3)} AS u3
-  FROM documents WHERE doc_id < {limit}),
-pos AS (
-  SELECT image_id, caption,
-    (13.40{D} + (CAST(c AS DOUBLE) + 0.5{D}) * (13.60{D} - 13.40{D})
-       / 8.0{D}) + (u2 - 0.5{D}) * 0.01{D} AS lon,
-    (51.00{D} + (CAST((c * 37) % 8 AS DOUBLE) + 0.5{D})
-       * (51.10{D} - 51.00{D}) / 8.0{D})
-      + (u3 - 0.5{D}) * 0.006{D} AS lat
-  FROM (SELECT *, CAST(floor(u1 * u1 * 8.0{D}) AS BIGINT) AS c FROM imgs)),
+  FROM documents WHERE doc_id < {limit}))"""
+
+
+def _images_assign_planar_sql(limit: int = 500) -> str:
+    """DuckDB replay of q_images_assign_planar: closed-form image
+    positions (_image_pos_sql), the 8x8 synthetic way grid, the
+    equirect projection, the exact point-to-segment distance kernel,
+    and argmin by (distance, way_id).  Every float literal is cast to
+    DOUBLE so DuckDB does not fall into DECIMAL arithmetic; operation
+    order mirrors the numpy/python expressions in
+    pipelines/flagship.positions_for_ids and
+    images/synth.synth_way_rows_range."""
+    D = "::DOUBLE"
+    return f"""
+WITH pos AS ({_image_pos_sql(limit)}),
 pts AS (
   SELECT image_id, caption,
          (lon - 13.5{D}) * 70000.0{D} AS px,
@@ -2072,6 +2081,94 @@ FROM best
 
 
 Q_IMAGES_ASSIGN_PLANAR_SQL = _images_assign_planar_sql()
+
+
+def q_hex_bin(sf_dir: str, limit: int = 500, size_m: float = 100.0):
+    """H3-style hexagonal spatial histogram of image capture points —
+    the hex-cell complement to the Morton quadtree (north rule names
+    H3/S2 cell encoding; geo/cells.py hex_encode is the from-scratch
+    axial-coordinate hex grid with cube rounding).  Hexes are the
+    aggregation cell of choice for point densities: all 6 neighbors are
+    equidistant, so k-ring smoothing has no diagonal bias.  Fully
+    distributed: positions are computed inside map_batches from doc_id
+    (closed form, no image payloads touched), per-cell partial counts
+    combine before ONE bucketed sum, and the cell center is a pure
+    function of the cell id — raw points never cross the shuffle.
+    Hash-exact SQL oracle: the float->axial->cube-round quantization
+    uses floor(v+0.5) (not banker's rounding) precisely so DuckDB can
+    replay it operation for operation."""
+    from .geo.cells import hex_center, hex_decode, hex_encode
+    from .geo.proj import equirect_project_coords
+    from .pipelines.flagship import positions_for_ids
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"]).limit(limit)
+
+    def cells_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        lon, lat = positions_for_ids(ids)
+        xy = equirect_project_coords(np.stack([lon, lat], axis=1))
+        cell = hex_encode(xy[:, 0], xy[:, 1], size_m)
+        vals, counts = np.unique(cell, return_counts=True)
+        return pd.DataFrame({"cell": vals, "n": counts.astype(np.int64)})
+
+    counts = partial_then_global_sum(
+        docs.map_batches(cells_partial, batch_format="pandas"),
+        keys=["cell"], sums={"n": "n_images"}, num_buckets=8)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cell = b["cell"].to_numpy(dtype=np.int64)
+        hq, hr = hex_decode(cell)
+        cx, cy = hex_center(cell, size_m)
+        return pd.DataFrame({"hq": hq, "hr": hr,
+                             "n_images": b["n_images"].astype("int64"),
+                             "cx": cx, "cy": cy})
+
+    return counts.map_batches(finish, batch_format="pandas")
+
+
+def _hex_bin_sql(limit: int = 500, size_m: float = 100.0) -> str:
+    """DuckDB replay of q_hex_bin: shared position fragment ->
+    equirect planar -> fractional axial coords -> cube rounding with
+    floor(v+0.5) and the largest-error axis repair -> per-cell counts +
+    closed-form centers.  Mirrors geo/cells.hex_axial / hex_encode /
+    hex_center operation for operation (sqrt(3.0) is correctly rounded
+    identically by numpy and libm)."""
+    D = "::DOUBLE"
+    s = f"{size_m!r}{D}"
+    return f"""
+WITH pos AS ({_image_pos_sql(limit)}),
+axial AS (
+  SELECT (sqrt(3.0{D}) / 3.0{D} * px - 1.0{D} / 3.0{D} * py) / {s} AS qf,
+         (2.0{D} / 3.0{D} * py) / {s} AS rf
+  FROM (SELECT (lon - 13.5{D}) * 70000.0{D} AS px,
+               (lat - 51.05{D}) * 111320.0{D} AS py FROM pos)),
+rounded AS (
+  SELECT qf, rf, -qf - rf AS sf,
+         floor(qf + 0.5{D}) AS rq, floor(rf + 0.5{D}) AS rr,
+         floor((-qf - rf) + 0.5{D}) AS rs
+  FROM axial),
+fixed AS (
+  SELECT CASE WHEN abs(rq - qf) > abs(rr - rf)
+                   AND abs(rq - qf) > abs(rs - sf)
+              THEN -rr - rs ELSE rq END AS q_out,
+         CASE WHEN NOT (abs(rq - qf) > abs(rr - rf)
+                        AND abs(rq - qf) > abs(rs - sf))
+                   AND abs(rr - rf) > abs(rs - sf)
+              THEN -rq - rs ELSE rr END AS r_out
+  FROM rounded),
+agg AS (
+  SELECT CAST(q_out AS BIGINT) AS hq, CAST(r_out AS BIGINT) AS hr,
+         count(*) AS n_images
+  FROM fixed GROUP BY 1, 2)
+SELECT hq, hr, n_images,
+       {s} * (sqrt(3.0{D}) * CAST(hq AS DOUBLE)
+              + sqrt(3.0{D}) / 2.0{D} * CAST(hr AS DOUBLE)) AS cx,
+       {s} * (1.5{D} * CAST(hr AS DOUBLE)) AS cy
+FROM agg
+"""
+
+
+Q_HEX_BIN_SQL = _hex_bin_sql()
 
 
 def q_flagship_resume(sf_dir: str, n_ways: int = 48):
@@ -11179,6 +11276,7 @@ QUERIES = {
     "cqi_scores": q_cqi_scores,
     "images_assign": q_images_assign,
     "images_assign_planar": q_images_assign_planar,
+    "hex_bin": q_hex_bin,
     "flagship_resume": q_flagship_resume,
     "images_assign_rtree": q_images_assign_rtree,
     "tiles": q_tiles,
@@ -11302,6 +11400,7 @@ ORACLES = {
     "approx_count_distinct": Q_APPROX_COUNT_DISTINCT_SQL,
     "approx_heavy_hitters": Q_APPROX_HEAVY_HITTERS_SQL,
     "images_assign_planar": Q_IMAGES_ASSIGN_PLANAR_SQL,
+    "hex_bin": Q_HEX_BIN_SQL,
     "hull": Q_HULL_SQL,
     "images_patches": Q_IMAGES_PATCHES_SQL,
     "group_quantiles": Q_GROUP_QUANTILES_SQL,

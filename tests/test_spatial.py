@@ -286,3 +286,63 @@ class TestVectorizeTiles:
             assert (g["lon1"] <= lon_max + eps).all()
             assert (g["lat"] >= lat_min - eps).all()
             assert (g["lat"] <= lat_max + eps).all()
+
+
+class TestHexCells:
+    """H3-style axial hex grid (geo/cells.py hex_*): quantization,
+    round trips, k-ring geometry."""
+
+    def test_encode_center_roundtrip_and_containment(self):
+        import numpy as np
+
+        from cqi_ray.geo.cells import hex_center, hex_encode
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1e4, 1e4, 20000)
+        y = rng.uniform(-1e4, 1e4, 20000)
+        c = hex_encode(x, y, 100.0)
+        cx, cy = hex_center(c, 100.0)
+        # every point lies within its cell's circumradius
+        assert np.hypot(x - cx, y - cy).max() <= 100.0 + 1e-6
+        # centers re-encode to their own cell (quantization fixpoint)
+        assert (hex_encode(cx, cy, 100.0) == c).all()
+
+    def test_kring_sizes_and_distances(self):
+        import numpy as np
+
+        from cqi_ray.geo.cells import hex_distance, hex_encode, hex_kring
+
+        c = hex_encode(np.array([0.0, 500.0]), np.array([0.0, -250.0]),
+                       50.0)
+        for k, want in ((1, 7), (2, 19), (3, 37)):
+            kr = hex_kring(c, k)
+            assert kr.shape == (2, want)  # 3k(k+1)+1
+            d = hex_distance(np.repeat(c, want), kr.ravel())
+            assert (d <= k).all()
+            # ring is exact: max distance in the k-ring is exactly k
+            assert d.max() == k
+
+    def test_neighbors_equidistant_centers(self):
+        import numpy as np
+
+        from cqi_ray.geo.cells import hex_center, hex_encode, hex_kring
+
+        c = hex_encode(np.array([123.0]), np.array([456.0]), 100.0)
+        ring = hex_kring(c, 1)[0]
+        cx, cy = hex_center(ring, 100.0)
+        x0, y0 = hex_center(c, 100.0)
+        d = np.hypot(cx - x0[0], cy - y0[0])
+        d = d[d > 0]  # drop self
+        # all 6 neighbor centers equidistant (sqrt(3)*size)
+        assert len(d) == 6
+        assert np.allclose(d, np.sqrt(3.0) * 100.0)
+
+    def test_hex_bin_query_counts(self, ray_session):
+        from cqi_ray.queries import q_hex_bin
+
+        out = q_hex_bin("/root/testdata/sf0.001").to_pandas()
+        assert out["n_images"].sum() == 500  # every image binned once
+        assert (out["n_images"] > 0).all()
+        # skewed centers produce a non-trivial histogram
+        assert len(out) > 10
+        assert out["n_images"].max() > out["n_images"].median()
