@@ -17,19 +17,30 @@ import numpy as np
 def synth_boxes(image_id: int, n: int, w: int, h: int) -> np.ndarray:
     """Deterministic box proposals for one image: columns
     (x0, y0, x1, y1, score), float64, all inside [0,w)x[0,h).
-    Seeded ONLY by image_id, so any worker regenerates the identical
-    proposal set (no wall clock, no global RNG)."""
-    seed = (int(image_id) * 2654435761 + 17) % (1 << 64)
-    rng = np.random.default_rng(seed)
-    cx = rng.uniform(0, w, n)
-    cy = rng.uniform(0, h, n)
-    bw = rng.uniform(w * 0.1, w * 0.6, n)
-    bh = rng.uniform(h * 0.1, h * 0.6, n)
+    Keyed ONLY by (image_id, draw index, field), so any worker
+    regenerates the identical proposal set (no wall clock, no global
+    RNG).  Uniforms come from the unseeded splitmix64 chain — the same
+    SQL-replayable stream as the HLL/CMS sketches (ops/sqlhash.py) — so
+    the NMS oracle can regenerate the proposals in DuckDB bit-for-bit."""
+    from ..relational import _splitmix64
+
+    j = np.arange(n, dtype=np.int64)
+
+    def u(field: int) -> np.ndarray:
+        key = ((np.int64(image_id) << np.int64(32))
+               | (np.int64(field) << np.int64(16)) | j)
+        return _splitmix64(_splitmix64(key)).astype(np.float64) \
+            / 18446744073709551616.0
+
+    cx = u(0) * w
+    cy = u(1) * h
+    bw = w * 0.1 + (w * 0.6 - w * 0.1) * u(2)
+    bh = h * 0.1 + (h * 0.6 - h * 0.1) * u(3)
     x0 = np.clip(cx - bw / 2, 0, w - 1)
     y0 = np.clip(cy - bh / 2, 0, h - 1)
     x1 = np.clip(cx + bw / 2, x0 + 1, w)
     y1 = np.clip(cy + bh / 2, y0 + 1, h)
-    score = np.round(rng.uniform(0.05, 1.0, n), 6)
+    score = np.round(0.05 + (1.0 - 0.05) * u(4), 6)
     return np.stack([x0, y0, x1, y1, score], axis=1)
 
 

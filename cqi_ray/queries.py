@@ -10541,7 +10541,12 @@ def q_images_nms(sf_dir: str, limit: int = 600, boxes_per: int = 24,
     env — an honest stand-in; the NMS kernel itself is real and
     brute-force-verified in tests/test_images.py).  Boxes never leave
     their image, so the stage is a pure streaming map_batches with a
-    vectorized IoU matrix per image — no shuffle at any scale."""
+    vectorized IoU matrix per image — no shuffle at any scale.
+    Hash-exact SQL oracle: the proposals come from the splitmix64
+    uniform stream (ops/sqlhash replays it bit-for-bit), the box/IoU
+    math is pure +,-,*,/,min,max, and the greedy loop unrolls into
+    boxes_per bounded keep/suppress CTE steps — the q_kcore unrolled-
+    iteration pattern applied to a per-group sequential algorithm."""
     from .images.boxes import nms, synth_boxes
 
     docs = _pq(sf_dir, "documents", columns=["doc_id"])
@@ -10567,6 +10572,97 @@ def q_images_nms(sf_dir: str, limit: int = 600, boxes_per: int = 24,
             **{k: np.concatenate(v) for k, v in cols.items()}})
 
     return docs.map_batches(run, batch_format="pandas")
+
+
+def _images_nms_sql(limit: int = 600, n: int = 24, w: int = 640,
+                    h: int = 480, iou: float = 0.5) -> str:
+    """DuckDB replay of q_images_nms: splitmix64 uniforms keyed by
+    (image_id, field, draw) regenerate the identical proposals
+    (images/boxes.synth_boxes), the box construction and pairwise IoU
+    mirror the numpy expressions term for term, and the greedy
+    score-desc keep/suppress loop unrolls into ``n`` CTE steps — each
+    step keeps the per-image row_number-1 candidate and NOT EXISTS
+    drops everything it suppresses (the self-pair's IoU of 1.0 removes
+    the kept box itself)."""
+    from .ops.sqlhash import splitmix64_select
+
+    D = "::DOUBLE"
+    hashed = splitmix64_select(
+        f"SELECT CAST(doc_id AS BIGINT) AS i, j, f,"
+        f" ((CAST(doc_id AS BIGINT) << 32) | (f << 16) | j) AS key"
+        f" FROM documents, generate_series(0, {n - 1}) tj(j),"
+        f" generate_series(0, 4) tf(f) WHERE doc_id < {limit}",
+        "key", "hh", rounds=2)
+    steps = []
+    kepts = []
+    for k in range(n):
+        steps.append(f"""
+k{k} AS MATERIALIZED (
+  SELECT i, b FROM (
+    SELECT i, b, row_number() OVER (PARTITION BY i
+                                    ORDER BY score DESC, b) AS rn
+    FROM c{k}) WHERE rn = 1),
+c{k + 1} AS MATERIALIZED (
+  SELECT c.i, c.b, c.score FROM c{k} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM k{k} k JOIN pr p
+      ON p.i = c.i AND p.ba = k.b AND p.bb = c.b
+    WHERE k.i = c.i AND p.iou > {iou!r}{D}))""")
+        kepts.append(f"SELECT i, b, {k} AS keep_rank FROM k{k}")
+    return f"""
+WITH uv AS (
+  SELECT i, j,
+         MAX(CASE WHEN f = 0 THEN u END) AS u0,
+         MAX(CASE WHEN f = 1 THEN u END) AS u1,
+         MAX(CASE WHEN f = 2 THEN u END) AS u2,
+         MAX(CASE WHEN f = 3 THEN u END) AS u3,
+         MAX(CASE WHEN f = 4 THEN u END) AS u4
+  FROM (SELECT i, j, f,
+               CAST(hh AS DOUBLE) / 18446744073709551616.0{D} AS u
+        FROM ({hashed})) GROUP BY i, j),
+g0 AS (
+  SELECT i, j AS b,
+         u0 * {w}.0{D} AS cx, u1 * {h}.0{D} AS cy,
+         {w}.0{D} * 0.1{D} + ({w}.0{D} * 0.6{D} - {w}.0{D} * 0.1{D}) * u2
+           AS bw,
+         {h}.0{D} * 0.1{D} + ({h}.0{D} * 0.6{D} - {h}.0{D} * 0.1{D}) * u3
+           AS bh,
+         round(0.05{D} + (1.0{D} - 0.05{D}) * u4, 6) AS score
+  FROM uv),
+g1 AS (
+  SELECT i, b, cx, cy, bw, bh, score,
+         LEAST(GREATEST(cx - bw / 2.0{D}, 0.0{D}), {w - 1}.0{D}) AS x0,
+         LEAST(GREATEST(cy - bh / 2.0{D}, 0.0{D}), {h - 1}.0{D}) AS y0
+  FROM g0),
+geom AS MATERIALIZED (
+  SELECT i, b, score, x0, y0,
+         LEAST(GREATEST(cx + bw / 2.0{D}, x0 + 1.0{D}), {w}.0{D}) AS x1,
+         LEAST(GREATEST(cy + bh / 2.0{D}, y0 + 1.0{D}), {h}.0{D}) AS y1
+  FROM g1),
+pr AS MATERIALIZED (
+  SELECT i, ba, bb,
+         CASE WHEN (areas - inter) > 0.0{D}
+              THEN inter / (areas - inter) ELSE 0.0{D} END AS iou
+  FROM (
+    SELECT a.i, a.b AS ba, c.b AS bb,
+           GREATEST(LEAST(a.x1, c.x1) - GREATEST(a.x0, c.x0), 0.0{D})
+             * GREATEST(LEAST(a.y1, c.y1) - GREATEST(a.y0, c.y0), 0.0{D})
+             AS inter,
+           ((a.x1 - a.x0) * (a.y1 - a.y0)
+            + (c.x1 - c.x0) * (c.y1 - c.y0)) AS areas
+    FROM geom a JOIN geom c ON a.i = c.i)),
+c0 AS (SELECT i, b, score FROM geom),{",".join(steps)}
+,kept AS ({" UNION ALL ".join(kepts)})
+SELECT k.i AS image_id, k.b AS box_id, CAST(k.keep_rank AS BIGINT)
+         AS keep_rank,
+       round(g.x0, 6) AS x0, round(g.y0, 6) AS y0,
+       round(g.x1, 6) AS x1, round(g.y1, 6) AS y1,
+       round(g.score, 6) AS score
+FROM kept k JOIN geom g ON g.i = k.i AND g.b = k.b
+"""
+
+
+Q_IMAGES_NMS_SQL = _images_nms_sql()
 
 
 def q_assoc_rules(sf_dir: str, minsup: int = 3):
@@ -11402,6 +11498,7 @@ ORACLES = {
     "images_assign_planar": Q_IMAGES_ASSIGN_PLANAR_SQL,
     "hex_bin": Q_HEX_BIN_SQL,
     "hull": Q_HULL_SQL,
+    "images_nms": Q_IMAGES_NMS_SQL,
     "images_patches": Q_IMAGES_PATCHES_SQL,
     "group_quantiles": Q_GROUP_QUANTILES_SQL,
     "sample_hash": Q_SAMPLE_HASH_SQL,
