@@ -538,3 +538,37 @@ def components_label_map_ds(edges: rd.Dataset, src: str = "a",
     cc = connected_components(edges, src=src, dst=dst,
                               num_buckets=num_buckets).to_pandas()
     return {int(v): int(c) for v, c in zip(cc["vertex"], cc["component"])}
+
+
+def connected_components_adaptive(edges: rd.Dataset, src: str = "a",
+                                  dst: str = "b",
+                                  distributed_above: int = 5_000_000,
+                                  num_buckets: int = 16) -> rd.Dataset:
+    """Dataset->Dataset adaptive connected components: the plan twin of
+    ``components_label_map_ds`` for callers that keep the labels IN the
+    pipeline (no driver dict).  Edge count comes from block metadata
+    after one materialize; below ``distributed_above`` the min-root
+    union-find runs in one process and the O(nodes) label table
+    re-enters the object store as a single block — at bench scale this
+    replaces the pointer-doubling rounds' multiple shuffles with one
+    task.  Above the threshold the label table never touches the
+    driver: the pointer-doubling ``connected_components`` runs
+    unchanged.  Output schema identical either way
+    ((vertex, component), component = min reachable vertex); the
+    plan-invariance pytest forces both plans on the same edges and
+    asserts equality."""
+    edges = edges.materialize()
+    m = edges.count()
+    if m > distributed_above:
+        return connected_components(edges, src=src, dst=dst,
+                                    num_buckets=num_buckets)
+    ep = edges.to_pandas()
+    lm = components_label_map(ep[src].to_numpy(np.int64),
+                              ep[dst].to_numpy(np.int64),
+                              distributed_above=1 << 62)
+    df = pd.DataFrame(
+        {"vertex": np.fromiter(lm.keys(), np.int64, len(lm)),
+         "component": np.fromiter(lm.values(), np.int64, len(lm))}) \
+        if lm else pd.DataFrame({"vertex": pd.Series(dtype="int64"),
+                                 "component": pd.Series(dtype="int64")})
+    return rd.from_pandas(df)

@@ -6915,11 +6915,16 @@ def q_dedup_keep_best(sf_dir: str):
     no driver pair set) → per-cluster keep-best (max n_chars, tie min
     doc_id) resolved inside ONE component-keyed bucketed shuffle.
     Output: (doc_id, keep_id) for every clustered doc; docs outside any
-    cluster are implicitly kept."""
-    from .ops.graph import connected_components
+    cluster are implicitly kept.  Component labeling rides the adaptive
+    plan switch (driver union-find below the edge threshold, pointer
+    doubling above — ops/graph.connected_components_adaptive): on the
+    sf0.1 bench graph (77 edges) the labeling stage measured 0.2 s vs
+    12.7 s for the pointer-doubling rounds, same-session comparison,
+    while the big-graph path stays Dataset-pure above the threshold."""
+    from .ops.graph import connected_components_adaptive
 
     pairs = q_dedup_ngram(sf_dir)
-    labels = connected_components(pairs, src="a", dst="b").map_batches(
+    labels = connected_components_adaptive(pairs, src="a", dst="b").map_batches(
         lambda b: pd.DataFrame(
             {"doc_id": b["vertex"].astype("int64"),
              "component": b["component"].astype("int64")})
@@ -9235,7 +9240,13 @@ def q_fk_audit(sf_dir: str):
     q_join_anti (child keys collapse to distinct per block, parent side
     collapses to distinct keys in the map), then a tiny union.  Output:
     (fk, n_child, n_orphan) — all-integer, zero orphans expected on the
-    synthetic tables (the op proves the negative)."""
+    synthetic tables (the op proves the negative).  A measured negative
+    result worth keeping: packing all four edges into ONE anti-join via
+    edge-tagged keys (edge << 32 | key) was tried and ran 2.7x SLOWER
+    at sf0.1/32 CPUs (12.6 s vs 4.6 s) — the 8-way union breaks
+    operator fusion and serializes the read branches, costing more than
+    the four small sequential shuffles it saved.  The per-edge loop
+    stays."""
     specs = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
          "orders", "o_orderkey"),

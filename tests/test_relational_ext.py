@@ -408,3 +408,29 @@ class TestAdaptiveComponentLabeling:
         slow = q_dbscan(sf, cc_distributed_above=0).to_pandas() \
             .sort_values("point_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestAdaptiveCCDataset:
+    """connected_components_adaptive: the Dataset->Dataset plan twin —
+    driver union-find and pointer doubling must label identically."""
+
+    def test_plans_equal(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from cqi_ray.ops.graph import connected_components_adaptive
+
+        rng = np.random.default_rng(4)
+        a = rng.integers(0, 300, 500)
+        b = rng.integers(0, 300, 500)
+        edges = rd.from_pandas(pd.DataFrame({"a": a, "b": b}))
+        uf = connected_components_adaptive(edges).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        dist = connected_components_adaptive(
+            edges, distributed_above=0).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        assert uf.equals(dist)
+        g = uf.groupby("component")["vertex"].min()
+        # component label IS the min vertex of its component
+        assert (g.index.to_numpy() == g.to_numpy()).all()
