@@ -11010,7 +11010,9 @@ px AS (
          (y * (i % 5 + 2)) % 256 AS g,
          ((x + y) * (i % 3 + 1) + i) % 256 AS b
   FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y)),
-agg AS (SELECT i, SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+agg AS (SELECT i, CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b
         FROM px GROUP BY 1),
 bkt AS (SELECT i,
                4 * CAST(r >= 128 AS INT) + 2 * CAST(g >= 128 AS INT)
@@ -11076,7 +11078,8 @@ px AS (
          ((x + y) * (i % 3 + 1) + i) % 256 AS b
   FROM ids, generate_series(0, 31) tx(x), generate_series(0, 31) ty(y))
 SELECT printf('img_%012d', i) AS image_id, bx, by,
-       SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+       CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
 FROM px GROUP BY i, bx, by
 """
 
@@ -11125,7 +11128,7 @@ d AS (
   FROM ids, generate_series(0, 30) tx(x), generate_series(0, 31) ty(y))
 SELECT printf('img_%012d', i) AS image_id,
        COUNT(*) FILTER (g >= 64) AS edge_px,
-       SUM(g) AS grad_l1
+       CAST(SUM(g) AS BIGINT) AS grad_l1
 FROM d GROUP BY i
 """
 
@@ -11165,7 +11168,8 @@ WHERE pid NOT IN (SELECT pid FROM clu) AND pid NOT IN (SELECT pid FROM border)
     """, lbl AS (SELECT pid, cluster FROM clu
            UNION ALL SELECT pid, cluster FROM border)
 SELECT l.cluster, COUNT(*) AS n_pts,
-       SUM(p.px) AS sum_x, SUM(p.py) AS sum_y
+       CAST(SUM(p.px) AS BIGINT) AS sum_x,
+       CAST(SUM(p.py) AS BIGINT) AS sum_y
 FROM lbl l JOIN pts p ON p.pid = l.pid
 GROUP BY l.cluster
 """)
@@ -11272,8 +11276,9 @@ cum AS (SELECT s.q,
         (SELECT COALESCE(SUM(c), 0) FROM a WHERE a.q <= s.q) AS ca,
         (SELECT COALESCE(SUM(c), 0) FROM r WHERE r.q <= s.q) AS cr
         FROM supp s)
-SELECT MAX(ABS(ca * nr.n - cr * na.n)) AS d_num,
-       na.n * nr.n AS d_den, na.n AS n_a, nr.n AS n_r
+SELECT CAST(MAX(ABS(ca * nr.n - cr * na.n)) AS BIGINT) AS d_num,
+       CAST(na.n * nr.n AS BIGINT) AS d_den,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nr.n AS BIGINT) AS n_r
 FROM cum, na, nr GROUP BY na.n, nr.n
 """
 
