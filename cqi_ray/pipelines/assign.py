@@ -208,6 +208,14 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
         best_way = np.full(n, None, dtype=object)
         best_idx = np.full(n, np.nan)
         best_stress = np.full(n, np.nan)
+        # tie ranks for a TOTAL deterministic order: the side-row fan-out
+        # can emit two rows with the SAME way_id and identical geometry
+        # (offset 0) but different scores — a way_id-only tie-break left
+        # block-arrival order to pick the reported (index, stress), which
+        # a retried upstream task can change (caught by the worker-SIGKILL
+        # fault experiment: rows matched, checksums didn't)
+        best_r1 = np.full(n, np.inf)
+        best_r2 = np.full(n, np.inf)
         for w in wi:
             geom = _geom_from_bytes(way_geom[w])
             if len(geom) < 2:
@@ -216,17 +224,26 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
                 d = lines.points_to_segments_distance(
                     pts_m, geom[:-1], geom[1:]).min(axis=1)
             closer = d < best_dist
-            # deterministic tie-break: smaller way_id wins on exact ties
-            tie = (d == best_dist) & np.array(
-                [(way_id[w] < bw) if bw is not None else False
-                 for bw in best_way])
-            upd = closer | tie
-            best_dist[upd] = d[upd]
-            best_way[upd] = way_id[w]
+            wid = way_id[w]
             wi_val = way_index[w]
             ws_val = way_stress[w]
-            best_idx[upd] = np.nan if wi_val is None or pd.isna(wi_val) else float(wi_val)
-            best_stress[upd] = np.nan if ws_val is None or pd.isna(ws_val) else float(ws_val)
+            r1 = np.inf if wi_val is None or pd.isna(wi_val) else float(wi_val)
+            r2 = np.inf if ws_val is None or pd.isna(ws_val) else float(ws_val)
+            # exact-distance ties: smaller way_id wins; same way_id falls
+            # through to (index, stress) lexicographic, NaN last
+            tie_d = d == best_dist
+            same = np.array([bw == wid for bw in best_way])
+            smaller_id = np.array(
+                [(wid < bw) if bw is not None else False for bw in best_way])
+            better_rank = (r1 < best_r1) | ((r1 == best_r1) & (r2 < best_r2))
+            upd = closer | (tie_d & ((~same & smaller_id)
+                                     | (same & better_rank)))
+            best_dist[upd] = d[upd]
+            best_way[upd] = wid
+            best_idx[upd] = np.nan if r1 == np.inf else r1
+            best_stress[upd] = np.nan if r2 == np.inf else r2
+            best_r1[upd] = r1
+            best_r2[upd] = r2
 
         method = np.where(best_dist <= buffer_m, "pip",
                           np.where(best_dist <= knn_radius_m, "knn", None))
@@ -364,10 +381,16 @@ class RtreeAssign:
         import ray
 
         w = ray.get(ways_ref)
-        # ascending way_id order => iterating candidates in positional
-        # order reproduces match_bucket's smaller-id tie-break via a
-        # strict '<' update
-        order = np.argsort(w["id"], kind="stable")
+        # ascending (way_id, index, stress) order — NaN ranks last — so
+        # iterating candidates in positional order reproduces
+        # match_bucket's total tie-break via a strict '<' update (id-only
+        # order left same-id fan-out duplicates to payload row order)
+        r1 = np.where(np.isnan(w["index"]), np.inf, w["index"])
+        r2 = np.where(np.isnan(w["stress"]), np.inf, w["stress"])
+        order = np.arange(len(w["id"]))
+        order = order[np.argsort(r2[order], kind="stable")]
+        order = order[np.argsort(r1[order], kind="stable")]
+        order = order[np.argsort(w["id"][order], kind="stable")]
         self.way_id = w["id"][order]
         self.way_index = w["index"][order]
         self.way_stress = w["stress"][order]

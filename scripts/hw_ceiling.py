@@ -20,8 +20,9 @@ def work(n):
     sys.path.insert(0, REPO)
     from cqi_ray.images import codec, synth
 
+    px_size = int(os.environ.get("GRAFT_IMAGE_PX", "64"))
     for i in range(n):
-        px = synth._pixels_for(i, 64, 64)
+        px = synth._pixels_for(i, px_size, px_size)
         blob = codec.png_encode(px)
         out = codec.png_decode(blob)
         codec.phash64(out)
