@@ -230,14 +230,25 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
             r1 = np.inf if wi_val is None or pd.isna(wi_val) else float(wi_val)
             r2 = np.inf if ws_val is None or pd.isna(ws_val) else float(ws_val)
             # exact-distance ties: smaller way_id wins; same way_id falls
-            # through to (index, stress) lexicographic, NaN last
-            tie_d = d == best_dist
-            same = np.array([bw == wid for bw in best_way])
-            smaller_id = np.array(
-                [(wid < bw) if bw is not None else False for bw in best_way])
-            better_rank = (r1 < best_r1) | ((r1 == best_r1) & (r2 < best_r2))
-            upd = closer | (tie_d & ((~same & smaller_id)
-                                     | (same & better_rank)))
+            # through to (index, stress) lexicographic, NaN last.  Ties are
+            # rare — resolve them row-by-row on the tie subset only, so the
+            # hot path stays one vectorized compare per way
+            upd = closer
+            ties = np.nonzero(d == best_dist)[0]
+            if len(ties):
+                won = np.zeros(len(ties), dtype=bool)
+                for j, i in enumerate(ties):
+                    bw = best_way[i]
+                    if bw is None:
+                        continue
+                    if bw == wid:
+                        won[j] = (r1 < best_r1[i]
+                                  or (r1 == best_r1[i] and r2 < best_r2[i]))
+                    else:
+                        won[j] = wid < bw
+                if won.any():
+                    upd = closer.copy()
+                    upd[ties[won]] = True
             best_dist[upd] = d[upd]
             best_way[upd] = wid
             best_idx[upd] = np.nan if r1 == np.inf else r1
