@@ -10128,55 +10128,23 @@ FROM orders GROUP BY o_orderpriority
 
 def q_kcore(sf_dir: str, k: int = 64, max_rounds: int = 8):
     """k-core decomposition (k=64 — the co-purchase graph is dense,
-    min degree ~42 at sf0.01, so smaller k peels nothing) by
-    iterative peeling: each round counts degrees with the combiner-
-    before-shuffle reduce, drops nodes below k, and prunes their edges;
-    the loop stops at the fixpoint (or after ``max_rounds``, matching
-    the oracle's unrolled CTE chain prune-for-prune, so the two agree
-    even short of convergence).  The keep-set is the BOUNDED node side
-    (same contract as q_pagerank's rank vector): it broadcasts once per
-    round via ray.put and pruning is a sorted-membership searchsorted
-    over edge batches — edges, the unbounded side, never leave the
-    object store.  materialize() per round cuts lineage growth."""
-    edges = _copurchase_edges(sf_dir)
+    min degree ~42 at sf0.01, so smaller k peels nothing) by iterative
+    peeling via ``ops.graph.kcore_decompose``: the symmetrized
+    per-block edge arrays pin in the object store once, each round is
+    ONE wave of raw Ray tasks (prune against the broadcast keep-set,
+    return the pruned ref + an O(nodes) degree partial), and the loop
+    stops at the fixpoint (or after ``max_rounds``, matching the
+    oracle's unrolled CTE chain prune-for-prune, so the two agree even
+    short of convergence).  The keep-set is the BOUNDED node side (same
+    contract as q_pagerank's rank vector); edges, the unbounded side,
+    never leave the object store.  The prior Dataset-pipeline form paid
+    two streaming-executor floors per round — 6.3 s in suite context;
+    the wave form retires that floor (see BASELINE.md iterative-
+    algorithm rework)."""
+    from .ops.graph import kcore_decompose
 
-    def both(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                                 "v": pd.Series(dtype="int64")})
-        a = b["a"].to_numpy(dtype=np.int64)
-        c = b["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"u": np.r_[a, c], "v": np.r_[c, a]})
-
-    e = edges.map_batches(both, batch_format="pandas").materialize()
-    for _ in range(max_rounds):
-        deg = partial_then_global_sum(e, keys=["u"], sums={},
-                                      counts="deg").to_pandas()
-        keep = np.sort(deg.loc[deg["deg"] >= k, "u"]
-                       .to_numpy(dtype=np.int64))
-        if len(keep) == len(deg):
-            break
-        ref = ray.put(keep)
-
-        def prune(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-            kk = ray.get(_ref)
-            u = b["u"].to_numpy(dtype=np.int64)
-            v = b["v"].to_numpy(dtype=np.int64)
-            iu = np.searchsorted(kk, u)
-            iv = np.searchsorted(kk, v)
-            m = (iu < len(kk)) & (iv < len(kk))
-            m[m] &= (kk[iu[m]] == u[m]) & (kk[iv[m]] == v[m])
-            return b.loc[m]
-
-        e = e.map_batches(prune, batch_format="pandas").materialize()
-
-    out = partial_then_global_sum(e, keys=["u"], sums={},
-                                  counts="deg_in_core")
-    return out.map_batches(
-        lambda b: pd.DataFrame({"node": b["u"].astype("int64"),
-                                "deg_in_core":
-                                    b["deg_in_core"].astype("int64")}),
-        batch_format="pandas")
+    return kcore_decompose(_copurchase_edges(sf_dir), k=k,
+                           max_rounds=max_rounds)
 
 
 def _kcore_sql(k: int = 64, rounds: int = 8) -> str:
