@@ -292,8 +292,9 @@ def main() -> None:
                 s = json.load(fh)
             summary["scaling"] = {
                 k: s[k] for k in (
-                    "images", "sec_8", "sec_32", "images_per_sec_8",
-                    "images_per_sec_32", "scaling_efficiency",
+                    "images", "image_px", "sec_8", "sec_32",
+                    "images_per_sec_8", "images_per_sec_32",
+                    "scaling_efficiency",
                     "efficiency_vs_hw_ceiling") if k in s}
         except Exception:
             pass
@@ -341,6 +342,8 @@ def headline() -> None:
         "unit": "sec",
         "images": n,
         "images_per_sec": round(n / elapsed, 1),
+        "image_px": size_px,
+        "images_per_doc": per_doc,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
@@ -379,6 +382,8 @@ def scaling() -> None:
     doc = {
         "headline": results[32]["metric"],
         "images": results[32]["images"],
+        "image_px": results[32].get("image_px"),
+        "images_per_doc": results[32].get("images_per_doc"),
         "sec_8": t8,
         "sec_32": t32,
         "images_per_sec_8": r8,
