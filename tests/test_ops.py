@@ -656,3 +656,58 @@ class TestSqlHashReplay:
         assert abs(est - 100_000) / 100_000 < 0.05
         # pure function of the registers (no float-order dependence)
         assert hll_estimate(regs.copy()) == est
+
+
+class TestKcoreDecompose:
+    """ops.graph.kcore_decompose — the raw-task-wave peel (q_kcore's
+    engine).  Semantics pinned independently of the DuckDB oracle:
+    hand-checked graph, fixpoint early-stop, max_rounds cap."""
+
+    def _edges(self, pairs):
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}))
+
+    def test_clique_survives_pendant_peels(self, ray_session):
+        from cqi_ray.ops.graph import kcore_decompose
+
+        # 4-clique {0,1,2,3} + pendant chain 3-10-11
+        clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        chain = [(3, 10), (10, 11)]
+        out = kcore_decompose(self._edges(clique + chain), k=3) \
+            .sort_values("node").reset_index(drop=True)
+        assert out["node"].tolist() == [0, 1, 2, 3]
+        assert out["deg_in_core"].tolist() == [3, 3, 3, 3]
+
+    def test_max_rounds_zero_returns_raw_degrees(self, ray_session):
+        from cqi_ray.ops.graph import kcore_decompose
+
+        out = kcore_decompose(self._edges([(0, 1), (1, 2)]), k=99,
+                              max_rounds=0).sort_values("node") \
+            .reset_index(drop=True)
+        assert out["node"].tolist() == [0, 1, 2]
+        assert out["deg_in_core"].tolist() == [1, 2, 1]
+
+    def test_max_rounds_caps_peeling_like_the_unrolled_oracle(
+            self, ray_session):
+        from cqi_ray.ops.graph import kcore_decompose
+
+        # path 0-1-2-3-4: k=2 peels one endpoint layer per round
+        path = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        one = kcore_decompose(self._edges(path), k=2, max_rounds=1) \
+            .sort_values("node").reset_index(drop=True)
+        # round 1 drops {0, 4}; degrees of the remaining path 1-2-3
+        assert one["node"].tolist() == [1, 2, 3]
+        assert one["deg_in_core"].tolist() == [1, 2, 1]
+        # full peel empties the graph (a path has no 2-core)
+        full = kcore_decompose(self._edges(path), k=2, max_rounds=8)
+        assert len(full) == 0
+
+    def test_everything_kept_is_a_fixpoint(self, ray_session):
+        from cqi_ray.ops.graph import kcore_decompose
+
+        tri = [(0, 1), (1, 2), (0, 2)]
+        out = kcore_decompose(self._edges(tri), k=2) \
+            .sort_values("node").reset_index(drop=True)
+        assert out["deg_in_core"].tolist() == [2, 2, 2]
