@@ -208,53 +208,43 @@ def match_bucket(bucket: pd.DataFrame, buffer_m: float,
         best_way = np.full(n, None, dtype=object)
         best_idx = np.full(n, np.nan)
         best_stress = np.full(n, np.nan)
-        # tie ranks for a TOTAL deterministic order: the side-row fan-out
-        # can emit two rows with the SAME way_id and identical geometry
-        # (offset 0) but different scores — a way_id-only tie-break left
-        # block-arrival order to pick the reported (index, stress), which
-        # a retried upstream task can change (caught by the worker-SIGKILL
-        # fault experiment: rows matched, checksums didn't)
-        best_r1 = np.full(n, np.inf)
-        best_r2 = np.full(n, np.inf)
-        for w in wi:
+        # TOTAL deterministic tie order with ZERO per-image tie logic:
+        # visit the slice's way rows in ascending (way_id, index NaN-last,
+        # stress NaN-last) order and update on strict '<' only — on an
+        # exact-distance tie the first-visited (smallest-key) way wins.
+        # The ordering matters because the side-row fan-out can emit two
+        # rows with the SAME way_id and identical geometry (offset 0) but
+        # different scores: a way_id-only rule left block-arrival order to
+        # pick the reported (index, stress), which a retried upstream task
+        # can change (caught by the worker-SIGKILL fault experiment); and
+        # those duplicate-geometry rows make exact ties COMMON, so any
+        # per-tie-row python costs O(images) per duplicated way (a
+        # measured 15% flagship regression in the first fix attempt).
+        # Sorting W way rows is O(W log W) python-string compares — W is
+        # tens per cell slice.
+        w_r1 = np.array([np.inf if v is None or pd.isna(v) else float(v)
+                         for v in way_index[wi]], dtype=np.float64)
+        w_r2 = np.array([np.inf if v is None or pd.isna(v) else float(v)
+                         for v in way_stress[wi]], dtype=np.float64)
+        order = np.arange(len(wi))
+        order = order[np.argsort(w_r2[order], kind="stable")]
+        order = order[np.argsort(w_r1[order], kind="stable")]
+        order = order[np.argsort(way_id[wi][order], kind="stable")]
+        for k_ord in order:
+            w = wi[k_ord]
             geom = _geom_from_bytes(way_geom[w])
             if len(geom) < 2:
                 d = np.hypot(*(pts_m - geom[0]).T)
             else:
                 d = lines.points_to_segments_distance(
                     pts_m, geom[:-1], geom[1:]).min(axis=1)
-            closer = d < best_dist
-            wid = way_id[w]
-            wi_val = way_index[w]
-            ws_val = way_stress[w]
-            r1 = np.inf if wi_val is None or pd.isna(wi_val) else float(wi_val)
-            r2 = np.inf if ws_val is None or pd.isna(ws_val) else float(ws_val)
-            # exact-distance ties: smaller way_id wins; same way_id falls
-            # through to (index, stress) lexicographic, NaN last.  Ties are
-            # rare — resolve them row-by-row on the tie subset only, so the
-            # hot path stays one vectorized compare per way
-            upd = closer
-            ties = np.nonzero(d == best_dist)[0]
-            if len(ties):
-                won = np.zeros(len(ties), dtype=bool)
-                for j, i in enumerate(ties):
-                    bw = best_way[i]
-                    if bw is None:
-                        continue
-                    if bw == wid:
-                        won[j] = (r1 < best_r1[i]
-                                  or (r1 == best_r1[i] and r2 < best_r2[i]))
-                    else:
-                        won[j] = wid < bw
-                if won.any():
-                    upd = closer.copy()
-                    upd[ties[won]] = True
+            upd = d < best_dist   # strict: ties keep the first-visited way
             best_dist[upd] = d[upd]
-            best_way[upd] = wid
+            best_way[upd] = way_id[w]
+            r1 = w_r1[k_ord]
+            r2 = w_r2[k_ord]
             best_idx[upd] = np.nan if r1 == np.inf else r1
             best_stress[upd] = np.nan if r2 == np.inf else r2
-            best_r1[upd] = r1
-            best_r2[upd] = r2
 
         method = np.where(best_dist <= buffer_m, "pip",
                           np.where(best_dist <= knn_radius_m, "knn", None))
