@@ -9245,8 +9245,17 @@ def q_fk_audit(sf_dir: str):
     edge-tagged keys (edge << 32 | key) was tried and ran 2.7x SLOWER
     at sf0.1/32 CPUs (12.6 s vs 4.6 s) — the 8-way union breaks
     operator fusion and serializes the read branches, costing more than
-    the four small sequential shuffles it saved.  The per-edge loop
-    stays."""
+    the four small sequential shuffles it saved.  The per-edge plans
+    stay independent but execute CONCURRENTLY from driver threads (each
+    keeps its own fused read→map→shuffle; only the blocking ``count()``
+    waits overlap), so wall time is the slowest edge instead of the sum
+    of four executor floors.  Plan CONSTRUCTION stays on the main thread:
+    ``read_parquet``'s eager path resolution first-imports
+    fsspec.implementations.http, and a concurrent first-import from four
+    threads races to a partially-initialized module (plain ImportError,
+    uncaught by Ray's ModuleNotFoundError guard)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     specs = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
          "orders", "o_orderkey"),
@@ -9257,10 +9266,10 @@ def q_fk_audit(sf_dir: str):
         ("orders.o_custkey->customer", "orders", "o_custkey",
          "customer", "c_custkey"),
     ]
-    rows = []
+
+    plans = []
     for name, child, ckey, parent, pkey in specs:
         ch = _pq(sf_dir, child, columns=[ckey])
-        n_child = ch.count()
         keys = ch.map_batches(
             lambda b, k=ckey: pd.DataFrame({"k": b[k].astype("int64")})
             .drop_duplicates(),
@@ -9269,9 +9278,15 @@ def q_fk_audit(sf_dir: str):
             lambda b, k=pkey: pd.DataFrame({"k": b[k].astype("int64")}),
             batch_format="pandas")
         orphan_keys = bucketed_anti_join(keys, par, on="k", num_buckets=8)
-        n_orphan_keys = orphan_keys.count()
-        rows.append({"fk": name, "n_child": np.int64(n_child),
-                     "n_orphan_keys": np.int64(n_orphan_keys)})
+        plans.append((name, ch, orphan_keys))
+
+    def audit_edge(plan):
+        name, ch, orphan_keys = plan
+        return {"fk": name, "n_child": np.int64(ch.count()),
+                "n_orphan_keys": np.int64(orphan_keys.count())}
+
+    with ThreadPoolExecutor(max_workers=len(plans)) as pool:
+        rows = list(pool.map(audit_edge, plans))
     return pd.DataFrame(rows)
 
 
