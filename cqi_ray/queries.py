@@ -696,13 +696,20 @@ WHERE i.doc_id % 5 = 0
 
 def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
                            num_perm: int = 64, threshold: float = 0.6,
-                           est_prune: float | None = 0.45) -> rd.Dataset:
+                           est_prune: float | None = 0.45,
+                           join_buckets: int = 16) -> rd.Dataset:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified, fully
     co-partitioned (NO driver-side materialization or whole-corpus
     broadcast at any stage).  ``docs`` must carry (doc_id, text):
 
       shingle->sign->band (map_batches, actor pool; each band row also
-      carries the doc's packed num_perm x uint64 signature — 512 B)
+      carries the LOW BYTE of each of the doc's num_perm minhash values
+      — num_perm bytes, 8x smaller than the full uint64 signature the
+      round-2 design shipped: positionwise equality of low bytes equals
+      full-value equality when the permutations match and false-equals
+      at 1/256 otherwise, inflating the estimate by <= (1-J)/256 —
+      irrelevant against the 0.45 prune threshold, and it cuts the
+      banded table's shuffle payload ~5x at scale)
       -> groupby(band, band_hash): candidate pairs, WITH a signature
          Jaccard-estimate prune computed in-bucket (both docs' signatures
          are co-located on the colliding band rows, so the estimate costs
@@ -714,6 +721,14 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
          of the pruned (doc_id, text) projection — the scale-safe
          replacement for broadcasting all texts)
       -> exact char-5-gram Jaccard verify per pair inside map_batches.
+
+    ``join_buckets`` sizes the two text joins AND the verify stage's
+    parallelism (the verify runs fused over the join's output blocks):
+    16 suits the sf-table scale where per-task floors dominate; size it
+    to ~2-5k surviving pairs per bucket at scale (the 400k-doc
+    experiment in scripts/text_scale_experiment.py measured the verify
+    stage capped at 16-way parallelism, 15.4 s of a 87 s wall, with the
+    default).
 
     16 bands x 4 rows: the true near-dup pairs in the synthetic corpus
     all have J >= 0.92, where the LSH miss probability is
@@ -736,9 +751,9 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             sigs = self.mh.signatures_batch(batch["text"].tolist())
             out = band_rows(sigs, batch["doc_id"].to_numpy(), bands=bands)
-            # packed signature per doc, tiled onto its band rows: the
-            # est-prune's payload (num_perm * 8 B = 512 B/row)
-            packed = [s.tobytes() for s in sigs]
+            # low byte of each minhash position, tiled onto the doc's
+            # band rows: the est-prune's payload (num_perm B/row)
+            packed = [s.tobytes() for s in sigs.astype(np.uint8)]
             out["sig"] = packed * bands
             return out
 
@@ -772,8 +787,8 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
             ia, ib = np.triu_indices(len(u), 1)
             if est_prune is not None:
                 sigs = np.stack([
-                    np.frombuffer(sig_arr[s + f], dtype=np.uint64)
-                    for f in first])  # (g, num_perm)
+                    np.frombuffer(sig_arr[s + f], dtype=np.uint8)
+                    for f in first])  # (g, num_perm) low bytes
                 est = (sigs[ia] == sigs[ib]).mean(axis=1)
                 keep = est >= est_prune
                 ia, ib = ia[keep], ib[keep]
@@ -803,10 +818,12 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
         lambda b: b.rename(columns={"doc_id": "b", "text": "text_b"}),
         batch_format="pandas")
     witha = bucketed_hash_join(cands, doc_a, on="a",
-                               right_cols=["a", "text_a"], num_buckets=16,
+                               right_cols=["a", "text_a"],
+                               num_buckets=join_buckets,
                                restore_dtypes={"a": "int64", "b": "int64"})
     withb = bucketed_hash_join(witha, doc_b, on="b",
-                               right_cols=["b", "text_b"], num_buckets=16,
+                               right_cols=["b", "text_b"],
+                               num_buckets=join_buckets,
                                restore_dtypes={"a": "int64", "b": "int64"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
