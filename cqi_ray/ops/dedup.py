@@ -157,31 +157,57 @@ def simhash64(texts) -> np.ndarray:
 
 def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
                         n_planes: int = 6, seed: int = 42,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64, join_buckets: int = 16):
     """LSH-blocked embedding near-dup pairs — the sub-quadratic scale path
     next to the exact triangle join (queries.q_dedup_embedding):
 
       L independent hyperplane tables (OR-amplification, like MinHash
       bands) bucket every vector L times -> groupby(table, bucket) ->
-      exact cosine verify inside each bucket -> distinct pairs.
+      in-bucket candidate pairs pruned by a 64-bit SIGN SKETCH hamming
+      test -> distinct pairs -> two bucketed joins attach the vectors ->
+      exact cosine verify per pair.
 
-    Communication is O(n*L) rows; verify cost is sum(bucket^2) ~=
-    L * n^2 / 2^planes per table worst-case, concentrated on genuinely
-    similar vectors.  Recall for a pair at angle theta is
-    1 - (1 - (1-theta/pi)^planes)^tables (e.g. ~0.98 at cosine 0.9 with
-    8x6); tested against brute force on planted near-dups
-    (tests/test_ops.py)."""
+    Band rows carry (table, bucket, vec_id, sketch int64) — ~32 B/row.
+    The previous design tiled the full embedding onto every band row
+    (n_tables x dim x 4 B per vector, e.g. 2 KB/vector at dim 64 x 8
+    tables), which made the banding shuffle the pipeline's dominant and
+    most variance-prone cost at 500k vectors; the sketch form moves ~8x
+    less and mirrors the minhash pipeline's low-byte-signature shape.
+
+    The hamming prune: a pair at cosine >= threshold flips each sketch
+    bit with p = acos(threshold)/pi, so its hamming distance over 64
+    planes is Binomial(64, p); candidates within mean + 4 sigma bits are
+    kept (boundary miss probability ~3e-5, smaller for closer pairs)
+    while the random bulk (cosine ~ 0 -> ~29 of 64 bits) never reaches
+    the vector joins.  The final exact verify keeps the no-false-
+    positives property regardless of the prune.
+
+    Communication is O(n*L) skinny rows; in-bucket work is
+    sum(bucket^2) sketch XORs ~= L * n^2 / 2^planes worst-case — size
+    ``n_planes`` so buckets hold ~500 rows (2^planes ~= n/500) and
+    ``join_buckets`` to ~2-5k surviving pairs per bucket.  Recall for a
+    pair at angle theta is 1 - (1 - (1-theta/pi)^planes)^tables (e.g.
+    ~0.98 at cosine 0.9 with 8x6); tested against brute force on
+    planted near-dups (tests/test_ops.py)."""
     import pandas as pd
 
-    from ..relational import grouped_map_buckets
+    from ..relational import (bucketed_hash_join, distinct_rows,
+                              grouped_map_buckets)
     from .ann import HyperplaneLSH
 
     lshs = [HyperplaneLSH(dim=None, n_planes=n_planes, seed=seed + t)
             for t in range(n_tables)]
+    # sketch planes live far from the table seeds so no table reuses them
+    sketcher = HyperplaneLSH(dim=None, n_planes=64, seed=seed + 104_729)
+    p_t = float(np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi)
+    ham_cut = int(np.ceil(64.0 * p_t
+                          + 4.0 * np.sqrt(64.0 * p_t * (1.0 - p_t)))) + 1
 
     def band(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        sketcher.ensure_dim(mat.shape[1])
+        sketch = sketcher.bucket(mat)
         frames = []
         for t, lsh in enumerate(lshs):
             lsh.ensure_dim(mat.shape[1])
@@ -189,44 +215,88 @@ def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
                 "table": np.int64(t),
                 "bucket": lsh.bucket(mat),
                 "vec_id": ids,
-                "embedding": batch["embedding"],
+                "sketch": sketch,
             }))
         return pd.concat(frames, ignore_index=True)
 
-    def verify(bucket: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})
         if len(bucket) < 2:
             return empty
         tb = bucket["table"].to_numpy()
         bk = bucket["bucket"].to_numpy()
+        ids_all = bucket["vec_id"].to_numpy(dtype=np.int64)
+        sk_all = bucket["sketch"].to_numpy().astype(np.int64) \
+            .view(np.uint64)
         change = (np.diff(tb) != 0) | (np.diff(bk) != 0)
         bounds = np.concatenate([[0], np.nonzero(change)[0] + 1,
                                  [len(bucket)]])
-        ids_all = bucket["vec_id"].to_numpy(dtype=np.int64)
-        outs = []
+        all_a, all_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            mat = np.stack(bucket["embedding"].to_numpy()[s:e]) \
-                .astype(np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                              1e-12)
-            sims = mat @ mat.T
-            iu = np.triu_indices(e - s, k=1)
-            hit = sims[iu] >= threshold
-            if hit.any():
-                a = ids_all[s:e][iu[0][hit]]
-                b = ids_all[s:e][iu[1][hit]]
-                outs.append(pd.DataFrame({"a": np.minimum(a, b),
-                                          "b": np.maximum(a, b)}))
-        return pd.concat(outs, ignore_index=True) if outs else empty
+            u, first = np.unique(ids_all[s:e], return_index=True)
+            if len(u) < 2:
+                continue
+            sk = sk_all[s:e][first]
+            ia, ib = np.triu_indices(len(u), 1)
+            ham = _popcount64(sk[ia] ^ sk[ib])
+            keep = ham <= ham_cut
+            if keep.any():
+                all_a.append(u[ia[keep]])
+                all_b.append(u[ib[keep]])
+        if not all_a:
+            return empty
+        pairs = np.unique(np.stack([np.concatenate(all_a),
+                                    np.concatenate(all_b)], axis=1), axis=0)
+        return pd.DataFrame({"a": pairs[:, 0].astype(np.int64),
+                             "b": pairs[:, 1].astype(np.int64)})
 
     banded = ds.map_batches(band, batch_format="pandas")
-    pairs = grouped_map_buckets(banded, ["table", "bucket"], verify,
+    cands = grouped_map_buckets(banded, ["table", "bucket"], bucket_pairs,
                                 num_buckets=num_buckets, whole_bucket=True)
-    from ..relational import distinct_rows
-    return distinct_rows(pairs, ["a", "b"], num_buckets=16)
+    cands = distinct_rows(cands, ["a", "b"], num_buckets=16)
+
+    # vectors travel the pair joins as raw float32 bytes: the join's
+    # union shuffle NaN-fills the other side's columns, which Ray's
+    # tensor-extension column cannot concat (object ndarray mixing
+    # float64 NaN with ndarrays); a plain bytes column can
+    def emb_bytes(col_id: str, col_emb: str):
+        def _pack(b: pd.DataFrame) -> pd.DataFrame:
+            vecs = [np.asarray(v, dtype=np.float32).tobytes()
+                    for v in b["embedding"]]
+            return pd.DataFrame({col_id: b["vec_id"].astype("int64"),
+                                 col_emb: vecs})
+        return _pack
+
+    emb_a = ds.map_batches(emb_bytes("a", "emb_a"), batch_format="pandas")
+    emb_b = ds.map_batches(emb_bytes("b", "emb_b"), batch_format="pandas")
+    witha = bucketed_hash_join(cands, emb_a, on="a",
+                               right_cols=["a", "emb_a"],
+                               num_buckets=join_buckets,
+                               restore_dtypes={"a": "int64", "b": "int64"})
+    withb = bucketed_hash_join(witha, emb_b, on="b",
+                               right_cols=["b", "emb_b"],
+                               num_buckets=join_buckets,
+                               restore_dtypes={"a": "int64", "b": "int64"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(batch):
+            return empty
+        va = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in batch["emb_a"]]).astype(np.float64)
+        vb = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in batch["emb_b"]]).astype(np.float64)
+        va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-12)
+        vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-12)
+        sims = np.einsum("ij,ij->i", va, vb)
+        out = batch.loc[sims >= threshold, ["a", "b"]]
+        return out.astype({"a": "int64", "b": "int64"}).reset_index(drop=True)
+
+    return withb.map_batches(verify, batch_format="pandas")
 
 
 def cosine_dup_pairs(mat: np.ndarray, ids, threshold: float = 0.95) -> list[tuple]:
