@@ -1,0 +1,99 @@
+"""CI pins for the scale-experiment claims (scripts/*_scale_experiment.py).
+
+The experiments run at 200k-1M rows; these tests rerun the identical
+planted-duplicate constructions at 5k rows through the PRODUCTION
+pipelines and assert the same invariants the experiments report:
+planted-pair recall 1.0 and zero false pairs.  The generators are
+defined as closures (cloudpickle by-value) so Ray workers need no
+import path to this module.
+"""
+
+import numpy as np
+import pandas as pd
+
+PLANT_MOD, PLANT_AT = 10, 8
+
+
+def _make_mix():
+    """splitmix64, constructed per-closure so the synth functions carry no
+    module-global reference (this test module is not importable on Ray
+    workers; closures ship by value)."""
+    def mix(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = x
+        z ^= z >> np.uint64(30)
+        z = (z * np.uint64(0xBF58476D1CE4E5B9)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z ^= z >> np.uint64(27)
+        z = (z * np.uint64(0x94D049BB133111EB)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+    return mix
+
+
+def test_minhash_planted_recall_production_path(ray_session):
+    """5k-doc version of scripts/text_scale_experiment.py: every planted
+    near-dup pair (one token substituted out of 60) is found; the random
+    token soup yields zero false pairs."""
+    import ray.data as rd
+
+    from cqi_ray.queries import minhash_near_dup_pairs
+
+    n, vocab, tok = 5000, 50_000, 60
+    mix = _make_mix()
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy(dtype=np.uint64)
+        is_dup = (ids % PLANT_MOD) == (PLANT_AT + 1)
+        base = np.where(is_dup, ids - 1, ids)
+        pos = np.arange(tok, dtype=np.uint64)[None, :]
+        grid = mix(base[:, None] * np.uint64(tok + 1) + pos) % vocab
+        if is_dup.any():
+            grid[is_dup, 7] = (grid[is_dup, 7] + 1) % vocab
+        texts = ["t" + " t".join(map(str, row)) for row in grid]
+        return pd.DataFrame({"doc_id": ids.astype(np.int64), "text": texts})
+
+    docs = rd.range(n, override_num_blocks=8) \
+        .map_batches(synth, batch_format="pandas")
+    pairs = minhash_near_dup_pairs(docs).to_pandas()
+
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    hit = ((a % PLANT_MOD) == PLANT_AT) & (b == a + 1)
+    assert int(hit.sum()) == n // PLANT_MOD, "planted recall must be 1.0"
+    assert int((~hit).sum()) == 0, "token soup must yield no false pairs"
+
+
+def test_embedding_lsh_planted_recall_production_path(ray_session):
+    """5k-vector version of scripts/embedding_scale_experiment.py: every
+    planted near-dup (cosine ~0.995) survives the sign-sketch hamming
+    prune and the exact verify; no false pairs."""
+    import ray.data as rd
+
+    from cqi_ray.ops.dedup import embedding_lsh_pairs
+
+    n, dim = 5000, 64
+    mix = _make_mix()
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy(dtype=np.uint64)
+        is_dup = (ids % PLANT_MOD) == (PLANT_AT + 1)
+        base = np.where(is_dup, ids - 1, ids)
+        pos = np.arange(dim, dtype=np.uint64)[None, :]
+        grid = mix(base[:, None] * np.uint64(dim + 1) + pos)
+        vec = (grid.astype(np.float64) / 2.0**63) - 1.0
+        vec[is_dup, 0] += 0.1
+        vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                             "embedding": list(vec.astype(np.float32))})
+
+    vecs = rd.range(n, override_num_blocks=8) \
+        .map_batches(synth, batch_format="pandas")
+    pairs = embedding_lsh_pairs(vecs, threshold=0.99).to_pandas()
+
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    hit = ((a % PLANT_MOD) == PLANT_AT) & (b == a + 1)
+    assert int(hit.sum()) == n // PLANT_MOD, "planted recall must be 1.0"
+    assert int((~hit).sum()) == 0, "uniform vectors must yield no false pairs"
