@@ -157,7 +157,8 @@ def simhash64(texts) -> np.ndarray:
 
 def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
                         n_planes: int = 6, seed: int = 42,
-                        num_buckets: int = 64, join_buckets: int = 16):
+                        num_buckets: int = 64, join_buckets: int = 16,
+                        star_cap: int | None = None):
     """LSH-blocked embedding near-dup pairs — the sub-quadratic scale path
     next to the exact triangle join (queries.q_dedup_embedding):
 
@@ -185,7 +186,11 @@ def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
     Communication is O(n*L) skinny rows; in-bucket work is
     sum(bucket^2) sketch XORs ~= L * n^2 / 2^planes worst-case — size
     ``n_planes`` so buckets hold ~500 rows (2^planes ~= n/500) and
-    ``join_buckets`` to ~2-5k surviving pairs per bucket.  Recall for a
+    ``join_buckets`` to ~2-5k surviving pairs per bucket.  ``star_cap``
+    bounds near-identical piles exactly as in
+    queries.minhash_near_dup_pairs: runs above the cap emit the min-id
+    star (O(g) pairs, cluster-equivalent for mutually-similar piles)
+    instead of g(g-1)/2 candidates.  Recall for a
     pair at angle theta is 1 - (1 - (1-theta/pi)^planes)^tables (e.g.
     ~0.98 at cosine 0.9 with 8x6); tested against brute force on
     planted near-dups (tests/test_ops.py)."""
@@ -240,7 +245,13 @@ def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
             if len(u) < 2:
                 continue
             sk = sk_all[s:e][first]
-            ia, ib = np.triu_indices(len(u), 1)
+            if star_cap is not None and len(u) > star_cap:
+                # boilerplate pile (see minhash_near_dup_pairs docstring):
+                # star to the min id, O(g) instead of g(g-1)/2 pairs
+                ia = np.zeros(len(u) - 1, dtype=np.int64)
+                ib = np.arange(1, len(u), dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(len(u), 1)
             ham = _popcount64(sk[ia] ^ sk[ib])
             keep = ham <= ham_cut
             if keep.any():

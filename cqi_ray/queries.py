@@ -697,7 +697,8 @@ WHERE i.doc_id % 5 = 0
 def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
                            num_perm: int = 64, threshold: float = 0.6,
                            est_prune: float | None = 0.45,
-                           join_buckets: int = 16) -> rd.Dataset:
+                           join_buckets: int = 16,
+                           star_cap: int | None = None) -> rd.Dataset:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified, fully
     co-partitioned (NO driver-side materialization or whole-corpus
     broadcast at any stage).  ``docs`` must carry (doc_id, text):
@@ -729,6 +730,18 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
     experiment in scripts/text_scale_experiment.py measured the verify
     stage capped at 16-way parallelism, 15.4 s of a 87 s wall, with the
     default).
+
+    ``star_cap`` bounds the boilerplate-pile quadratic: a band run of g
+    co-colliding docs emits g(g-1)/2 candidates, so ONE pile of 100k
+    near-identical docs (template pages, licence boilerplate) costs 5e9
+    pairs.  With star_cap=K, runs larger than K emit only the star
+    (min-id member, every other member) — O(g) pairs.  Pair-level output
+    is then complete only for runs <= K; CLUSTER-level consumers
+    (connected components / keep-one-per-group dedup, the reason piles
+    exist in the first place) get the same components whenever pile
+    members are mutually similar, since the star plus exact verify links
+    every member to the root.  Default None preserves exact all-pairs
+    semantics (the oracle-checked configuration).
 
     16 bands x 4 rows: the true near-dup pairs in the synthetic corpus
     all have J >= 0.92, where the LSH miss probability is
@@ -784,7 +797,12 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
             u, first = np.unique(ids_arr[s:e], return_index=True)
             if len(u) < 2:
                 continue
-            ia, ib = np.triu_indices(len(u), 1)
+            if star_cap is not None and len(u) > star_cap:
+                # boilerplate pile: star to the min id (u is sorted)
+                ia = np.zeros(len(u) - 1, dtype=np.int64)
+                ib = np.arange(1, len(u), dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(len(u), 1)
             if est_prune is not None:
                 sigs = np.stack([
                     np.frombuffer(sig_arr[s + f], dtype=np.uint8)

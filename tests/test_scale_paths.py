@@ -97,3 +97,55 @@ def test_embedding_lsh_planted_recall_production_path(ray_session):
     hit = ((a % PLANT_MOD) == PLANT_AT) & (b == a + 1)
     assert int(hit.sum()) == n // PLANT_MOD, "planted recall must be 1.0"
     assert int((~hit).sum()) == 0, "uniform vectors must yield no false pairs"
+
+
+def test_minhash_star_cap_cluster_equivalence(ray_session):
+    """Boilerplate-pile guard (scripts/hot_bucket_experiment.py at CI
+    scale): with star_cap below the pile size, oversized LSH runs emit
+    min-id stars instead of all pairs — far fewer pairs, identical
+    connected components (the consumer of pile dedup)."""
+    import ray.data as rd
+
+    from cqi_ray.queries import minhash_near_dup_pairs
+
+    n_base, n_pile, tok, vocab = 2000, 200, 60, 50_000
+    mix = _make_mix()
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy(dtype=np.uint64)
+        in_pile = ids >= n_base
+        base = np.where(in_pile, np.uint64(n_base), ids)
+        pos = np.arange(tok, dtype=np.uint64)[None, :]
+        grid = mix(base[:, None] * np.uint64(tok + 1) + pos) % vocab
+        member = (ids - np.uint64(n_base)) % np.uint64(tok)
+        rows = np.nonzero(in_pile)[0]
+        grid[rows, member[rows].astype(np.int64)] = \
+            (mix(ids[rows]) % vocab).astype(grid.dtype)
+        texts = ["t" + " t".join(map(str, row)) for row in grid]
+        return pd.DataFrame({"doc_id": ids.astype(np.int64), "text": texts})
+
+    corpus = rd.range(n_base + n_pile, override_num_blocks=8) \
+        .map_batches(synth, batch_format="pandas")
+
+    def comps(pairs: pd.DataFrame):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["a"], pairs["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for x in parent:
+            groups.setdefault(find(x), set()).add(x)
+        return sorted(map(frozenset, groups.values()), key=min)
+
+    exact = minhash_near_dup_pairs(corpus).to_pandas()
+    starred = minhash_near_dup_pairs(corpus, star_cap=100).to_pandas()
+    assert len(starred) < len(exact)
+    assert comps(exact) == comps(starred)
