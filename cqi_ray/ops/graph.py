@@ -20,7 +20,18 @@ import pandas as pd
 
 import ray.data as rd
 
+from ..relational import _splitmix64 as _graph_mix
 from ..relational import grouped_map_buckets
+
+
+def _cc_min_combine(dst: np.ndarray, val: np.ndarray):
+    """(dst, val) message arrays -> one (dst, min val) row per dst."""
+    if not len(dst):
+        return dst, val
+    uniq, inv = np.unique(dst, return_inverse=True)
+    out = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(out, inv, val)
+    return uniq, out
 
 
 def connected_components(edges: rd.Dataset, src: str = "a", dst: str = "b",
@@ -28,100 +39,158 @@ def connected_components(edges: rd.Dataset, src: str = "a", dst: str = "b",
                          num_buckets: int = 32) -> rd.Dataset:
     """(vertex, component) for every vertex appearing in ``edges``;
     component = min vertex id reachable (transitive closure of the
-    undirected edge set)."""
+    undirected edge set).
 
-    def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
-        fwd = pd.DataFrame({"u": b[src].to_numpy(np.int64),
-                            "v": b[dst].to_numpy(np.int64)})
-        rev = pd.DataFrame({"u": fwd["v"], "v": fwd["u"]})
-        return pd.concat([fwd, rev], ignore_index=True)
+    Raw-task WAVES over pinned hash-bucketed edge blocks — the kcore
+    treatment applied to label propagation.  The Dataset-round form
+    re-shuffled the full symmetrized edge set TWICE per pointer-doubling
+    round plus paid ~3 streaming-executor floors, so a depth-14 graph
+    (chain length 10k) cost ~4 s/round regardless of how little was
+    still changing (measured 57.5 s at 2M edges,
+    scripts/graph_scale_experiment.py).  Here:
 
-    sym = edges.map_batches(symmetrize, batch_format="pandas").materialize()
+    * prep: ONE scatter wave hash-partitions the symmetrized edges into
+      ``num_buckets`` pinned (u-sorted) blocks — hash(u) co-locates a
+      vertex's out-edges with its label for the whole run; static edges
+      never move again;
+    * each round is two task waves. Messages: bucket i sends
+      (v <- lbl[u]) along out-edges of FRONTIER vertices only (a label
+      change fires each edge exactly once — a non-frontier u's value was
+      already min-folded by every neighbor the round after u last
+      changed) plus doubling replies (x <- lbl[l]) for every parent
+      request, min-combined per destination bucket before they ship.
+      Reduce: bucket j min-folds incoming messages into its labels,
+      flags the new frontier, and emits next-round parent requests
+      (l, x) for every non-root x, partitioned by hash(l).
+    * per-round traffic is O(frontier edges + vertices) narrow int64
+      pairs instead of O(E) re-shuffles; rounds are pure ray.remote
+      waves with no Dataset-executor floor.
 
-    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(b["u"].to_numpy(np.int64))
-        return pd.DataFrame({"vertex": u, "lbl": u})
+    Stop when no label changed.  At the fixpoint every parent is a root
+    (reply min-folding) and every edge is label-consistent (the frontier
+    invariant above), so labels are exactly the per-component minimum —
+    the same fixpoint the Dataset-round form proved against the DuckDB
+    oracles; determinism is inherent (min-reduction, no ties).
+    """
+    import ray
 
-    labels = sym.map_batches(init_labels, batch_format="pandas")
-    # dedup the per-block vertex partials with one bucketed shuffle
-    labels = grouped_map_buckets(
-        labels, ["vertex"],
-        lambda b: b.drop_duplicates("vertex"),
-        num_buckets=num_buckets, whole_bucket=True).materialize()
+    from ..runtime import materialized_block_refs
 
+    B = max(2, num_buckets)  # num_returns=B task plumbing needs B >= 2
+    edges = edges.materialize()
+
+    @ray.remote
+    def _scatter(block):
+        """One input block -> B (u, v) piece pairs, bucketed by hash(u)
+        after symmetrizing (num_returns=B splits them into refs)."""
+        b = block.to_pandas() if not isinstance(block, pd.DataFrame) else block
+        if not len(b) or src not in b.columns:  # empty/schema-less blocks
+            z = np.zeros(0, np.int64)
+            return [(z, z)] * B
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        u, v = np.r_[a, c], np.r_[c, a]
+        h = (_graph_mix(u.astype(np.uint64)) % np.uint64(B)).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        u, v, h = u[order], v[order], h[order]
+        cuts = np.searchsorted(h, np.arange(B + 1))
+        return [(u[cuts[i]:cuts[i + 1]], v[cuts[i]:cuts[i + 1]])
+                for i in range(B)]
+
+    @ray.remote(num_returns=2)
+    def _build(*pieces):
+        u = np.concatenate([p[0] for p in pieces]) if pieces \
+            else np.zeros(0, np.int64)
+        v = np.concatenate([p[1] for p in pieces]) if pieces \
+            else np.zeros(0, np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        verts = np.unique(u)
+        # labels start as self; everything starts on the frontier
+        return (u, v), (verts, verts.copy(), np.ones(len(verts), bool))
+
+    @ray.remote
+    def _messages(ed, lab, *reqs):
+        """One message wave for one bucket: frontier edge messages +
+        doubling replies, min-combined per destination bucket.  Returns
+        a B-list of (dst_vertex, label) pairs."""
+        u, v = ed
+        verts, lbl, frontier = lab
+        dsts, vals = [], []
+        if len(u):
+            on = frontier[np.searchsorted(verts, u)]
+            if on.any():
+                dsts.append(v[on])
+                vals.append(lbl[np.searchsorted(verts, u[on])])
+        for r in reqs:
+            l, x = r
+            if len(l):
+                dsts.append(x)
+                vals.append(lbl[np.searchsorted(verts, l)])
+        if dsts:
+            d = np.concatenate(dsts)
+            w = np.concatenate(vals)
+        else:
+            d = w = np.zeros(0, np.int64)
+        h = (_graph_mix(d.astype(np.uint64)) % np.uint64(B)).astype(np.int64)
+        out = []
+        for j in range(B):
+            m = h == j
+            out.append(_cc_min_combine(d[m], w[m]))
+        return out
+
+    @ray.remote
+    def _reduce(lab, *msgs):
+        """Min-fold one bucket's incoming messages; returns (with
+        num_returns=2+B) the new label state, the changed count, and
+        next-round parent requests (l, x) per destination bucket."""
+        verts, lbl, _ = lab
+        new = lbl.copy()
+        for d, w in msgs:
+            if len(d):
+                np.minimum.at(new, np.searchsorted(verts, d), w)
+        frontier = new < lbl
+        ask = new < verts  # non-roots keep polling their parent
+        l, x = new[ask], verts[ask]
+        h = (_graph_mix(l.astype(np.uint64)) % np.uint64(B)).astype(np.int64)
+        return ((verts, new, frontier), int(frontier.sum()),
+                *[(l[h == j], x[h == j]) for j in range(B)])
+
+    @ray.remote
+    def _to_frame(lab):
+        verts, lbl, _ = lab
+        return pd.DataFrame({"vertex": verts, "component": lbl})
+
+    scat = [_scatter.options(num_returns=B).remote(r)
+            for r in materialized_block_refs(edges)]
+
+    edge_refs, lab_refs = [], []
+    for i in range(B):
+        e, l = _build.remote(*[pieces[i] for pieces in scat])
+        edge_refs.append(e)
+        lab_refs.append(l)
+
+    req_refs: list[list] = [[] for _ in range(B)]  # round 1: no requests
     for _ in range(max_iters):
-        # stage 1 — key everything by the edge source: each bucket holds
-        # the labels of its vertices AND the out-edges of those vertices,
-        # so the message (v <- lbl[u]) is a local vectorized merge.
-        # Besides the input edges, each vertex also links BOTH WAYS with
-        # its current label (pointer doubling): v learns lbl[lbl[v]] and
-        # the label vertex learns min over its adoptees, so chains halve
-        # every round — convergence in O(log diameter) iterations instead
-        # of O(diameter).
-        lab_rows = labels.map_batches(
-            lambda b: pd.DataFrame({"u": b["vertex"], "lbl": b["lbl"],
-                                    "v": np.int64(-1)}),
-            batch_format="pandas")
-        edge_rows = sym.map_batches(
-            lambda b: pd.DataFrame({"u": b["u"], "lbl": np.int64(-1),
-                                    "v": b["v"]}),
-            batch_format="pandas")
-
-        def link_edges(b: pd.DataFrame) -> pd.DataFrame:
-            m = b["lbl"].to_numpy() != b["vertex"].to_numpy()
-            vtx = b["vertex"].to_numpy(np.int64)[m]
-            lbl = b["lbl"].to_numpy(np.int64)[m]
-            return pd.DataFrame({
-                "u": np.concatenate([vtx, lbl]),
-                "lbl": np.int64(-1),
-                "v": np.concatenate([lbl, vtx])})
-
-        edge_rows = edge_rows.union(
-            labels.map_batches(link_edges, batch_format="pandas"))
-
-        def emit(bucket: pd.DataFrame) -> pd.DataFrame:
-            lab = bucket.loc[bucket["v"] == -1, ["u", "lbl"]]
-            edg = bucket.loc[bucket["v"] != -1, ["u", "v"]]
-            msgs = edg.merge(lab, on="u")[["v", "lbl"]] \
-                .rename(columns={"v": "vertex"})
-            msgs["old"] = False
-            own = lab.rename(columns={"u": "vertex"})[["vertex", "lbl"]].copy()
-            own["old"] = True
-            return pd.concat([msgs, own], ignore_index=True)
-
-        msgs = grouped_map_buckets(lab_rows.union(edge_rows), ["u"], emit,
-                                   num_buckets=num_buckets, whole_bucket=True)
-
-        # stage 2 — per-vertex min over (messages + own label); a label
-        # changes iff some message beats the old value.
-        def reduce_min(bucket: pd.DataFrame) -> pd.DataFrame:
-            if not len(bucket):
-                return pd.DataFrame({"vertex": pd.Series(dtype="int64"),
-                                     "lbl": pd.Series(dtype="int64"),
-                                     "changed": pd.Series(dtype="bool")})
-            g = bucket.groupby("vertex", sort=False)
-            new = g["lbl"].min()
-            old = bucket.loc[bucket["old"], ["vertex", "lbl"]] \
-                .set_index("vertex")["lbl"]
-            out = new.to_frame("lbl")
-            out["changed"] = new < old.reindex(new.index)
-            return out.reset_index()
-
-        step = grouped_map_buckets(msgs, ["vertex"], reduce_min,
-                                   num_buckets=num_buckets,
-                                   whole_bucket=True).materialize()
-        labels = step.map_batches(lambda b: b[["vertex", "lbl"]],
-                                  batch_format="pandas")
-        n_changed = int(sum(
-            r["c"] for r in step.map_batches(
-                lambda b: pd.DataFrame({"c": [int(b["changed"].sum())]}),
-                batch_format="pandas", batch_size=None).iter_rows()))
-        if n_changed == 0:
+        msg_refs = [_messages.options(num_returns=B)
+                    .remote(edge_refs[i], lab_refs[i], *req_refs[i])
+                    for i in range(B)]
+        new_labs, counts, all_reqs = [], [], []
+        for j in range(B):
+            outs = _reduce.options(num_returns=2 + B).remote(
+                lab_refs[j], *[msg_refs[i][j] for i in range(B)])
+            new_labs.append(outs[0])
+            counts.append(outs[1])
+            all_reqs.append(outs[2:])
+        lab_refs = new_labs
+        # requests destined to bucket i, one piece from every reducer j
+        req_refs = [[all_reqs[j][i] for j in range(B)] for i in range(B)]
+        if sum(ray.get(counts)) == 0:
             break
 
-    return labels.map_batches(
-        lambda b: b.rename(columns={"lbl": "component"}),
-        batch_format="pandas")
+    import ray.data
+
+    return ray.data.from_pandas_refs([_to_frame.remote(l) for l in lab_refs])
 
 
 def grouped_all_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -149,3 +149,61 @@ def test_minhash_star_cap_cluster_equivalence(ray_session):
     starred = minhash_near_dup_pairs(corpus, star_cap=100).to_pandas()
     assert len(starred) < len(exact)
     assert comps(exact) == comps(starred)
+
+
+def test_graph_family_analytic_exactness(ray_session):
+    """1.3k-edge version of scripts/graph_scale_experiment.py: disjoint
+    cliques + chains + stars with closed-form truth pushed through the
+    PRODUCTION graph ops — both triangle plans, the wave-based
+    connected_components at real pointer-doubling depth (chain length
+    40 ~ 6 rounds), per-node clustering coefficients by structure
+    class, and k-core survival of exactly the clique nodes."""
+    import ray.data as rd
+
+    from cqi_ray.ops.graph import (clustering_coefficients,
+                                   connected_components, kcore_decompose,
+                                   triangle_count)
+
+    s, n_clq, l_chn, n_chn, f, n_str = 12, 3, 40, 2, 9, 2
+    rows = []
+    for k in range(n_clq):
+        base = k * s
+        rows += [(base + i, base + j)
+                 for i in range(s) for j in range(i + 1, s)]
+    chn0 = n_clq * s
+    for k in range(n_chn):
+        base = chn0 + k * l_chn
+        rows += [(base + p, base + p + 1) for p in range(l_chn - 1)]
+    str0 = chn0 + n_chn * l_chn
+    for k in range(n_str):
+        hub = str0 + k * (f + 1)
+        rows += [(hub, hub + 1 + j) for j in range(f)]
+    edges = rd.from_pandas(pd.DataFrame(rows, columns=["a", "b"])) \
+        .repartition(6)
+
+    tri_truth = n_clq * s * (s - 1) * (s - 2) // 6
+    assert triangle_count(edges) == tri_truth                    # broadcast
+    assert triangle_count(edges, broadcast_below=0) == tri_truth  # bucketed
+
+    lab = connected_components(edges, num_buckets=4).to_pandas()
+    sizes = lab.groupby("component").size()
+    assert len(sizes) == n_clq + n_chn + n_str
+    assert sorted(sizes.tolist()) == sorted(
+        [s] * n_clq + [l_chn] * n_chn + [f + 1] * n_str)
+    # component label = min vertex id of its structure
+    assert set(sizes.index) == (
+        {k * s for k in range(n_clq)}
+        | {chn0 + k * l_chn for k in range(n_chn)}
+        | {str0 + k * (f + 1) for k in range(n_str)})
+
+    cdf = clustering_coefficients(edges)
+    clq = cdf["node"] < chn0
+    assert (cdf.loc[clq, "coeff"] == 1.0).all()
+    assert (cdf.loc[clq, "triangles"] == (s - 1) * (s - 2) // 2).all()
+    assert (cdf.loc[~clq, "triangles"] == 0).all()
+    assert int(cdf["triangles"].sum()) == 3 * tri_truth
+
+    core = kcore_decompose(edges, k=s - 1)
+    assert len(core) == n_clq * s
+    assert (core["deg_in_core"] == s - 1).all()
+    assert (core["node"].to_numpy() < chn0).all()
