@@ -6,10 +6,13 @@ are implemented explicitly (see /opt/skills/guides/ray_guide.md "Joins"):
 
 * **broadcast_map_join** — small right side: ``ray.put`` once, pandas merge
   inside ``map_batches``.  No shuffle; every task reads the same object.
-* **bucketed_hash_join** — both sides large: add ``bucket = hash(key) % B``
-  to both, co-partition with one ``groupby(bucket)`` over the union, and
-  merge matching buckets inside ``map_groups``.  B and the optional salt
-  column are the explicit knobs for skew.
+* **bucketed_hash_join** — both sides large: co-partition on
+  ``hash(key) % B`` and merge matching buckets.  Default plan (round 3)
+  is the single-pass raw-task shuffle ``task_hash_join`` — split each
+  side's pinned blocks into B hash pieces in one task wave, one pandas
+  merge task per bucket — measured faster than the Dataset
+  union/sort-groupby form at every probed size (scripts/join_probe.py).
+  B and the optional salt column are the explicit knobs for skew.
 """
 
 from __future__ import annotations
@@ -132,10 +135,140 @@ def broadcast_map_join(ds: rd.Dataset, right: pd.DataFrame, on: str,
     return ds.map_batches(join_fn, batch_format=batch_format)
 
 
+def _block_to_pandas(block) -> pd.DataFrame:
+    return block if isinstance(block, pd.DataFrame) else block.to_pandas()
+
+
+def _nonempty_block_refs(ds: rd.Dataset) -> list:
+    """Block refs of a materialized Dataset, skipping zero-row blocks
+    (whose pandas form can be columnless)."""
+    out = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                out.append(ref)
+    return out
+
+
+@ray.remote
+def _split_by_bucket(refs: list, on: str, num_buckets: int):
+    """One stable-ordered piece per hash bucket of ``on`` over a CHUNK of
+    blocks (num_returns is set to ``num_buckets`` at the call site).
+    Chunking matters: one split task per block at 128 blocks × 32 buckets
+    makes 4096 store objects whose fixed costs (~1 ms each) put a ~5 s
+    floor under the whole join; ~64 split tasks keep the piece count
+    ~2k regardless of input block count."""
+    parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    h = _hash_bucket(b[on].to_numpy(), num_buckets)
+    order = np.argsort(h, kind="stable")
+    bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+    sb = b.take(order)
+    if num_buckets == 1:
+        return sb
+    return tuple(sb.iloc[bounds[i]:bounds[i + 1]]
+                 for i in range(num_buckets))
+
+
+@ray.remote
+def _join_bucket_task(on: str, right_cols: list, how: str,
+                      restore_dtypes, left_pieces, right_pieces
+                      ) -> pd.DataFrame:
+    """Local pandas merge of one co-partitioned bucket (pieces arrive as
+    refs inside the lists; resolved here in block order, so the output
+    row order is deterministic)."""
+    lparts = ray.get(list(left_pieces))
+    rparts = ray.get(list(right_pieces))
+    lhs = pd.concat(lparts, ignore_index=True) if len(lparts) > 1 \
+        else lparts[0]
+    if rparts:
+        rhs = pd.concat(rparts, ignore_index=True) if len(rparts) > 1 \
+            else rparts[0]
+        rhs = rhs[[c for c in right_cols if c in rhs.columns]]
+    else:
+        rhs = pd.DataFrame(columns=right_cols)
+    # a non-key column present on BOTH sides resolves to the RIGHT copy,
+    # mirroring the union path (merge_bucket's left_cols excludes every
+    # right_only column)
+    clash = [c for c in right_cols
+             if c != on and c in lhs.columns and c in rhs.columns]
+    if clash:
+        lhs = lhs.drop(columns=clash)
+    merged = lhs.merge(rhs, on=on, how=how)
+    for c in right_cols:
+        if c not in merged.columns:
+            merged[c] = None
+    if restore_dtypes:
+        for c, t in restore_dtypes.items():
+            if c in merged.columns:
+                try:
+                    merged[c] = merged[c].astype(t)
+                except (ValueError, TypeError):
+                    pass
+    return merged
+
+
+def task_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                   right_cols: Iterable[str], num_buckets: int = 32,
+                   how: str = "inner",
+                   restore_dtypes: Optional[dict] = None) -> rd.Dataset:
+    """Single-pass raw-task hash shuffle join — the at-scale plan behind
+    ``bucketed_hash_join(plan='adaptive')``.
+
+    The Dataset form (union → repartition → sort-groupby) moves the data
+    through TWO all-to-all exchanges and pays the sort machinery on a
+    NaN-widened union schema; measured at 40M⨝100k rows that is ~460 s
+    of remote CPU for ~60 s of kernel work (scripts/join_probe.py).
+    Here each side's pinned blocks are split ONCE into ``num_buckets``
+    hash pieces (one wave of tasks, ``num_returns=B``), and one join
+    task per bucket concatenates its pieces in block order and runs the
+    local pandas merge — one data movement, no sort, no union schema,
+    each side keeps its own dtypes (no NaN upcasts).  Object count is
+    O(blocks × buckets), one round — far below the B² per-round regime
+    the graph experiments showed matters.
+
+    Inputs are materialized first (the all-to-all barrier exists in any
+    plan; blocks stay distributed in the spillable object store).
+    Output: one block per bucket via ``from_pandas_refs``, bucket order —
+    deterministic end to end."""
+    left = left.materialize()
+    right = right.materialize()
+    # zero-row blocks lose their columns entirely (a repartitioned tiny
+    # frame yields columnless empties whose b[on] would raise) — skip
+    # them by metadata; a side with NO non-empty blocks falls back to the
+    # dataset plan, which handles empty inputs for every `how`.
+    l_refs = _nonempty_block_refs(left)
+    r_refs = _nonempty_block_refs(right)
+    right_cols = list(right_cols)
+    if not l_refs or not r_refs:
+        return bucketed_hash_join(left, right, on=on, right_cols=right_cols,
+                                  num_buckets=max(1, num_buckets // 2),
+                                  how=how, restore_dtypes=restore_dtypes,
+                                  plan="dataset")
+    B = num_buckets
+    split = _split_by_bucket.options(num_returns=B) if B > 1 \
+        else _split_by_bucket
+
+    def chunks(refs: list, max_tasks: int = 64) -> list:
+        k = min(len(refs), max_tasks)
+        step = -(-len(refs) // k)
+        return [refs[i:i + step] for i in range(0, len(refs), step)]
+
+    lp = [split.remote(c, on, B) for c in chunks(l_refs)]
+    rp = [split.remote(c, on, B) for c in chunks(r_refs)]
+    if B == 1:
+        lp, rp = [[p] for p in lp], [[p] for p in rp]
+    out = [_join_bucket_task.remote(on, right_cols, how, restore_dtypes,
+                                    [p[b] for p in lp], [p[b] for p in rp])
+           for b in range(B)]
+    return rd.from_pandas_refs(out)
+
+
 def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                        right_cols: Iterable[str],
                        num_buckets: int = 16, how: str = "inner",
-                       restore_dtypes: Optional[dict] = None) -> rd.Dataset:
+                       restore_dtypes: Optional[dict] = None,
+                       plan: str = "adaptive") -> rd.Dataset:
     """Partitioned hash join: one shuffle (groupby bucket) over the union of
     both sides, pandas merge per bucket.
 
@@ -149,20 +282,44 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     then hashes differently from an int key in any downstream join.
     Callers chaining joins should pin their left side's integer columns
     here (cheap metadata; avoids a schema fetch that would execute the
-    upstream pipeline)."""
+    upstream pipeline).
+
+    ``plan``: 'tasks' / 'adaptive' (default) take the single-pass raw-task
+    shuffle (``task_hash_join``); 'dataset' keeps the union/sort-groupby
+    form below.  The task plan measured faster at EVERY probed size
+    (scripts/join_probe.py best-of-4 warm, 32 CPUs: 0.34 s vs 1.02 s at
+    500k⨝100k, 0.96 vs 2.53 s at 20M, 1.35 vs 12.48 s at 40M — the
+    dataset form pays two all-to-all exchanges plus ~1 s of executor
+    floors, and its sort-reduce goes super-linear past ~20M rows).
+    'adaptive' additionally sizes the bucket count so one bucket holds
+    ~2M rows (bounded per-task memory at any input size).  Both task
+    paths materialize the inputs; the all-to-all barrier materializes
+    them in every plan, so this costs no extra pass."""
     right_cols = list(right_cols)
+    if plan == "tasks":
+        return task_hash_join(left, right, on=on, right_cols=right_cols,
+                              num_buckets=max(num_buckets, 32), how=how,
+                              restore_dtypes=restore_dtypes)
+    if plan == "adaptive":
+        left = left.materialize()
+        right = right.materialize()
+        total = left.count() + right.count()
+        B = max(num_buckets, 32, min(512, total // 2_000_000))
+        return task_hash_join(left, right, on=on, right_cols=right_cols,
+                              num_buckets=int(B), how=how,
+                              restore_dtypes=restore_dtypes)
     right_only = [c for c in right_cols if c != on]
 
-    def tag(side: str):
+    def tag(side: int):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             batch["__bucket"] = _hash_bucket(batch[on].to_numpy(), num_buckets)
-            batch["__side"] = side
-            return batch
+            batch["__side"] = np.int8(side)  # int8, not str: object columns
+            return batch                     # pickle slowly through shuffles
         return _tag
 
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
     # coalesce before the all-to-all: the sort-based shuffle materializes
     # O(blocks x partitions) fragments, so shuffling 128 tiny blocks into
     # 128 partitions costs far more scheduling than the data moves warrant
@@ -171,8 +328,8 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         left_cols = [c for c in group.columns
                      if c not in right_only and c not in ("__side", "__bucket")]
-        lhs = group.loc[group["__side"] == "l", left_cols]
-        rhs = group.loc[group["__side"] == "r",
+        lhs = group.loc[group["__side"] == 0, left_cols]
+        rhs = group.loc[group["__side"] == 1,
                         [c for c in right_cols if c in group.columns]]
         merged = lhs.merge(rhs, on=on, how=how)
         for c in right_cols:
@@ -212,7 +369,7 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         h = _splitmix64(_salt_key_hash(batch[on].to_numpy()) ^ salt)
         batch["__salt"] = salt.astype(np.int64)
         batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        batch["__side"] = "l"
+        batch["__side"] = np.int8(0)
         return batch
 
     def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
@@ -221,7 +378,7 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         h = _splitmix64(_salt_key_hash(rep[on].to_numpy()) ^ salt)
         rep["__salt"] = salt.astype(np.int64)
         rep["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        rep["__side"] = "r"
+        rep["__side"] = np.int8(1)
         return rep
 
     lt = left.map_batches(tag_left, batch_format="pandas")
@@ -235,8 +392,8 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         # and immune to two salts of the same key sharing a bucket.
         left_cols = [c for c in group.columns
                      if c not in right_only and c not in ("__side", "__bucket")]
-        lhs = group.loc[group["__side"] == "l", left_cols]
-        rhs = group.loc[group["__side"] == "r",
+        lhs = group.loc[group["__side"] == 0, left_cols]
+        rhs = group.loc[group["__side"] == 1,
                         [c for c in right_cols if c in group.columns]
                         + ["__salt"]]
         merged = lhs.merge(rhs, on=[on, "__salt"], how=how) \
@@ -290,22 +447,22 @@ def bucketed_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     materialization of either side.  The scale-safe NOT IN for e.g.
     near-dup drop lists that can be a large fraction of the corpus."""
 
-    def tag(side: str):
+    def tag(side: int):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             batch["__bucket"] = _hash_bucket(batch[on].to_numpy(), num_buckets)
-            batch["__side"] = side
+            batch["__side"] = np.int8(side)
             return batch
         return _tag
 
-    lt = left.map_batches(tag("l"), batch_format="pandas")
+    lt = left.map_batches(tag(0), batch_format="pandas")
     rt = right.map_batches(
-        lambda b: tag("r")(b[[on]].drop_duplicates()), batch_format="pandas")
+        lambda b: tag(1)(b[[on]].drop_duplicates()), batch_format="pandas")
     union = lt.union(rt).repartition(num_buckets)
 
     def anti_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group.loc[group["__side"] == "l"]
-        drop = set(group.loc[group["__side"] == "r", on])
+        lhs = group.loc[group["__side"] == 0]
+        drop = set(group.loc[group["__side"] == 1, on])
         keep = lhs.loc[~lhs[on].isin(drop)]
         return keep.drop(columns=["__bucket", "__side"])
 

@@ -434,3 +434,78 @@ class TestAdaptiveCCDataset:
         g = uf.groupby("component")["vertex"].min()
         # component label IS the min vertex of its component
         assert (g.index.to_numpy() == g.to_numpy()).all()
+
+
+class TestTaskJoinPlans:
+    """bucketed_hash_join's three plans (dataset / tasks / adaptive) must
+    produce identical relations — the q_join_adaptive both-plans-equal
+    pattern applied to the raw-task shuffle added in round 3."""
+
+    def _all_plans(self, left, right, on="k", right_cols=("k", "dim"),
+                   how="inner", restore=None, lblocks=4, rblocks=2):
+        from cqi_ray.relational import bucketed_hash_join
+
+        outs = {}
+        for plan in ("dataset", "tasks", "adaptive"):
+            got = bucketed_hash_join(
+                _ds(left, blocks=lblocks), _ds(right, blocks=rblocks),
+                on=on, right_cols=list(right_cols), num_buckets=4,
+                how=how, restore_dtypes=restore, plan=plan).to_pandas()
+            key = sorted(got.columns)
+            outs[plan] = got[key].sort_values(key, kind="mergesort") \
+                .reset_index(drop=True)
+        return outs
+
+    def _assert_equal(self, outs, want):
+        key = sorted(want.columns)
+        want = want[key].sort_values(key, kind="mergesort") \
+            .reset_index(drop=True)
+        for plan, got in outs.items():
+            pd.testing.assert_frame_equal(got, want, check_dtype=False), plan
+
+    def test_inner_int_keys(self, ray_session):
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame({"k": rng.randint(0, 40, 500), "v": range(500)})
+        right = pd.DataFrame({"k": np.arange(40), "dim": np.arange(40) * 3})
+        self._assert_equal(self._all_plans(left, right),
+                           left.merge(right, on="k", how="inner"))
+
+    def test_left_join_string_keys(self, ray_session):
+        left = pd.DataFrame({"k": ["a", "b", "zz", "a", "q"] * 4,
+                             "v": range(20)})
+        right = pd.DataFrame({"k": ["a", "b", "c"], "dim": [1.5, 2.5, 3.5]})
+        self._assert_equal(self._all_plans(left, right, how="left"),
+                           left.merge(right, on="k", how="left"))
+
+    def test_shared_nonkey_column_right_wins(self, ray_session):
+        # both sides carry 'dim': the union path resolves to the RIGHT
+        # copy (left_cols excludes right_only) — task plan must match
+        left = pd.DataFrame({"k": [1, 2, 3], "dim": [-1, -2, -3],
+                             "v": [10, 20, 30]})
+        right = pd.DataFrame({"k": [1, 2, 3], "dim": [100, 200, 300]})
+        outs = self._all_plans(left, right)
+        want = left.drop(columns="dim").merge(right, on="k", how="inner")
+        self._assert_equal(outs, want)
+
+    def test_empty_right(self, ray_session):
+        left = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+        right = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                              "dim": pd.Series(dtype="int64")})
+        for plan in ("dataset", "tasks"):
+            from cqi_ray.relational import bucketed_hash_join
+            got = bucketed_hash_join(_ds(left, blocks=2), _ds(right, blocks=1),
+                                     on="k", right_cols=["k", "dim"],
+                                     num_buckets=2, how="inner",
+                                     plan=plan).to_pandas()
+            assert len(got) == 0
+
+    def test_restore_dtypes_on_task_plan(self, ray_session):
+        left = pd.DataFrame({"k": [1, 2, 2], "v": [1, 2, 3]})
+        right = pd.DataFrame({"k": [1, 2], "w": [10, 20]})
+        from cqi_ray.relational import bucketed_hash_join
+        got = bucketed_hash_join(_ds(left, blocks=2), _ds(right, blocks=1),
+                                 on="k", right_cols=["k", "w"],
+                                 restore_dtypes={"w": "int64"},
+                                 plan="tasks").to_pandas()
+        assert str(got["w"].dtype) == "int64"
+        assert sorted(got["w"]) == [10, 20, 20]
