@@ -50,7 +50,8 @@ def _hash_bucket(values, num_buckets: int) -> np.ndarray:
 def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
                         num_buckets: int = 64,
                         whole_bucket: bool = False,
-                        shuffle_format: str = "pandas") -> rd.Dataset:
+                        shuffle_format: str = "pandas",
+                        plan: str = "tasks") -> rd.Dataset:
     """groupby(key).map_groups with bounded task count: keys are hashed into
     ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
     bucket task runs a local pandas groupby over its keys.  This amortizes
@@ -61,7 +62,16 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
     With ``whole_bucket=True`` the callable receives the entire bucket
     frame, pre-sorted by ``key_cols``, and must handle group boundaries
     itself (numpy slice loops — no per-group pandas frames at all).  Use
-    for hot kernels with very many small groups."""
+    for hot kernels with very many small groups.
+
+    ``plan='tasks'`` (default, round 3) runs the shuffle as one raw-task
+    wave: chunked split tasks emit per-bucket pieces PLUS a per-bucket
+    count vector, and apply tasks run ``fn`` only over NON-empty buckets
+    (exactly the dataset plan's contract — fn never sees an empty
+    bucket).  The Dataset form ('dataset': tag → repartition → native
+    sort-groupby) pays two all-to-all exchanges and its sort-reduce goes
+    super-linear past ~20M rows (scripts/relational_scale_experiment.py,
+    scripts/join_probe.py); it remains the fallback for empty inputs."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -82,6 +92,22 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
         if not outs:
             return fn(group.head(0))
         return pd.concat(outs, ignore_index=True)
+
+    if plan == "tasks":
+        ds = ds.materialize()
+        refs = _nonempty_block_refs(ds)
+        if refs:
+            B = num_buckets
+            split = _split_by_keyhash.options(num_returns=B + 1)
+            waves = [split.remote(c, key_cols, B)
+                     for c in _chunk_refs(refs)]
+            counts = np.sum(ray.get([w[B] for w in waves]), axis=0)
+            out = [_apply_bucket_task.remote(per_bucket,
+                                             [w[b] for w in waves])
+                   for b in range(B) if counts[b] > 0]
+            if out:
+                return rd.from_pandas_refs(out)
+        # empty input: the dataset form below returns a typed empty
 
     # spread the shuffle's reduce side over one partition per bucket —
     # groupby output parallelism follows the input block count.
@@ -150,6 +176,67 @@ def _nonempty_block_refs(ds: rd.Dataset) -> list:
     return out
 
 
+def _chunk_refs(refs: list, max_tasks: int = 64) -> list:
+    """Contiguous ref chunks, at most ``max_tasks`` of them — one split
+    task per chunk keeps the piece-object count ~max_tasks × buckets
+    regardless of input block count (4096+ pieces put a ~5 s fixed
+    floor under a shuffle; ~2k do not)."""
+    k = min(len(refs), max_tasks)
+    step = -(-len(refs) // k)
+    return [refs[i:i + step] for i in range(0, len(refs), step)]
+
+
+@ray.remote
+def _split_by_keyhash(refs: list, key_cols: list, num_buckets: int):
+    """One piece per hash bucket of ``key_cols`` over a chunk of blocks,
+    PLUS a trailing per-bucket row-count vector (num_returns is set to
+    ``num_buckets + 1`` at the call site) — the counts let the driver
+    skip apply tasks for empty buckets, preserving the dataset plan's
+    fn-never-sees-an-empty-bucket contract.  Pieces keep the '__gb'
+    column so the shared per_bucket closure drops it as usual."""
+    parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    h = np.zeros(len(b), dtype=np.uint64)
+    for col in key_cols:
+        h = _splitmix64(h ^ _splitmix64_any(b[col].to_numpy()))
+    gb = (h % np.uint64(num_buckets)).astype(np.int64)
+    b = b.copy()
+    b["__gb"] = gb
+    order = np.argsort(gb, kind="stable")
+    bounds = np.searchsorted(gb[order], np.arange(num_buckets + 1))
+    sb = b.take(order)
+    counts = np.bincount(gb, minlength=num_buckets).astype(np.int64)
+    return (*(sb.iloc[bounds[i]:bounds[i + 1]]
+              for i in range(num_buckets)), counts)
+
+
+@ray.remote
+def _apply_bucket_task(fn, pieces: list) -> pd.DataFrame:
+    """Concatenate one bucket's pieces in block order and apply ``fn``
+    (the per_bucket closure — pickled by value with each task)."""
+    parts = ray.get(list(pieces))
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    return fn(b)
+
+
+@ray.remote
+def _split_by_int_col(refs: list, col: str, num_buckets: int):
+    """One piece per DIRECT integer value of ``col`` in [0, num_buckets)
+    over a chunk of blocks (num_returns set at the call site) — the
+    no-hash split for shuffles whose partition id is already a column
+    (range partitioning, pre-computed cells)."""
+    parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    h = np.clip(b[col].to_numpy(dtype=np.int64), 0, num_buckets - 1)
+    order = np.argsort(h, kind="stable")
+    bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+    sb = b.take(order)
+    if num_buckets == 1:
+        return sb
+    return tuple(sb.iloc[bounds[i]:bounds[i + 1]]
+                 for i in range(num_buckets))
+
+
 @ray.remote
 def _split_by_bucket(refs: list, on: str, num_buckets: int):
     """One stable-ordered piece per hash bucket of ``on`` over a CHUNK of
@@ -171,22 +258,66 @@ def _split_by_bucket(refs: list, on: str, num_buckets: int):
 
 
 @ray.remote
+def _split_salted(refs: list, on: str, num_buckets: int, salts: int,
+                  side: int):
+    """Salted split over a chunk of blocks: left rows (side=0) get
+    salt = position % salts; right rows (side=1) are replicated once
+    per salt.  Pieces bucket on hash(key) ^ salt and carry '__salt'."""
+    parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    if side == 0:
+        salt = (np.arange(len(b)) % salts).astype(np.uint64)
+        b = b.copy()
+    else:
+        b = b.loc[b.index.repeat(salts)].reset_index(drop=True)
+        salt = np.tile(np.arange(salts, dtype=np.uint64), len(b) // salts)
+    h = _splitmix64(_salt_key_hash(b[on].to_numpy()) ^ salt)
+    b["__salt"] = salt.astype(np.int64)
+    hb = (h % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(hb, kind="stable")
+    bounds = np.searchsorted(hb[order], np.arange(num_buckets + 1))
+    sb = b.take(order)
+    if num_buckets == 1:
+        return sb
+    return tuple(sb.iloc[bounds[i]:bounds[i + 1]]
+                 for i in range(num_buckets))
+
+
+@ray.remote
+def _rank_range_task(part: int, pieces: list, off, value_col: str,
+                     id_col: str) -> pd.DataFrame:
+    """Sort one range partition and attach its global row numbers.
+    ``off`` arrives resolved (top-level ObjectRef args dematerialize);
+    ``pieces`` arrive as refs (refs nested in a list do not)."""
+    parts = ray.get(list(pieces))
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    gs = b.sort_values([value_col, id_col], kind="mergesort")
+    return pd.DataFrame({
+        id_col: gs[id_col].to_numpy(),
+        value_col: gs[value_col].to_numpy(),
+        "rn": off[part] + np.arange(1, len(gs) + 1, dtype=np.int64)})
+
+
+@ray.remote
 def _join_bucket_task(on: str, right_cols: list, how: str,
-                      restore_dtypes, left_pieces, right_pieces
-                      ) -> pd.DataFrame:
+                      restore_dtypes, left_pieces, right_pieces,
+                      salt_col: Optional[str] = None) -> pd.DataFrame:
     """Local pandas merge of one co-partitioned bucket (pieces arrive as
     refs inside the lists; resolved here in block order, so the output
-    row order is deterministic)."""
+    row order is deterministic).  With ``salt_col`` the merge key is
+    ``[on, salt_col]`` and the salt column is dropped afterwards (the
+    skew-spreading salted plan)."""
     lparts = ray.get(list(left_pieces))
     rparts = ray.get(list(right_pieces))
     lhs = pd.concat(lparts, ignore_index=True) if len(lparts) > 1 \
         else lparts[0]
+    keep_r = list(right_cols) + ([salt_col] if salt_col else [])
     if rparts:
         rhs = pd.concat(rparts, ignore_index=True) if len(rparts) > 1 \
             else rparts[0]
-        rhs = rhs[[c for c in right_cols if c in rhs.columns]]
+        rhs = rhs[[c for c in keep_r if c in rhs.columns]]
     else:
-        rhs = pd.DataFrame(columns=right_cols)
+        rhs = pd.DataFrame(columns=keep_r)
     # a non-key column present on BOTH sides resolves to the RIGHT copy,
     # mirroring the union path (merge_bucket's left_cols excludes every
     # right_only column)
@@ -194,7 +325,10 @@ def _join_bucket_task(on: str, right_cols: list, how: str,
              if c != on and c in lhs.columns and c in rhs.columns]
     if clash:
         lhs = lhs.drop(columns=clash)
-    merged = lhs.merge(rhs, on=on, how=how)
+    keys = [on, salt_col] if salt_col else on
+    merged = lhs.merge(rhs, on=keys, how=how)
+    if salt_col:
+        merged = merged.drop(columns=salt_col)
     for c in right_cols:
         if c not in merged.columns:
             merged[c] = None
@@ -249,13 +383,8 @@ def task_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     split = _split_by_bucket.options(num_returns=B) if B > 1 \
         else _split_by_bucket
 
-    def chunks(refs: list, max_tasks: int = 64) -> list:
-        k = min(len(refs), max_tasks)
-        step = -(-len(refs) // k)
-        return [refs[i:i + step] for i in range(0, len(refs), step)]
-
-    lp = [split.remote(c, on, B) for c in chunks(l_refs)]
-    rp = [split.remote(c, on, B) for c in chunks(r_refs)]
+    lp = [split.remote(c, on, B) for c in _chunk_refs(l_refs)]
+    rp = [split.remote(c, on, B) for c in _chunk_refs(r_refs)]
     if B == 1:
         lp, rp = [[p] for p in lp], [[p] for p in rp]
     out = [_join_bucket_task.remote(on, right_cols, how, restore_dtypes,
@@ -349,7 +478,8 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                      right_cols: Iterable[str], num_buckets: int = 16,
-                     salts: int = 8, how: str = "inner") -> rd.Dataset:
+                     salts: int = 8, how: str = "inner",
+                     plan: str = "tasks") -> rd.Dataset:
     """Skew-resistant partitioned hash join: a hot join key turns one
     bucket of ``bucketed_hash_join`` into a straggler that serializes the
     whole stage.  Here every LEFT row gets a salt (its position within
@@ -359,8 +489,37 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     hash(key, salt): a key with N rows spreads over min(salts,
     num_buckets) tasks instead of one.  Cost: right side moves
     ``salts``x — use when right is the small/dimension side and the left
-    key distribution is heavy-tailed (the classic fact⨝dim shape)."""
+    key distribution is heavy-tailed (the classic fact⨝dim shape).
+
+    ``plan='tasks'`` (default) runs the same salted co-partitioning as a
+    single-pass raw-task shuffle (the ``task_hash_join`` machinery with
+    '__salt' appended to the merge key); 'dataset' keeps the original
+    union/sort-groupby form, which measured 17-58 s vs ~2-3 s at
+    40M⨝100k (scripts/relational_scale_experiment.py)."""
     right_cols = list(right_cols)
+    if plan == "tasks":
+        left = left.materialize()
+        right = right.materialize()
+        l_refs = _nonempty_block_refs(left)
+        r_refs = _nonempty_block_refs(right)
+        if l_refs and r_refs:
+            B = max(num_buckets, 32,
+                    min(512, (left.count() + right.count()) // 2_000_000))
+            split = _split_salted.options(num_returns=B) if B > 1 \
+                else _split_salted
+            lp = [split.remote(c, on, B, salts, 0)
+                  for c in _chunk_refs(l_refs)]
+            rp = [split.remote(c, on, B, salts, 1)
+                  for c in _chunk_refs(r_refs)]
+            if B == 1:
+                lp, rp = [[p] for p in lp], [[p] for p in rp]
+            out = [_join_bucket_task.remote(on, right_cols, how, None,
+                                            [p[b] for p in lp],
+                                            [p[b] for p in rp],
+                                            "__salt")
+                   for b in range(B)]
+            return rd.from_pandas_refs(out)
+        # empty side: the dataset form below handles it for every `how`
     right_only = [c for c in right_cols if c != on]
 
     def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
@@ -696,28 +855,29 @@ def global_row_number(ds: rd.Dataset, value_col: str, id_col: str,
             "part": np.searchsorted(sp, b[value_col].to_numpy(),
                                     side="right").astype(np.int64)})
 
-    with_part = ds.map_batches(add_part, batch_format="pandas")
+    with_part = ds.map_batches(add_part, batch_format="pandas") \
+        .materialize()
 
-    def sort_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    # range shuffle as ONE task wave over the pinned blocks: the former
+    # grouped_map_buckets form (repartition + native sort-groupby) paid
+    # two all-to-all exchanges and went super-linear past ~20M rows
+    # (scripts/relational_scale_experiment.py: 25-48 s at 40M; this form
+    # holds the 20M shape).  'part' IS the partition id, so the split is
+    # the direct-value form — each rank task sorts exactly one range.
+    refs = _nonempty_block_refs(with_part)
+    if not refs:
         empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
                               value_col: pd.Series(dtype="float64"),
                               "rn": pd.Series(dtype="int64")})
-        if not len(bucket):
-            return empty
-        off = ray.get(off_ref)
-        outs = []
-        for p, g in bucket.groupby("part", sort=True):
-            gs = g.sort_values([value_col, id_col], kind="mergesort")
-            outs.append(pd.DataFrame({
-                id_col: gs[id_col].to_numpy(),
-                value_col: gs[value_col].to_numpy(),
-                "rn": off[int(p)]
-                + np.arange(1, len(gs) + 1, dtype=np.int64)}))
-        return pd.concat(outs, ignore_index=True)
-
-    ranked = grouped_map_buckets(with_part, ["part"], sort_bucket,
-                                 num_buckets=parts, whole_bucket=True)
-    return ranked, total
+        return rd.from_pandas(empty), 0
+    split = _split_by_int_col.options(num_returns=parts) if parts > 1 \
+        else _split_by_int_col
+    lp = [split.remote(c, "part", parts) for c in _chunk_refs(refs)]
+    if parts == 1:
+        lp = [[p] for p in lp]
+    out = [_rank_range_task.remote(b, [p[b] for p in lp], off_ref,
+                                   value_col, id_col) for b in range(parts)]
+    return rd.from_pandas_refs(out), total
 
 
 def adaptive_join(left: rd.Dataset, right: rd.Dataset, on: str,

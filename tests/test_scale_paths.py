@@ -207,3 +207,68 @@ def test_graph_family_analytic_exactness(ray_session):
     assert len(core) == n_clq * s
     assert (core["deg_in_core"] == s - 1).all()
     assert (core["node"].to_numpy() < chn0).all()
+
+
+def test_relational_family_closed_form_exactness(ray_session):
+    """40k-row version of scripts/relational_scale_experiment.py: the
+    fact⨝dim workload with closed-form integer truth pushed through the
+    PRODUCTION relational ops — groupby partial sums, BOTH hash-join
+    plans, distinct, anti-join, exact dedup, global row numbers over a
+    permutation column, and exact discrete quantiles."""
+    import ray.data as rd
+
+    from cqi_ray.relational import (bucketed_anti_join, bucketed_hash_join,
+                                    distinct_rows, exact_dedup,
+                                    global_exact_quantiles,
+                                    global_row_number,
+                                    partial_then_global_sum)
+
+    n, g, perm = 40_000, 200, 982_451_653
+    cnt = n // g
+    i = np.arange(n, dtype=np.int64)
+    fact_df = pd.DataFrame({"id": i, "k": i % g, "v": i,
+                            "p": (i * perm) % n})
+    assert len(np.unique(fact_df["p"])) == n  # permutation sanity
+    dim_df = pd.DataFrame({"k": np.arange(g, dtype=np.int64),
+                           "w": 3 * np.arange(g, dtype=np.int64) + 1})
+    fact = rd.from_pandas(fact_df).repartition(8).materialize()
+    dim = rd.from_pandas(dim_df).repartition(2).materialize()
+
+    agg = partial_then_global_sum(fact, ["k"], {"v": "sum_v"},
+                                  counts="cnt", num_buckets=8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    gg = np.arange(g, dtype=np.int64)
+    assert (agg["sum_v"].to_numpy() == cnt * gg
+            + g * (cnt * (cnt - 1) // 2)).all()
+    assert (agg["cnt"] == cnt).all()
+
+    truth_w = cnt * int(3 * (g - 1) * g // 2 + g)
+    for plan in ("dataset", "tasks"):
+        j = bucketed_hash_join(fact, dim, on="k", right_cols=["k", "w"],
+                               num_buckets=8, plan=plan,
+                               restore_dtypes={"w": "int64"}).to_pandas()
+        assert len(j) == n and int(j["w"].sum()) == truth_w
+
+    d = distinct_rows(fact, ["k"], num_buckets=8).to_pandas()
+    assert len(d) == g and int(d["k"].sum()) == g * (g - 1) // 2
+
+    half = rd.from_pandas(dim_df.head(g // 2)).repartition(2)
+    aj = bucketed_anti_join(fact, half, on="k", num_buckets=8).to_pandas()
+    hi = np.arange(g // 2, g, dtype=np.int64)
+    assert len(aj) == n // 2
+    assert int(aj["v"].sum()) == int(cnt * hi.sum()
+                                     + (g // 2) * g * (cnt * (cnt - 1) // 2))
+
+    dd = exact_dedup(fact, key="k", order_col="v").to_pandas()
+    assert len(dd) == g and (dd["v"].to_numpy() == dd["k"].to_numpy()).all()
+
+    ranked, total = global_row_number(fact, value_col="p", id_col="id",
+                                      parts=8)
+    rdf = ranked.to_pandas()
+    assert total == n and len(rdf) == n
+    assert (rdf["rn"].to_numpy() == rdf["p"].to_numpy() + 1).all()
+
+    qs = [0.01, 0.25, 0.5, 0.99]
+    qdf = global_exact_quantiles(fact, "p", qs)
+    got = {float(r["q"]): int(r["val"]) for _, r in qdf.iterrows()}
+    assert got == {q: int(np.ceil(q * n)) - 1 for q in qs}
