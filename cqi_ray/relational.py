@@ -51,7 +51,8 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
                         num_buckets: int = 64,
                         whole_bucket: bool = False,
                         shuffle_format: str = "pandas",
-                        plan: str = "tasks") -> rd.Dataset:
+                        plan: str = "tasks",
+                        presort: bool = True) -> rd.Dataset:
     """groupby(key).map_groups with bounded task count: keys are hashed into
     ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
     bucket task runs a local pandas groupby over its keys.  This amortizes
@@ -71,7 +72,11 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
     bucket).  The Dataset form ('dataset': tag → repartition → native
     sort-groupby) pays two all-to-all exchanges and its sort-reduce goes
     super-linear past ~20M rows (scripts/relational_scale_experiment.py,
-    scripts/join_probe.py); it remains the fallback for empty inputs."""
+    scripts/join_probe.py); it remains the fallback for empty inputs.
+
+    ``presort=False`` (whole-bucket mode only) skips the per-bucket sort
+    by ``key_cols`` for callables that don't need group-contiguous rows
+    (pure set/dedup/groupby kernels) — the sort is pure overhead there."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -84,6 +89,8 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         group = group.drop(columns="__gb")
         if whole_bucket:
+            if not presort:
+                return fn(group)
             return fn(group.sort_values(key_cols, kind="mergesort",
                                         na_position="last"))
         outs = [fn(g) for _, g in group.groupby(key_cols, sort=True,
@@ -582,21 +589,15 @@ def distinct_rows(ds: rd.Dataset, cols: list[str],
     which costs seconds of pure scheduling even for 10^5 rows; hashing
     into a few coarse buckets first bounds the fragment count."""
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[cols].drop_duplicates()  # combiner before the shuffle
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for col in cols:
-            h = _splitmix64(h ^ _splitmix64_any(batch[col].to_numpy()))
-        batch = batch.copy()
-        batch["__gb"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return batch
+    def combiner(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[cols].drop_duplicates()  # combiner before the shuffle
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop(columns="__gb").drop_duplicates()
+        return group.drop_duplicates()
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
-        .repartition(num_buckets) \
-        .groupby("__gb").map_groups(per_bucket, batch_format="pandas")
+    return grouped_map_buckets(
+        ds.map_batches(combiner, batch_format="pandas"), cols, per_bucket,
+        num_buckets=num_buckets, whole_bucket=True, presort=False)
 
 
 def bucketed_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -609,7 +610,6 @@ def bucketed_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     def tag(side: int):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
-            batch["__bucket"] = _hash_bucket(batch[on].to_numpy(), num_buckets)
             batch["__side"] = np.int8(side)
             return batch
         return _tag
@@ -617,16 +617,16 @@ def bucketed_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     lt = left.map_batches(tag(0), batch_format="pandas")
     rt = right.map_batches(
         lambda b: tag(1)(b[[on]].drop_duplicates()), batch_format="pandas")
-    union = lt.union(rt).repartition(num_buckets)
 
     def anti_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group.loc[group["__side"] == 0]
         drop = set(group.loc[group["__side"] == 1, on])
         keep = lhs.loc[~lhs[on].isin(drop)]
-        return keep.drop(columns=["__bucket", "__side"])
+        return keep.drop(columns=["__side"])
 
-    return union.groupby("__bucket").map_groups(anti_bucket,
-                                                batch_format="pandas")
+    return grouped_map_buckets(lt.union(rt), [on], anti_bucket,
+                               num_buckets=num_buckets, whole_bucket=True,
+                               presort=False)
 
 
 def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
@@ -634,18 +634,12 @@ def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
     on the content hash/key (SURVEY.md §2.1 S3), vectorized
     sort+drop_duplicates per bucket (no per-group task overhead)."""
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__gb"] = _hash_bucket(batch[key].to_numpy(), 64)
-        return batch
-
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop(columns="__gb")
         return group.sort_values(order_col, kind="mergesort") \
                     .drop_duplicates(key, keep="first")
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("__gb").map_groups(per_bucket, batch_format="pandas")
+    return grouped_map_buckets(ds, [key], per_bucket, num_buckets=64,
+                               whole_bucket=True, presort=False)
 
 
 def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
@@ -672,25 +666,16 @@ def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
             grouped[counts] = sizes["size"].to_numpy()
         return grouped
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for col in keys:
-            h = _splitmix64(h ^ _splitmix64_any(batch[col].to_numpy()))
-        batch = batch.copy()
-        batch["__gb"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return batch
-
     value_cols = list(sums) + ([counts] if counts else [])
 
     def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop(columns="__gb") \
-            .groupby(keys, as_index=False, sort=False)[value_cols].sum()
+        g = group.groupby(keys, as_index=False, sort=False)[value_cols].sum()
         return g.rename(columns=sums)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.map_batches(add_bucket, batch_format="pandas") \
-        .repartition(num_buckets) \
-        .groupby("__gb").map_groups(reduce_bucket, batch_format="pandas")
+    return grouped_map_buckets(partials, keys, reduce_bucket,
+                               num_buckets=num_buckets, whole_bucket=True,
+                               presort=False)
 
 
 def bucketed_set_op(left: rd.Dataset, right: rd.Dataset, on: str,
