@@ -997,27 +997,26 @@ ph AS (
   FROM documents)"""
 
 
-def q_dedup_phash(sf_dir: str, max_hamming: int = 10, bands: int = 11):
-    """Perceptual-hash near-dup pairs over the metadata ``phash`` column
-    (the `input_hint` image table carries phash:int64; here it is derived
-    deterministically from doc_id with planted near-duplicates so the
-    whole distributed pipeline is DuckDB-oracle-checkable — the pixel-DCT
-    pHash path lives in `dedup_phash_images` / the flagship, where real
-    bytes exist).
-
-    band LSH (bands = max_hamming + 1 => guaranteed recall by pigeonhole)
-    -> groupby(band, band_hash) -> hamming verify (exact-dup-pile-safe
-    vectorized pair expansion) -> distinct pairs."""
+def phash_pairs_ds(hashed, max_hamming: int = 10, bands: int | None = None,
+                   num_buckets: int = 64, distinct_buckets: int = 16):
+    """Distributed 64-bit-hash near-dup pairs over a (doc_id:int64,
+    phash:int64) Dataset: band LSH (bands = max_hamming + 1 =>
+    guaranteed recall by pigeonhole) -> groupby(band, band_hash) ->
+    hamming verify (exact-dup-pile-safe vectorized pair expansion) ->
+    distinct (a, b) pairs.  The core shared by q_dedup_phash and the
+    image-hash scale experiment; size ``num_buckets``/``distinct_buckets``
+    to the corpus (pair volume on pile-heavy corpora is O(pile² x bands)
+    before the distinct — prefer phash_cluster_labels there)."""
     from .ops.dedup import (hamming_dup_pairs_grouped, hash_band_rows,
-                            planted_phash64, run_bounds)
+                            run_bounds)
 
-    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    n_bands = (max_hamming + 1) if bands is None else bands
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        h = planted_phash64(ids)
-        df = hash_band_rows(h, ids, bands=bands)
-        df["phash"] = np.tile(h.astype(np.int64), bands)  # two's-complement view
+        h = batch["phash"].to_numpy(dtype=np.int64)
+        df = hash_band_rows(h, ids, bands=n_bands)
+        df["phash"] = np.tile(h, n_bands)  # two's-complement view
         return df
 
     def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1035,11 +1034,31 @@ def q_dedup_phash(sf_dir: str, max_hamming: int = 10, bands: int = 11):
         return pd.DataFrame({"a": a.astype(np.int64),
                              "b": b.astype(np.int64)})
 
-    banded = docs.map_batches(to_bands, batch_format="pandas")
+    banded = hashed.map_batches(to_bands, batch_format="pandas")
     pairs = grouped_map_buckets(banded, ["band_id", "band_hash"],
-                                verify_bucket, num_buckets=64,
+                                verify_bucket, num_buckets=num_buckets,
                                 whole_bucket=True)
-    return distinct_rows(pairs, ["a", "b"], num_buckets=16)
+    return distinct_rows(pairs, ["a", "b"], num_buckets=distinct_buckets)
+
+
+def q_dedup_phash(sf_dir: str, max_hamming: int = 10, bands: int = 11):
+    """Perceptual-hash near-dup pairs over the metadata ``phash`` column
+    (the `input_hint` image table carries phash:int64; here it is derived
+    deterministically from doc_id with planted near-duplicates so the
+    whole distributed pipeline is DuckDB-oracle-checkable — the pixel-DCT
+    pHash path lives in `dedup_phash_images` / the flagship, where real
+    bytes exist).  Core: ``phash_pairs_ds``."""
+    from .ops.dedup import planted_phash64
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "phash": planted_phash64(ids).astype(np.int64)})
+
+    return phash_pairs_ds(docs.map_batches(add_hash, batch_format="pandas"),
+                          max_hamming=max_hamming, bands=bands)
 
 
 def q_dedup_phash_images(sf_dir: str, max_hamming: int = 10):
@@ -1106,7 +1125,6 @@ def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10,
     not the row count (near-dup *pairs* after exact collapse are rare at
     web scale; exact duplicates — the mass — are collapsed distributed)."""
     from .ops.dedup import planted_phash64
-    from ray.data.aggregate import Min
 
     docs = _pq(sf_dir, "documents", columns=["doc_id"])
 
@@ -1115,41 +1133,57 @@ def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10,
         return pd.DataFrame({"doc_id": ids,
                              "phash": planted_phash64(ids).astype(np.int64)})
 
-    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    return phash_cluster_labels(
+        docs.map_batches(add_hash, batch_format="pandas"),
+        max_hamming=max_hamming,
+        cc_distributed_above=cc_distributed_above)
+
+
+def phash_cluster_labels(hashed, max_hamming: int = 10,
+                         cc_distributed_above: int = 5_000_000,
+                         num_buckets: int = 64):
+    """The q_dedup_phash_clusters core over a provided (doc_id:int64,
+    phash:int64) Dataset — exact collapse -> distributed rep banding ->
+    adaptive CC -> broadcast assign; shared with the image-hash scale
+    experiment.  The collapse is a bucketed task-plan min (the native
+    groupby.aggregate sort shuffle measured 8.0 s vs 0.36 s at 1M rows /
+    62.5k hashes) and the rep near-dup pairs run through the SAME
+    distributed banding core as the pair query (the round-2 driver-local
+    numpy banding was single-threaded O(K): 12 s at K=62.5k — the stage
+    the image-hash scale experiment caught going super-linear)."""
 
     # exact collapse: representative id per distinct hash (partial min
-    # before the shuffle)
+    # before the shuffle, task-plan bucketed min reduce after)
     def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("phash", as_index=False, sort=False) \
                     .agg(rep=("doc_id", "min"))
 
-    reps = hashed.map_batches(partial_min, batch_format="pandas") \
-        .groupby("phash").aggregate(Min("rep", alias_name="rep")).to_pandas()
+    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("phash", as_index=False, sort=False) \
+                    .agg(rep=("rep", "min"))
 
-    # near-dup pairs among the (small) distinct-hash rep set: reuse the
-    # guaranteed-recall banding locally (rep set is bounded)
-    from .ops.dedup import (hamming_dup_pairs_grouped, hash_band_rows,
-                            run_bounds)
+    reps_ds = grouped_map_buckets(
+        hashed.map_batches(partial_min, batch_format="pandas"),
+        ["phash"], bucket_min, num_buckets=num_buckets,
+        whole_bucket=True, presort=False).materialize()
 
-    banded = hash_band_rows(reps["phash"].to_numpy().astype(np.uint64),
-                            reps["rep"].to_numpy(), bands=max_hamming + 1)
-    banded["phash"] = np.tile(reps["phash"].to_numpy(), max_hamming + 1)
-    banded = banded.sort_values(["band_id", "band_hash"], kind="mergesort")
-    bounds = run_bounds(banded["band_id"].to_numpy(),
-                        banded["band_hash"].to_numpy())
-    pa, pb = hamming_dup_pairs_grouped(banded["doc_id"].to_numpy(),
-                                       banded["phash"].to_numpy(),
-                                       bounds, max_hamming)
-    pairs = sorted(set(zip(pa.astype(np.int64).tolist(),
-                           pb.astype(np.int64).tolist())))
+    # near-dup pairs among DISTINCT hashes: the distributed banding +
+    # verify core (reps ride as doc_id so pair endpoints ARE the reps)
+    rep_pairs = phash_pairs_ds(
+        reps_ds.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["rep"].astype("int64"),
+                                    "phash": b["phash"].astype("int64")}),
+            batch_format="pandas"),
+        max_hamming=max_hamming, num_buckets=num_buckets).to_pandas()
 
     # adaptive component labeling over the representative pairs
     from .ops.graph import components_label_map
 
     lbl = components_label_map(
-        np.array([p[0] for p in pairs], dtype=np.int64),
-        np.array([p[1] for p in pairs], dtype=np.int64),
+        rep_pairs["a"].to_numpy(dtype=np.int64),
+        rep_pairs["b"].to_numpy(dtype=np.int64),
         distributed_above=cc_distributed_above)
+    reps = reps_ds.to_pandas()
 
     cluster_of_hash = {
         int(h): lbl.get(int(r), int(r))
@@ -1159,11 +1193,12 @@ def q_dedup_phash_clusters(sf_dir: str, max_hamming: int = 10,
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         table = ray.get(ref)
+        # Series.map(dict) is the C-speed lookup; every hash is in the
+        # table by construction (reps cover all distinct hashes), so the
+        # int64 cast fails loudly on any miss instead of silently NaN-ing
         return pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
-            "cluster_rep": np.fromiter(
-                (table[int(h)] for h in batch["phash"]), dtype=np.int64,
-                count=len(batch)),
+            "cluster_rep": batch["phash"].map(table).astype("int64"),
         })
 
     return hashed.map_batches(assign, batch_format="pandas")

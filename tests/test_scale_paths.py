@@ -272,3 +272,66 @@ def test_relational_family_closed_form_exactness(ray_session):
     qdf = global_exact_quantiles(fact, "p", qs)
     got = {float(r["q"]): int(r["val"]) for _, r in qdf.iterrows()}
     assert got == {q: int(np.ceil(q * n)) - 1 for q in qs}
+
+
+def test_image_hash_family_closed_form_exactness(ray_session):
+    """6.4k-row pin of scripts/image_scale_experiment.py: exact-dup piles
+    of 16 with planted near-dup pile pairs (1-7 flipped bits) pushed
+    through the PRODUCTION phash ops — pair counts and per-row cluster
+    labels verified against an algorithm-independent O(K^2) brute force
+    plus python union-find."""
+    import ray.data as rd
+
+    import scripts.image_scale_experiment as ix
+    from cqi_ray.queries import phash_cluster_labels, phash_pairs_ds
+
+    m, k = ix.M, 400
+    n = m * k
+    g = np.arange(k, dtype=np.uint64)
+    bases = ix.base_hashes(g)
+
+    # independent truth: brute-force base matrix + union-find
+    d = ix.popcount64(bases[:, None] ^ bases[None, :])
+    ii, jj = np.nonzero(d <= ix.H)
+    keep = ii < jj
+    edges = np.stack([ii[keep], jj[keep]], axis=1).astype(np.int64)
+    planted = {(int(x - 1), int(x)) for x in range(1, k)
+               if x % ix.PLANT_MOD == 1}
+    assert planted <= set(map(tuple, edges.tolist()))
+
+    ids = np.arange(n, dtype=np.int64)
+    hashed = rd.from_pandas(pd.DataFrame({
+        "doc_id": ids,
+        "phash": bases[(ids // m)].astype(np.int64)})).repartition(6)
+
+    pairs = phash_pairs_ds(hashed, max_hamming=ix.H,
+                           num_buckets=16, distinct_buckets=8).to_pandas()
+    want_pairs = k * (m * (m - 1) // 2) + len(edges) * m * m
+    assert len(pairs) == want_pairs
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    cross = (a // m) != (b // m)
+    got_edges = set(zip((a[cross] // m).tolist(), (b[cross] // m).tolist()))
+    assert got_edges == set(map(tuple, edges.tolist()))
+
+    # cluster labels == union-find truth for every row
+    parent = np.arange(k, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ea, eb in edges.tolist():
+        ra, rb = find(ea), find(eb)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comp_min = np.array([find(x) for x in range(k)], dtype=np.int64)
+
+    lbl = phash_cluster_labels(hashed, max_hamming=ix.H).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert len(lbl) == n
+    expect = comp_min[lbl["doc_id"].to_numpy() // m] * m
+    assert (lbl["cluster_rep"].to_numpy() == expect).all()
