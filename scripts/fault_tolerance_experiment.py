@@ -79,7 +79,6 @@ def child(kills: int) -> None:
     per_doc = int(os.environ.get("GRAFT_IMAGES_PER_DOC", "16"))
     scored = flagship.build_scored_ways(256).materialize()
     images = flagship.build_images(SF_DIR, per_doc=per_doc)
-    asn = assign_images_to_ways(images, scored)
 
     killed: list[int] = []
 
@@ -113,9 +112,14 @@ def child(kills: int) -> None:
                              "h": np.array(
                                  [h.sum(dtype=np.uint64)], dtype=np.uint64)})
 
+    # the watchdog starts BEFORE the pipeline is even built: the task-plan
+    # shuffle inside assign_images_to_ways executes EAGERLY at call time
+    # (materialize + split/apply waves), so kills must be armed first to
+    # land inside the shuffle itself, not just the checksum tail
     if kills:
         threading.Thread(target=watchdog, daemon=True).start()
     t0 = time.monotonic()
+    asn = assign_images_to_ways(images, scored)
     parts = asn.map_batches(partial, batch_format="pandas").to_pandas()
     elapsed = time.monotonic() - t0
     import numpy as np
