@@ -76,7 +76,14 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
 
     ``presort=False`` (whole-bucket mode only) skips the per-bucket sort
     by ``key_cols`` for callables that don't need group-contiguous rows
-    (pure set/dedup/groupby kernels) — the sort is pure overhead there."""
+    (pure set/dedup/groupby kernels) — the sort is pure overhead there.
+
+    NOTE: the task plan is EAGER — the upstream pipeline executes at
+    call time (materialize + split waves; apply tasks are scheduled
+    async and land in the returned Dataset's blocks).  A shuffle is a
+    pipeline barrier either way, but timing/fault harnesses must treat
+    the CALL, not just the consume, as execution (this bit the fault
+    experiment once — see scripts/fault_tolerance_experiment.py)."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
