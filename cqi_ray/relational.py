@@ -17,6 +17,9 @@ are implemented explicitly (see /opt/skills/guides/ray_guide.md "Joins"):
 
 from __future__ import annotations
 
+import json
+import os
+import time
 from typing import Iterable, Optional
 
 import numpy as np
@@ -52,7 +55,9 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
                         whole_bucket: bool = False,
                         shuffle_format: str = "pandas",
                         plan: str = "tasks",
-                        presort: bool = True) -> rd.Dataset:
+                        presort: bool = True,
+                        checkpoint_dir: Optional[str] = None,
+                        checkpoint_key: str = "") -> rd.Dataset:
     """groupby(key).map_groups with bounded task count: keys are hashed into
     ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
     bucket task runs a local pandas groupby over its keys.  This amortizes
@@ -83,7 +88,20 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
     async and land in the returned Dataset's blocks).  A shuffle is a
     pipeline barrier either way, but timing/fault harnesses must treat
     the CALL, not just the consume, as execution (this bit the fault
-    experiment once — see scripts/fault_tolerance_experiment.py)."""
+    experiment once — see scripts/fault_tolerance_experiment.py).
+
+    ``checkpoint_dir`` (task plan only) makes the shuffle RESUMABLE
+    MID-SHUFFLE: every completed bucket's output is written atomically
+    (tmp + rename) as ``bucket_%05d.parquet`` plus a lineage sidecar
+    JSON (checkpoint_key, key_cols, num_buckets, bucket, rows, wall
+    sec) by the apply task itself — a crash at ANY point preserves the
+    finished buckets, and a re-run with the same ``checkpoint_key``
+    recomputes only the missing ones (a fully-complete directory skips
+    the input materialize and the split wave outright).  The caller's
+    ``checkpoint_key`` must fingerprint the INPUT (upstream build id /
+    source fingerprint — see state/checkpoint.py): sidecars with a
+    different key are treated as stale and overwritten.  On a cluster
+    the directory must be shared/cloud storage."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -108,17 +126,44 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
         return pd.concat(outs, ignore_index=True)
 
     if plan == "tasks":
+        B = num_buckets
+        done: dict[int, dict] = {}
+        if checkpoint_dir:
+            done = _ckpt_scan(checkpoint_dir, checkpoint_key, key_cols, B)
+            if len(done) == B:  # fully-complete shuffle: skip everything
+                out = [_ckpt_read_bucket.remote(
+                           os.path.join(checkpoint_dir, m["file"]))
+                       for m in done.values() if m["rows"] > 0]
+                if out:
+                    return rd.from_pandas_refs(out)
+                # all buckets were empty: fall through to the typed-empty
+                # dataset path below
         ds = ds.materialize()
         refs = _nonempty_block_refs(ds)
         if refs:
-            B = num_buckets
             split = _split_by_keyhash.options(num_returns=B + 1)
             waves = [split.remote(c, key_cols, B)
                      for c in _chunk_refs(refs)]
             counts = np.sum(ray.get([w[B] for w in waves]), axis=0)
-            out = [_apply_bucket_task.remote(per_bucket,
-                                             [w[b] for w in waves])
-                   for b in range(B) if counts[b] > 0]
+            out = []
+            for b in range(B):
+                if b in done:
+                    if done[b]["rows"] > 0:
+                        out.append(_ckpt_read_bucket.remote(
+                            os.path.join(checkpoint_dir, done[b]["file"])))
+                    continue
+                if counts[b] == 0:
+                    if checkpoint_dir:
+                        _ckpt_write_sidecar(checkpoint_dir, checkpoint_key,
+                                            key_cols, B, b, rows=0, sec=0.0)
+                    continue
+                if checkpoint_dir:
+                    out.append(_apply_bucket_task_ckpt.remote(
+                        per_bucket, [w[b] for w in waves],
+                        checkpoint_dir, checkpoint_key, key_cols, B, b))
+                else:
+                    out.append(_apply_bucket_task.remote(
+                        per_bucket, [w[b] for w in waves]))
             if out:
                 return rd.from_pandas_refs(out)
         # empty input: the dataset form below returns a typed empty
@@ -231,6 +276,92 @@ def _apply_bucket_task(fn, pieces: list) -> pd.DataFrame:
     parts = ray.get(list(pieces))
     b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     return fn(b)
+
+
+# --- mid-shuffle checkpoint machinery (grouped_map_buckets task plan) ----
+
+def _ckpt_meta(key: str, key_cols: list, num_buckets: int, b: int) -> dict:
+    return {"checkpoint_key": key, "key_cols": list(key_cols),
+            "num_buckets": int(num_buckets), "bucket": int(b)}
+
+
+def _ckpt_atomic_write(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
+def _ckpt_write_sidecar(ckpt_dir: str, key: str, key_cols: list,
+                        num_buckets: int, b: int, rows: int, sec: float,
+                        file: str = "") -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    meta = _ckpt_meta(key, key_cols, num_buckets, b)
+    meta.update({"rows": int(rows), "sec": round(float(sec), 4),
+                 "file": file, "written_at": time.time()})
+    _ckpt_atomic_write(os.path.join(ckpt_dir, f"bucket_{b:05d}.json"),
+                       json.dumps(meta).encode())
+
+
+def _ckpt_scan(ckpt_dir: str, key: str, key_cols: list,
+               num_buckets: int) -> dict:
+    """Completed buckets of a prior run with MATCHING lineage meta —
+    stale sidecars (different key / key_cols / bucket count) and sidecars
+    whose parquet payload is missing are ignored (and later overwritten)."""
+    done: dict = {}
+    if not os.path.isdir(ckpt_dir):
+        return done
+    for name in os.listdir(ckpt_dir):
+        if not (name.startswith("bucket_") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(ckpt_dir, name)) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        b = meta.get("bucket", -1)
+        if {k: meta.get(k) for k in
+                ("checkpoint_key", "key_cols", "num_buckets", "bucket")} \
+                != _ckpt_meta(key, key_cols, num_buckets, b):
+            continue
+        if meta["rows"] > 0 and not os.path.exists(
+                os.path.join(ckpt_dir, meta.get("file") or "")):
+            continue
+        done[int(b)] = meta
+    return done
+
+
+@ray.remote
+def _ckpt_read_bucket(path: str) -> pd.DataFrame:
+    return pd.read_parquet(path)
+
+
+@ray.remote
+def _apply_bucket_task_ckpt(fn, pieces: list, ckpt_dir: str, key: str,
+                            key_cols: list, num_buckets: int,
+                            b: int) -> pd.DataFrame:
+    """_apply_bucket_task that persists its result before returning it:
+    parquet payload (atomic tmp+rename) then the lineage sidecar — a
+    bucket is resumable iff its sidecar exists, so a crash between the
+    two writes just recomputes that bucket."""
+    parts = ray.get(list(pieces))
+    frame = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+        else parts[0]
+    t0 = time.monotonic()
+    out = fn(frame)
+    sec = time.monotonic() - t0
+    os.makedirs(ckpt_dir, exist_ok=True)
+    fname = f"bucket_{b:05d}.parquet"
+    if len(out):
+        import io
+
+        buf = io.BytesIO()
+        out.to_parquet(buf)
+        _ckpt_atomic_write(os.path.join(ckpt_dir, fname), buf.getvalue())
+    _ckpt_write_sidecar(ckpt_dir, key, key_cols, num_buckets, b,
+                        rows=len(out), sec=sec,
+                        file=fname if len(out) else "")
+    return out
 
 
 @ray.remote

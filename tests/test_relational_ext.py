@@ -3,6 +3,7 @@ ops (bucketed_set_op) and exact histogram-refinement quantiles
 (global_exact_quantiles) — each checked against a local numpy/pandas
 reference on deterministic synthetic frames."""
 
+import os
 import numpy as np
 import pandas as pd
 import pytest
@@ -509,3 +510,180 @@ class TestTaskJoinPlans:
                                  plan="tasks").to_pandas()
         assert str(got["w"].dtype) == "int64"
         assert sorted(got["w"]) == [10, 20, 20]
+
+
+class TestShuffleMidpointResume:
+    """grouped_map_buckets(checkpoint_dir=...): the task-plan shuffle
+    resumes mid-shuffle — completed buckets are never recomputed."""
+
+    @staticmethod
+    def _fn(marker_dir: str):
+        def fn(g):
+            import tempfile
+            tempfile.mkstemp(dir=marker_dir)  # one marker per apply task
+            return g.groupby("k", as_index=False)["v"].sum()
+        return fn
+
+    @staticmethod
+    def _run(df, ck, marker_dir, key="v1", num_buckets=8):
+        import ray.data as rd
+
+        from cqi_ray.relational import grouped_map_buckets
+
+        os.makedirs(marker_dir, exist_ok=True)
+        out = grouped_map_buckets(
+            rd.from_pandas(df).repartition(4), ["k"],
+            TestShuffleMidpointResume._fn(marker_dir),
+            num_buckets=num_buckets, whole_bucket=True, presort=False,
+            checkpoint_dir=ck, checkpoint_key=key).to_pandas()
+        return out.sort_values("k", ignore_index=True)
+
+    def test_resume_recomputes_only_missing_buckets(self, ray_session,
+                                                    tmp_path):
+        n = 10_000
+        df = pd.DataFrame({"k": np.arange(n) % 257,
+                           "v": np.arange(n, dtype=np.int64)})
+        ref = df.groupby("k", as_index=False)["v"].sum() \
+            .sort_values("k", ignore_index=True)
+        ck = str(tmp_path / "shuf")
+
+        got1 = self._run(df, ck, str(tmp_path / "m1"))
+        pd.testing.assert_frame_equal(got1, ref)
+        n_apply1 = len(os.listdir(tmp_path / "m1"))
+        sidecars = sorted(f for f in os.listdir(ck) if f.endswith(".json"))
+        assert len(sidecars) == 8 and n_apply1 >= 1
+
+        # simulate a crash that lost two buckets (sidecar + payload)
+        import json as _json
+        lost = 0
+        for name in sidecars:
+            with open(os.path.join(ck, name)) as fh:
+                meta = _json.load(fh)
+            if meta["rows"] > 0 and lost < 2:
+                os.remove(os.path.join(ck, name))
+                os.remove(os.path.join(ck, meta["file"]))
+                lost += 1
+        assert lost == 2
+
+        got2 = self._run(df, ck, str(tmp_path / "m2"))
+        pd.testing.assert_frame_equal(got2, ref)
+        assert len(os.listdir(tmp_path / "m2")) == 2  # only the lost two
+
+        # fully-complete directory: zero recomputation, same result
+        got3 = self._run(df, ck, str(tmp_path / "m3"))
+        pd.testing.assert_frame_equal(got3, ref)
+        assert len(os.listdir(tmp_path / "m3")) == 0
+
+        # stale key: every sidecar ignored, full recompute
+        got4 = self._run(df, ck, str(tmp_path / "m4"), key="v2")
+        pd.testing.assert_frame_equal(got4, ref)
+        assert len(os.listdir(tmp_path / "m4")) == n_apply1
+
+    def test_empty_buckets_checkpoint_and_skip(self, ray_session, tmp_path):
+        df = pd.DataFrame({"k": np.array([0, 1] * 500),
+                           "v": np.arange(1000, dtype=np.int64)})
+        ref = df.groupby("k", as_index=False)["v"].sum() \
+            .sort_values("k", ignore_index=True)
+        ck = str(tmp_path / "shuf")
+        got1 = self._run(df, ck, str(tmp_path / "m1"))
+        pd.testing.assert_frame_equal(got1, ref)
+        n_apply = len(os.listdir(tmp_path / "m1"))
+        assert 1 <= n_apply <= 2  # two keys -> at most two non-empty buckets
+        # empty buckets got rows=0 sidecars, so the rerun skips outright
+        got2 = self._run(df, ck, str(tmp_path / "m2"))
+        pd.testing.assert_frame_equal(got2, ref)
+        assert len(os.listdir(tmp_path / "m2")) == 0
+
+    def test_sigkill_mid_shuffle_then_resume(self, tmp_path):
+        """A real crash: the shuffle's driver process is SIGKILLed while
+        apply tasks are mid-flight; a fresh process resumes and recomputes
+        exactly the buckets whose sidecars never landed."""
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        ck = str(tmp_path / "shuf")
+        marker = str(tmp_path / "marks")
+        os.makedirs(marker)
+        child = r'''
+import os, sys, time
+import numpy as np, pandas as pd, ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data as rd
+from cqi_ray.relational import grouped_map_buckets
+
+ck, marker, slow = sys.argv[1], sys.argv[2], sys.argv[3] == "1"
+
+def fn(g):
+    import tempfile, time as _t
+    if slow:
+        _t.sleep(0.6)
+    tempfile.mkstemp(dir=marker)
+    return g.groupby("k", as_index=False)["v"].sum()
+
+n = 10_000
+df = pd.DataFrame({"k": np.arange(n) % 257, "v": np.arange(n, dtype=np.int64)})
+out = grouped_map_buckets(rd.from_pandas(df).repartition(4), ["k"], fn,
+                          num_buckets=8, whole_bucket=True, presort=False,
+                          checkpoint_dir=ck, checkpoint_key="v1").to_pandas()
+agg = out.sort_values("k", ignore_index=True)
+print("RESULT", len(agg), int(agg["v"].sum()), flush=True)
+ray.shutdown(); os._exit(0)
+'''
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        p = subprocess.Popen([sys.executable, "-c", child, ck, marker, "1"],
+                             env=env, cwd="/root/repo",
+                             start_new_session=True,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        # kill the ENTIRE session (driver + raylet + workers) as soon as
+        # SOME buckets committed — killing only the driver lets already-
+        # queued apply tasks drain and commit (durability, but no window)
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            n_side = len([f for f in (os.listdir(ck) if os.path.isdir(ck)
+                                      else []) if f.endswith(".json")])
+            if 1 <= n_side <= 6:
+                try:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    p.kill()
+                break
+            if p.poll() is not None:  # finished before we could kill it
+                break
+            time.sleep(0.05)
+        p.wait()
+        # SIGKILLing the driver doesn't instantly stop its raylet's
+        # workers: in-flight apply tasks may still commit their sidecars
+        # (exactly the durability the design wants) — wait for the
+        # directory to go quiet before counting what survived
+        def _count():
+            return len([f for f in os.listdir(ck) if f.endswith(".json")])
+
+        completed = _count()
+        settle = time.monotonic() + 30
+        quiet_since = time.monotonic()
+        while time.monotonic() < settle:
+            time.sleep(0.25)
+            now = _count()
+            if now != completed:
+                completed, quiet_since = now, time.monotonic()
+            elif time.monotonic() - quiet_since > 3.0:
+                break
+        assert 1 <= completed < 8, f"kill window missed: {completed}/8"
+
+        marker2 = str(tmp_path / "marks2")
+        os.makedirs(marker2)
+        out = subprocess.run([sys.executable, "-c", child, ck, marker2, "0"],
+                             env=env, cwd="/root/repo", capture_output=True,
+                             text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("RESULT")][0].split()
+        n = 10_000
+        df = pd.DataFrame({"k": np.arange(n) % 257,
+                           "v": np.arange(n, dtype=np.int64)})
+        ref = df.groupby("k", as_index=False)["v"].sum()
+        assert int(line[1]) == len(ref) and int(line[2]) == int(ref["v"].sum())
+        assert len(os.listdir(marker2)) == 8 - completed
