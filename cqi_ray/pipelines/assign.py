@@ -318,7 +318,9 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
                           metric_geom: bool = True,
                           hot_cells: Optional[dict[int, int]] = None,
                           project=None,
-                          pad_m: Optional[float] = None) -> rd.Dataset:
+                          pad_m: Optional[float] = None,
+                          shuffle_checkpoint: Optional[tuple] = None
+                          ) -> rd.Dataset:
     """Full image->way assignment pipeline.  ``scored_ways`` needs columns
     (id, index, stress_level, geometry_m).  Returns ASSIGN_COLS rows.
 
@@ -330,7 +332,11 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
     ``pad_m`` widens the way cell cover beyond ``knn_radius_m`` — cover
     slop never changes the output (the match thresholds on the exact
     distance), so a non-metric projection just needs enough pad to keep
-    every within-radius candidate co-celled."""
+    every within-radius candidate co-celled.
+
+    ``shuffle_checkpoint`` = (dir, key) makes the cell-match shuffle
+    itself resumable mid-shuffle (grouped_map_buckets' per-bucket
+    sidecars); the key must fingerprint the inputs."""
     if res is None:
         res = cells.res_for_meters(knn_radius_m, lat_hint)
     if pad_m is None:
@@ -357,10 +363,12 @@ def assign_images_to_ways(images: rd.Dataset, scored_ways: rd.Dataset,
                                              project=project),
                           hot_cells or {}, True),
         batch_format="pandas", batch_size=None)
+    ck_dir, ck_key = shuffle_checkpoint if shuffle_checkpoint else (None, "")
     return grouped_map_buckets(
         img_cells.union(way_cells), ["cell", "salt"],
         lambda g: match_bucket(g, buffer_m, knn_radius_m, project=project),
-        num_buckets=128, whole_bucket=True)
+        num_buckets=128, whole_bucket=True,
+        checkpoint_dir=ck_dir, checkpoint_key=ck_key)
 
 
 class RtreeAssign:

@@ -166,7 +166,15 @@ def run_flagship_checkpointed(sf_dir: str, out_dir: str, n_ways: int = 64,
     scores_bid = stage_build_id(scores_path)
 
     def _assignments() -> rd.Dataset:
-        out = assign_images_to_ways(build_images(sf_dir), scores)
+        # the cell-match shuffle inside the stage checkpoints per bucket:
+        # a crash mid-stage resumes the SHUFFLE (completed buckets reused)
+        # before the stage checkpoint ever completes — shuffle-level and
+        # stage-level resume compose
+        out = assign_images_to_ways(
+            build_images(sf_dir), scores,
+            shuffle_checkpoint=(
+                os.path.join(out_dir, "assignments_shuffle"),
+                f"{version}:src={src_fp}:up={scores_bid}"))
         # partition by a bounded key range so a rerun can skip finished parts
         return out.map_batches(
             lambda b: b.assign(part=(b["cell"].astype("int64") % 8)),

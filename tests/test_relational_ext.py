@@ -687,3 +687,36 @@ ray.shutdown(); os._exit(0)
         ref = df.groupby("k", as_index=False)["v"].sum()
         assert int(line[1]) == len(ref) and int(line[2]) == int(ref["v"].sum())
         assert len(os.listdir(marker2)) == 8 - completed
+
+
+def test_flagship_stage_and_shuffle_resume_compose(ray_session, tmp_path):
+    """run_flagship_checkpointed: the assignment stage's cell-match
+    shuffle checkpoints per bucket UNDER the stage checkpoint — losing
+    the stage output (crash after the shuffle, before the stage commit)
+    rebuilds the stage from the completed shuffle buckets without
+    recomputing a single one."""
+    import shutil
+
+    from cqi_ray.pipelines.flagship import run_flagship_checkpointed
+
+    out_dir = str(tmp_path / "ck")
+    _, a1, _ = run_flagship_checkpointed("/root/testdata/sf0.001", out_dir,
+                                         n_ways=32)
+    a1 = a1.to_pandas()
+    a1 = a1.sort_values(list(a1.columns), ignore_index=True)
+
+    shuf = os.path.join(out_dir, "assignments_shuffle")
+    sides = {f: os.path.getmtime(os.path.join(shuf, f))
+             for f in os.listdir(shuf)}
+    assert any(f.endswith(".json") for f in sides)
+
+    shutil.rmtree(os.path.join(out_dir, "assignments"))
+    _, a2, _ = run_flagship_checkpointed("/root/testdata/sf0.001", out_dir,
+                                         n_ways=32)
+    a2 = a2.to_pandas()
+    a2 = a2.sort_values(list(a2.columns), ignore_index=True)
+
+    pd.testing.assert_frame_equal(a1, a2)
+    after = {f: os.path.getmtime(os.path.join(shuf, f))
+             for f in os.listdir(shuf)}
+    assert after == sides  # every shuffle bucket reused, none recomputed
