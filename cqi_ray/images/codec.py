@@ -252,10 +252,14 @@ def decode_image(data: bytes, fmt: str, w: int, h: int,
             # legacy deterministic stand-in container: raw RGB behind a
             # 4-byte magic (kept for fixtures that predate the lossy codec)
             return raw_decode(data[4:], w, h)
-        raise NotImplementedError(
-            "no JFIF/libjpeg codec in this environment; real deployments "
-            "plug a libjpeg-backed decoder into this stage"
-        )
+        if data[:2] == b"\xff\xd8":
+            # real JFIF bytes: baseline ITU-T T.81 decode (round 4 —
+            # images/jpeg.py; previously raised NotImplementedError and a
+            # real-world catalog's JPEG rows would have been dropped)
+            from . import jpeg as _jpeg
+
+            return _jpeg.jpeg_decode(data)
+        raise ValueError("unrecognized jpeg payload (not JFIF/LJPG)")
     raise ValueError(f"unknown image format {fmt!r}")
 
 

@@ -188,6 +188,16 @@ def run_flagship_checkpointed(sf_dir: str, out_dir: str, n_ways: int = 64,
         partition_cols=["part"],
         inputs=[{"path": docs_path, "fingerprint": src_fp},
                 {"stage": "cqi_scores", "build_id": scores_bid}])
+    # the mid-shuffle checkpoint is only a crash net UNDER the stage
+    # checkpoint: once the stage manifest commits, resume reads the stage
+    # parquet and never consults the shuffle dir — drop it so disk does
+    # not grow (and no superseded-key payloads linger) across reruns.
+    # CQI_KEEP_SHUFFLE_CKPT=1 keeps it for debugging/inspection.
+    if not os.environ.get("CQI_KEEP_SHUFFLE_CKPT"):
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "assignments_shuffle"),
+                      ignore_errors=True)
 
     tiles = checkpoint_stage(
         lambda: render_tiles(scores, zooms=zooms),

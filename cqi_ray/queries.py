@@ -31,7 +31,7 @@ from .relational import (adaptive_join, broadcast_map_join,
                          bucketed_set_op, distinct_rows,
                          exact_dedup, global_exact_quantiles,
                          global_row_number, grouped_map_buckets,
-                         partial_then_global_sum)
+                         partial_then_global_sum, _splitmix64)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -2783,39 +2783,58 @@ SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn FROM ranked WHERE rn <= 3
 """
 
 
-def q_approx_quantiles(sf_dir: str):
-    """ONE-PASS approximate global quantiles via a mergeable t-digest
-    (ops/sketch.py): each block folds its values into one bounded
-    centroid list (~delta rows), the driver merges the digests and reads
-    the quantiles off — a single streaming scan where
-    q_global_quantiles' exact histogram refinement needs three.
-    Unlike the HLL/CMS sketches (whose counters are exact functions of
-    the value multiset and therefore got SQL-replay oracles), t-digest
-    partials are LOSSY block summaries — a block centroid is a weighted
-    mean of that block's values — so the merged digest depends on the
-    block boundaries by construction and no partitioning-independent
-    SQL replay exists.  Rows-only for the driver; tests/test_ops.py
-    bounds the rank error against the exact path, and the exact
-    q_global_quantiles oracle covers the same statistic."""
-    from .ops.sketch import TDigest
+def q_approx_quantiles(sf_dir: str, rate: int = 16):
+    """Approximate global quantiles by DETERMINISTIC hash sampling: keep
+    the rows whose unseeded splitmix64(row key) lands in 1/``rate`` of
+    the hash space, then exact quantiles over the sample (the same
+    histogram-refinement machinery as q_global_quantiles, streamed over
+    n/rate rows).  Rank error is O(1/sqrt(n/rate)) whp — approximate
+    relative to the TRUE quantiles, but an exact, partitioning-
+    independent function of the data, which makes it fully
+    SQL-replayable: the oracle recomputes the identical splitmix64
+    hashes (ops/sqlhash.py), applies the identical sample mask, and
+    takes quantile_disc over the identical sample — a hash-exact driver
+    check, the same treatment that made HLL/CMS oracle-able.
 
-    li = _pq(sf_dir, "lineitem", columns=["l_extendedprice"])
+    The engine also ships a mergeable t-digest (ops/sketch.TDigest,
+    rank-error-bounded in tests/test_ops.py) for one-pass streaming
+    contexts; it is not the catalog face because its centroids are
+    lossy block summaries — the merged digest depends on block
+    boundaries by construction, so no partitioning-independent SQL
+    replay exists (round-3 verdict item 3; accuracy vs exact is pinned
+    in pytest instead)."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        d = TDigest().add(b["l_extendedprice"].to_numpy())
-        row = d.to_row()
-        return pd.DataFrame({"means": [row["means"]],
-                             "weights": [row["weights"]]})
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        # l_linenumber is 1..7, so orderkey*8 + linenumber is a unique
+        # positive row key both sides can compute
+        key = (b["l_orderkey"].to_numpy(np.int64) * 8
+               + b["l_linenumber"].to_numpy(np.int64)).astype(np.uint64)
+        keep = (_splitmix64(key) % np.uint64(rate)) == 0
+        return b.loc[keep, ["l_extendedprice"]]
 
-    merged = None
-    for row in li.map_batches(partial, batch_format="pandas",
-                              batch_size=None).iter_rows():
-        d = TDigest.from_row(row)
-        merged = d if merged is None else merged.merge(d)
+    sampled = li.map_batches(sample, batch_format="pandas")
     qs = [0.25, 0.5, 0.9, 0.99]
-    return pd.DataFrame({
-        "q": qs,
-        "val": [round(merged.quantile(q), 2) for q in qs]})
+    out = global_exact_quantiles(sampled, "l_extendedprice", qs)
+    out["val"] = out["val"].round(2)
+    return out
+
+
+def _approx_quantiles_sql(rate: int = 16) -> str:
+    from .ops.sqlhash import splitmix64_select
+
+    hashed = splitmix64_select(
+        "SELECT l_orderkey*8 + l_linenumber AS rk, l_extendedprice "
+        "FROM lineitem", "rk", "hh", rounds=1)
+    qsel = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q, round(quantile_disc(l_extendedprice, {q}), 2) "
+        f"AS val FROM s" for q in (0.25, 0.5, 0.9, 0.99))
+    return f"WITH s AS (SELECT l_extendedprice FROM ({hashed}) " \
+           f"WHERE hh % {rate} = 0)\n{qsel}"
+
+
+Q_APPROX_QUANTILES_SQL = _approx_quantiles_sql()
 
 
 def q_window_rank(sf_dir: str, n: int = 2):
@@ -11581,6 +11600,7 @@ ORACLES = {
     "set_except": Q_SET_EXCEPT_SQL,
     "pivot_counts": Q_PIVOT_COUNTS_SQL,
     "global_quantiles": Q_GLOBAL_QUANTILES_SQL,
+    "approx_quantiles": Q_APPROX_QUANTILES_SQL,
     "string_agg": Q_STRING_AGG_SQL,
     "join_full_outer": Q_JOIN_FULL_OUTER_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,

@@ -50,14 +50,37 @@ def _hash_bucket(values, num_buckets: int) -> np.ndarray:
     return (vals % np.uint64(num_buckets)).astype(np.int64)
 
 
+# --- shuffle sizing knobs (round 4) -------------------------------------
+# Auto bucket sizing targets ~TARGET_BUCKET_BYTES of INPUT per reduce
+# task; the guard splits any bucket above _GUARD_FACTOR x target into
+# sub-buckets by a SECONDARY key hash (same keys stay together, so
+# per-key semantics are preserved at any granularity).  Both are
+# overridable per call and via env for the scale harnesses.
+TARGET_BUCKET_BYTES = int(os.environ.get("CQI_TARGET_BUCKET_BYTES",
+                                         128 << 20))
+_GUARD_FACTOR = float(os.environ.get("CQI_BUCKET_GUARD_FACTOR", 2.0))
+_AUTO_BUCKET_MIN = 16
+_AUTO_BUCKET_MAX = 4096
+_SPLIT_CHUNK_BYTES = 256 << 20   # split-task granularity while streaming
+_SPLIT_CHUNK_BLOCKS = 32
+_RESPLIT_SALT = np.uint64(0xA5A5A5A55A5A5A5A)
+
+
+def _auto_bucket_count(total_bytes: int, target: int) -> int:
+    return int(min(_AUTO_BUCKET_MAX,
+                   max(_AUTO_BUCKET_MIN, -(-total_bytes // max(target, 1)))))
+
+
 def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
-                        num_buckets: int = 64,
+                        num_buckets: Optional[int] = None,
                         whole_bucket: bool = False,
                         shuffle_format: str = "pandas",
                         plan: str = "tasks",
                         presort: bool = True,
                         checkpoint_dir: Optional[str] = None,
-                        checkpoint_key: str = "") -> rd.Dataset:
+                        checkpoint_key: str = "",
+                        target_bucket_bytes: Optional[int] = None,
+                        splittable: bool = True) -> rd.Dataset:
     """groupby(key).map_groups with bounded task count: keys are hashed into
     ``num_buckets`` coarse buckets (ONE shuffle on a small int key), and each
     bucket task runs a local pandas groupby over its keys.  This amortizes
@@ -69,6 +92,25 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
     frame, pre-sorted by ``key_cols``, and must handle group boundaries
     itself (numpy slice loops — no per-group pandas frames at all).  Use
     for hot kernels with very many small groups.
+
+    **Bucket sizing (round 4).**  ``num_buckets=None`` (the default)
+    auto-sizes the bucket count from the MEASURED input bytes (block
+    metadata observed while the upstream stream is consumed), targeting
+    ``target_bucket_bytes`` (module default ``TARGET_BUCKET_BYTES``,
+    128 MiB) of input per reduce task — so the same call site is right
+    at sf0.001 and at 100 TB.  An explicit ``num_buckets`` is honored
+    as before, BUT every bucket is still protected by the byte guard:
+    a bucket whose measured bytes exceed ``_GUARD_FACTOR x target`` is
+    re-split by a SECONDARY hash of the same key columns into
+    ceil(bytes/target) sub-buckets, each its own reduce task.  Keys
+    never straddle sub-buckets, so any ``fn`` whose semantics are
+    per-key (every caller in this repo: groupby kernels, dedup, set
+    ops, anti joins) is granularity-invariant — pass
+    ``splittable=False`` for a callable that genuinely needs its whole
+    hash bucket in one frame.  A bucket holding a SINGLE hot key cannot
+    be split further (per-group semantics need the whole group); the
+    guard then isolates that key in its own task, bounding every other
+    task at the target.
 
     ``plan='tasks'`` (default, round 3) runs the shuffle as one raw-task
     wave: chunked split tasks emit per-bucket pieces PLUS a per-bucket
@@ -84,11 +126,21 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
     (pure set/dedup/groupby kernels) — the sort is pure overhead there.
 
     NOTE: the task plan is EAGER — the upstream pipeline executes at
-    call time (materialize + split waves; apply tasks are scheduled
+    call time (streamed into the split wave; apply tasks are scheduled
     async and land in the returned Dataset's blocks).  A shuffle is a
     pipeline barrier either way, but timing/fault harnesses must treat
     the CALL, not just the consume, as execution (this bit the fault
     experiment once — see scripts/fault_tolerance_experiment.py).
+    Round 4: upstream blocks are consumed via streamed ref bundles
+    (``iter_internal_ref_bundles``), NOT ``ds.materialize()`` — with an
+    explicit ``num_buckets`` each split task launches as soon as its
+    chunk of blocks lands and the driver drops its input refs right
+    after scheduling, so input blocks are freed as the split wave
+    consumes them (peak store residency ~1x input instead of 2x).
+    With auto sizing the stream must be fully observed before B is
+    known, so input refs are held until the split wave is scheduled —
+    still no extra Dataset copy (scripts/spill_experiment.py measures
+    both shapes).
 
     ``checkpoint_dir`` (task plan only) makes the shuffle RESUMABLE
     MID-SHUFFLE: every completed bucket's output is written atomically
@@ -126,47 +178,18 @@ def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
         return pd.concat(outs, ignore_index=True)
 
     if plan == "tasks":
-        B = num_buckets
-        done: dict[int, dict] = {}
-        if checkpoint_dir:
-            done = _ckpt_scan(checkpoint_dir, checkpoint_key, key_cols, B)
-            if len(done) == B:  # fully-complete shuffle: skip everything
-                out = [_ckpt_read_bucket.remote(
-                           os.path.join(checkpoint_dir, m["file"]))
-                       for m in done.values() if m["rows"] > 0]
-                if out:
-                    return rd.from_pandas_refs(out)
-                # all buckets were empty: fall through to the typed-empty
-                # dataset path below
-        ds = ds.materialize()
-        refs = _nonempty_block_refs(ds)
-        if refs:
-            split = _split_by_keyhash.options(num_returns=B + 1)
-            waves = [split.remote(c, key_cols, B)
-                     for c in _chunk_refs(refs)]
-            counts = np.sum(ray.get([w[B] for w in waves]), axis=0)
-            out = []
-            for b in range(B):
-                if b in done:
-                    if done[b]["rows"] > 0:
-                        out.append(_ckpt_read_bucket.remote(
-                            os.path.join(checkpoint_dir, done[b]["file"])))
-                    continue
-                if counts[b] == 0:
-                    if checkpoint_dir:
-                        _ckpt_write_sidecar(checkpoint_dir, checkpoint_key,
-                                            key_cols, B, b, rows=0, sec=0.0)
-                    continue
-                if checkpoint_dir:
-                    out.append(_apply_bucket_task_ckpt.remote(
-                        per_bucket, [w[b] for w in waves],
-                        checkpoint_dir, checkpoint_key, key_cols, B, b))
-                else:
-                    out.append(_apply_bucket_task.remote(
-                        per_bucket, [w[b] for w in waves]))
-            if out:
-                return rd.from_pandas_refs(out)
+        out = _run_task_shuffle(ds, key_cols, per_bucket,
+                                num_buckets=num_buckets,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_key=checkpoint_key,
+                                target_bucket_bytes=target_bucket_bytes,
+                                splittable=splittable)
+        if out is not None:
+            return rd.from_pandas_refs(out)
         # empty input: the dataset form below returns a typed empty
+
+    if num_buckets is None:
+        num_buckets = 64  # dataset-plan fallback keeps the legacy default
 
     # spread the shuffle's reduce side over one partition per bucket —
     # groupby output parallelism follows the input block count.
@@ -245,28 +268,233 @@ def _chunk_refs(refs: list, max_tasks: int = 64) -> list:
     return [refs[i:i + step] for i in range(0, len(refs), step)]
 
 
-@ray.remote
-def _split_by_keyhash(refs: list, key_cols: list, num_buckets: int):
-    """One piece per hash bucket of ``key_cols`` over a chunk of blocks,
-    PLUS a trailing per-bucket row-count vector (num_returns is set to
-    ``num_buckets + 1`` at the call site) — the counts let the driver
-    skip apply tasks for empty buckets, preserving the dataset plan's
-    fn-never-sees-an-empty-bucket contract.  Pieces keep the '__gb'
-    column so the shared per_bucket closure drops it as usual."""
-    parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+def _frame_row_bytes(b: pd.DataFrame) -> np.ndarray:
+    """Per-row byte estimate (int64[n]): fixed-width columns contribute a
+    constant, object columns their element lengths (the payload-skew
+    signal the bucket byte guard needs).  O(n) over object cells only."""
+    n = len(b)
+    per = np.zeros(n, dtype=np.int64)
+    fixed = 0
+    for col in b.columns:
+        s = b[col]
+        if s.dtype == object:
+            per += np.fromiter(
+                (len(v) if isinstance(v, (bytes, str)) else 16
+                 for v in s.to_numpy()), dtype=np.int64, count=n)
+        else:
+            fixed += s.dtype.itemsize
+    return per + fixed
+
+
+def _keyhash(b: pd.DataFrame, key_cols: list) -> np.ndarray:
     h = np.zeros(len(b), dtype=np.uint64)
     for col in key_cols:
         h = _splitmix64(h ^ _splitmix64_any(b[col].to_numpy()))
-    gb = (h % np.uint64(num_buckets)).astype(np.int64)
+    return h
+
+
+@ray.remote
+def _split_by_keyhash(refs: list, key_cols: list, num_buckets: int):
+    """One piece per hash bucket of ``key_cols`` over a chunk of blocks,
+    PLUS a trailing (2, B) stats array — row 0 per-bucket row counts,
+    row 1 per-bucket byte estimates (num_returns is set to
+    ``num_buckets + 1`` at the call site).  Counts let the driver skip
+    apply tasks for empty buckets (preserving the dataset plan's
+    fn-never-sees-an-empty-bucket contract); bytes drive the oversized-
+    bucket split guard.  Pieces keep the '__gb' column so the shared
+    per_bucket closure drops it as usual."""
+    parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
+    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    gb = (_keyhash(b, key_cols) % np.uint64(num_buckets)).astype(np.int64)
     b = b.copy()
     b["__gb"] = gb
     order = np.argsort(gb, kind="stable")
     bounds = np.searchsorted(gb[order], np.arange(num_buckets + 1))
     sb = b.take(order)
-    counts = np.bincount(gb, minlength=num_buckets).astype(np.int64)
+    stats = np.zeros((2, num_buckets), dtype=np.int64)
+    stats[0] = np.bincount(gb, minlength=num_buckets)
+    stats[1] = np.bincount(gb, weights=_frame_row_bytes(b),
+                           minlength=num_buckets).astype(np.int64)
     return (*(sb.iloc[bounds[i]:bounds[i + 1]]
-              for i in range(num_buckets)), counts)
+              for i in range(num_buckets)), stats)
+
+
+@ray.remote
+def _resplit_piece(piece: pd.DataFrame, key_cols: list, k: int):
+    """Secondary split of ONE oversized bucket's piece into ``k``
+    sub-buckets by a re-salted hash of the SAME key columns (same key ->
+    same sub-bucket, so per-key semantics survive the finer
+    granularity), plus a trailing (2, k) stats array.  The piece is
+    chunk-sized by construction, so this task's memory is bounded even
+    when the bucket as a whole is not."""
+    h2 = _splitmix64(_keyhash(piece, key_cols) ^ _RESPLIT_SALT)
+    g = (h2 % np.uint64(k)).astype(np.int64)
+    order = np.argsort(g, kind="stable")
+    bounds = np.searchsorted(g[order], np.arange(k + 1))
+    sb = piece.take(order)
+    stats = np.zeros((2, k), dtype=np.int64)
+    stats[0] = np.bincount(g, minlength=k)
+    stats[1] = np.bincount(g, weights=_frame_row_bytes(piece),
+                           minlength=k).astype(np.int64)
+    return (*(sb.iloc[bounds[i]:bounds[i + 1]] for i in range(k)), stats)
+
+
+@ray.remote
+def _ckpt_commit_concat(refs: list, ckpt_dir: str, key: str, key_cols: list,
+                        num_buckets: int, b: int, sec: float) -> pd.DataFrame:
+    """Concatenate an oversized bucket's sub-apply OUTPUTS (bounded by fn
+    output size, not input size) and commit them as that bucket's single
+    checkpoint payload + sidecar."""
+    parts = ray.get(list(refs))
+    out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    _ckpt_write_payload(ckpt_dir, key, key_cols, num_buckets, b, out, sec)
+    return out
+
+
+def _iter_block_refs(ds: rd.Dataset):
+    """Stream (block_ref, approx_bytes) pairs out of a Dataset as its
+    execution produces them — the streaming replacement for
+    ``ds.materialize()`` + ``_nonempty_block_refs`` (zero-row blocks are
+    skipped by metadata; a missing size estimate falls back to 1 MiB)."""
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is not None and meta.num_rows == 0:
+                continue
+            yield ref, int(meta.size_bytes or (1 << 20))
+
+
+def _run_task_shuffle(ds: rd.Dataset, key_cols: list, per_bucket,
+                      num_buckets: Optional[int],
+                      checkpoint_dir: Optional[str], checkpoint_key: str,
+                      target_bucket_bytes: Optional[int],
+                      splittable: bool) -> Optional[list]:
+    """The single-pass raw-task shuffle behind ``grouped_map_buckets``
+    (plan='tasks').  Returns a list of pandas-frame ObjectRefs (one per
+    reduce task) or ``None`` for an empty input (the caller falls back
+    to the dataset plan, which types empties correctly).
+
+    Shape: stream upstream blocks -> chunked split wave (one task per
+    ~_SPLIT_CHUNK_BYTES of input, num_returns = B pieces + stats) ->
+    byte-guarded reduce wave (oversized buckets re-split by a secondary
+    key hash into sub-tasks).  See grouped_map_buckets' docstring for
+    the sizing/guard/checkpoint contracts."""
+    target = target_bucket_bytes or TARGET_BUCKET_BYTES
+    guard = int(target * _GUARD_FACTOR)
+    B = num_buckets
+    done: dict[int, dict] = {}
+    if checkpoint_dir:
+        if B is None:
+            # resume must reuse the original run's bucket count — auto
+            # sizing could land elsewhere on a resized input
+            B = _ckpt_existing_bucket_count(checkpoint_dir, checkpoint_key,
+                                            key_cols)
+        if B is not None:
+            done = _ckpt_scan(checkpoint_dir, checkpoint_key, key_cols, B)
+            if len(done) == B:  # fully-complete shuffle: skip everything
+                out = [_ckpt_read_bucket.remote(
+                           os.path.join(checkpoint_dir, m["file"]))
+                       for m in done.values() if m["rows"] > 0]
+                if out:
+                    return out
+                empties = [m for m in done.values() if m.get("file")]
+                if empties:  # fn ran and produced 0 rows everywhere:
+                    # return ONE typed-empty payload instead of falling
+                    # through to a full upstream re-execution
+                    return [_ckpt_read_bucket.remote(
+                        os.path.join(checkpoint_dir, empties[0]["file"]))]
+                return None  # input itself was empty
+
+    waves = []
+    chunk: list = []
+    chunk_bytes = 0
+
+    def _flush():
+        nonlocal chunk, chunk_bytes
+        if chunk:
+            split = _split_by_keyhash.options(num_returns=B + 1)
+            waves.append(split.remote(list(chunk), key_cols, B))
+            chunk = []
+            chunk_bytes = 0
+
+    if B is None:
+        # auto sizing: observe the whole stream first (refs held until
+        # the split wave is scheduled), then B = ceil(bytes / target)
+        pending = list(_iter_block_refs(ds))
+        if not pending:
+            return None
+        total = sum(nb for _, nb in pending)
+        B = _auto_bucket_count(total, target)
+        for ref, nb in pending:
+            chunk.append(ref)
+            chunk_bytes += nb
+            if (chunk_bytes >= _SPLIT_CHUNK_BYTES
+                    or len(chunk) >= _SPLIT_CHUNK_BLOCKS):
+                _flush()
+        _flush()
+        del pending
+    else:
+        # explicit B: launch split tasks AS upstream blocks land and drop
+        # the driver's input refs immediately — blocks are freed as soon
+        # as their split task consumes them (streaming backpressure)
+        for ref, nb in _iter_block_refs(ds):
+            chunk.append(ref)
+            chunk_bytes += nb
+            if (chunk_bytes >= _SPLIT_CHUNK_BYTES
+                    or len(chunk) >= _SPLIT_CHUNK_BLOCKS):
+                _flush()
+        _flush()
+    if not waves:
+        return None
+
+    stats = np.sum(ray.get([w[B] for w in waves]), axis=0)
+    counts, nbytes = stats[0], stats[1]
+    out: list = []
+    for b in range(B):
+        if b in done:
+            if done[b]["rows"] > 0:
+                out.append(_ckpt_read_bucket.remote(
+                    os.path.join(checkpoint_dir, done[b]["file"])))
+            continue
+        if counts[b] == 0:
+            if checkpoint_dir:
+                _ckpt_write_sidecar(checkpoint_dir, checkpoint_key,
+                                    key_cols, B, b, rows=0, sec=0.0)
+            continue
+        pieces = [w[b] for w in waves]
+        if splittable and nbytes[b] > guard and counts[b] > 1:
+            # oversized bucket: secondary-hash re-split into ~target-
+            # sized sub-buckets, one reduce task each (a single hot key
+            # still lands in one sub-bucket — irreducible under
+            # per-group semantics, but every other key is spread)
+            k = int(min(64, -(-nbytes[b] // target)))
+            rs = _resplit_piece.options(num_returns=k + 1)
+            rwaves = [rs.remote(p, key_cols, k) for p in pieces]
+            sstats = np.sum(ray.get([r[k] for r in rwaves]), axis=0)
+            subs = [_apply_bucket_task.remote(
+                        per_bucket, [r[j] for r in rwaves])
+                    for j in range(k) if sstats[0][j] > 0]
+            if checkpoint_dir:
+                out.append(_ckpt_commit_concat.remote(
+                    subs, checkpoint_dir, checkpoint_key, key_cols, B, b,
+                    0.0))
+            else:
+                out.extend(subs)
+        elif checkpoint_dir:
+            out.append(_apply_bucket_task_ckpt.remote(
+                per_bucket, pieces,
+                checkpoint_dir, checkpoint_key, key_cols, B, b))
+        else:
+            out.append(_apply_bucket_task.remote(per_bucket, pieces))
+    if out:
+        return out
+    # partial resume where every remaining bucket is empty and every
+    # done bucket produced 0 rows: surface a typed-empty payload rather
+    # than falling through to a full upstream re-execution
+    for m in done.values():
+        if m.get("file"):
+            return [_ckpt_read_bucket.remote(
+                os.path.join(checkpoint_dir, m["file"]))]
+    return None
 
 
 @ray.remote
@@ -279,17 +507,53 @@ def _apply_bucket_task(fn, pieces: list) -> pd.DataFrame:
 
 
 # --- mid-shuffle checkpoint machinery (grouped_map_buckets task plan) ----
+#
+# Robustness contract (round 4, closing the round-3 ADVICE items):
+#   * payload filenames embed a hash of checkpoint_key
+#     (``bucket_%05d_<keyhash>.parquet``), so a crash after a NEW key's
+#     payload write but before its sidecar can never leave an OLD key's
+#     still-matching sidecar pointing at the new key's data;
+#   * _ckpt_atomic_write fsyncs the tmp file AND the directory around
+#     the rename, so the "finished buckets survive a crash" claim holds
+#     for OS/power crashes, not just process kills;
+#   * _ckpt_scan validates each payload's parquet-footer row count
+#     against the sidecar (a truncated/empty payload reads as
+#     not-done), and PURGES sidecars+payloads whose checkpoint_key no
+#     longer matches (single-writer per directory, as documented);
+#   * a bucket whose fn output is EMPTY still writes a typed empty
+#     parquet payload, so a fully-complete all-empty shuffle resumes to
+#     a typed empty dataset instead of re-executing the upstream
+#     pipeline.
 
 def _ckpt_meta(key: str, key_cols: list, num_buckets: int, b: int) -> dict:
     return {"checkpoint_key": key, "key_cols": list(key_cols),
             "num_buckets": int(num_buckets), "bucket": int(b)}
 
 
+def _ckpt_keyhash(key: str) -> str:
+    import hashlib
+
+    return hashlib.md5(key.encode()).hexdigest()[:10]
+
+
+def _ckpt_payload_name(key: str, b: int) -> str:
+    return f"bucket_{b:05d}_{_ckpt_keyhash(key)}.parquet"
+
+
 def _ckpt_atomic_write(path: str, data: bytes) -> None:
+    """tmp + fsync + rename + dir fsync: after this returns, the file is
+    durably either absent or complete, even across an OS crash."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as fh:
         fh.write(data)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _ckpt_write_sidecar(ckpt_dir: str, key: str, key_cols: list,
@@ -303,15 +567,95 @@ def _ckpt_write_sidecar(ckpt_dir: str, key: str, key_cols: list,
                        json.dumps(meta).encode())
 
 
+def _ckpt_write_payload(ckpt_dir: str, key: str, key_cols: list,
+                        num_buckets: int, b: int, out: pd.DataFrame,
+                        sec: float) -> None:
+    """Payload (ALWAYS, even for an empty result — the typed-empty
+    resume needs the schema) then sidecar; payload name is lineage-keyed
+    so stale-key payloads can never be claimed by another key's
+    sidecar."""
+    import io
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    fname = _ckpt_payload_name(key, b)
+    buf = io.BytesIO()
+    out.to_parquet(buf)
+    _ckpt_atomic_write(os.path.join(ckpt_dir, fname), buf.getvalue())
+    _ckpt_write_sidecar(ckpt_dir, key, key_cols, num_buckets, b,
+                        rows=len(out), sec=sec, file=fname)
+
+
+def _parquet_num_rows(path: str) -> Optional[int]:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def _ckpt_scan(ckpt_dir: str, key: str, key_cols: list,
                num_buckets: int) -> dict:
-    """Completed buckets of a prior run with MATCHING lineage meta —
-    stale sidecars (different key / key_cols / bucket count) and sidecars
-    whose parquet payload is missing are ignored (and later overwritten)."""
+    """Completed buckets of a prior run with MATCHING lineage meta.
+    Stale artifacts — different key/key_cols/bucket count, payload
+    filename not keyed to this checkpoint_key, payload missing, or
+    payload row count disagreeing with the sidecar — are ignored AND
+    deleted (the directory is single-writer per run by contract; purging
+    keeps superseded-key payloads from accumulating across reruns)."""
     done: dict = {}
     if not os.path.isdir(ckpt_dir):
         return done
-    for name in os.listdir(ckpt_dir):
+    kh = _ckpt_keyhash(key)
+    stale: list[str] = []
+    for name in sorted(os.listdir(ckpt_dir)):
+        full = os.path.join(ckpt_dir, name)
+        if name.endswith(".parquet") and not name.endswith(f"_{kh}.parquet"):
+            stale.append(full)  # another key's payload
+            continue
+        if ".tmp." in name:
+            stale.append(full)  # interrupted atomic write
+            continue
+        if not (name.startswith("bucket_") and name.endswith(".json")):
+            continue
+        try:
+            with open(full) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            stale.append(full)
+            continue
+        b = meta.get("bucket", -1)
+        if {k: meta.get(k) for k in
+                ("checkpoint_key", "key_cols", "num_buckets", "bucket")} \
+                != _ckpt_meta(key, key_cols, num_buckets, b):
+            stale.append(full)
+            continue
+        f = meta.get("file") or ""
+        if f:
+            if not f.endswith(f"_{kh}.parquet"):
+                stale.append(full)  # legacy / foreign payload name
+                continue
+            n = _parquet_num_rows(os.path.join(ckpt_dir, f))
+            if n is None or n != meta["rows"]:
+                stale.append(full)  # missing or truncated payload
+                continue
+        elif meta["rows"] > 0:
+            continue
+        done[int(b)] = meta
+    for p in stale:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return done
+
+
+def _ckpt_existing_bucket_count(ckpt_dir: str, key: str,
+                                key_cols: list) -> Optional[int]:
+    """num_buckets recorded by a prior run of the SAME checkpoint key —
+    auto-sized resumes must reuse it or every sidecar reads as stale."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    for name in sorted(os.listdir(ckpt_dir)):
         if not (name.startswith("bucket_") and name.endswith(".json")):
             continue
         try:
@@ -319,16 +663,10 @@ def _ckpt_scan(ckpt_dir: str, key: str, key_cols: list,
                 meta = json.load(fh)
         except (OSError, ValueError):
             continue
-        b = meta.get("bucket", -1)
-        if {k: meta.get(k) for k in
-                ("checkpoint_key", "key_cols", "num_buckets", "bucket")} \
-                != _ckpt_meta(key, key_cols, num_buckets, b):
-            continue
-        if meta["rows"] > 0 and not os.path.exists(
-                os.path.join(ckpt_dir, meta.get("file") or "")):
-            continue
-        done[int(b)] = meta
-    return done
+        if (meta.get("checkpoint_key") == key
+                and meta.get("key_cols") == list(key_cols)):
+            return int(meta["num_buckets"])
+    return None
 
 
 @ray.remote
@@ -341,26 +679,17 @@ def _apply_bucket_task_ckpt(fn, pieces: list, ckpt_dir: str, key: str,
                             key_cols: list, num_buckets: int,
                             b: int) -> pd.DataFrame:
     """_apply_bucket_task that persists its result before returning it:
-    parquet payload (atomic tmp+rename) then the lineage sidecar — a
-    bucket is resumable iff its sidecar exists, so a crash between the
-    two writes just recomputes that bucket."""
+    parquet payload (atomic fsynced tmp+rename, lineage-keyed filename)
+    then the lineage sidecar — a bucket is resumable iff its sidecar
+    exists AND its payload row count matches, so a crash between the two
+    writes just recomputes that bucket."""
     parts = ray.get(list(pieces))
     frame = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
         else parts[0]
     t0 = time.monotonic()
     out = fn(frame)
     sec = time.monotonic() - t0
-    os.makedirs(ckpt_dir, exist_ok=True)
-    fname = f"bucket_{b:05d}.parquet"
-    if len(out):
-        import io
-
-        buf = io.BytesIO()
-        out.to_parquet(buf)
-        _ckpt_atomic_write(os.path.join(ckpt_dir, fname), buf.getvalue())
-    _ckpt_write_sidecar(ckpt_dir, key, key_cols, num_buckets, b,
-                        rows=len(out), sec=sec,
-                        file=fname if len(out) else "")
+    _ckpt_write_payload(ckpt_dir, key, key_cols, num_buckets, b, out, sec)
     return out
 
 
@@ -385,21 +714,24 @@ def _split_by_int_col(refs: list, col: str, num_buckets: int):
 @ray.remote
 def _split_by_bucket(refs: list, on: str, num_buckets: int):
     """One stable-ordered piece per hash bucket of ``on`` over a CHUNK of
-    blocks (num_returns is set to ``num_buckets`` at the call site).
-    Chunking matters: one split task per block at 128 blocks × 32 buckets
-    makes 4096 store objects whose fixed costs (~1 ms each) put a ~5 s
-    floor under the whole join; ~64 split tasks keep the piece count
-    ~2k regardless of input block count."""
+    blocks, PLUS a trailing (2, B) stats array (rows / byte estimate per
+    bucket — num_returns is set to ``num_buckets + 1`` at the call
+    site).  Chunking matters: one split task per block at 128 blocks ×
+    32 buckets makes 4096 store objects whose fixed costs (~1 ms each)
+    put a ~5 s floor under the whole join; ~64 split tasks keep the
+    piece count ~2k regardless of input block count."""
     parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
     b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     h = _hash_bucket(b[on].to_numpy(), num_buckets)
     order = np.argsort(h, kind="stable")
     bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
     sb = b.take(order)
-    if num_buckets == 1:
-        return sb
-    return tuple(sb.iloc[bounds[i]:bounds[i + 1]]
-                 for i in range(num_buckets))
+    stats = np.zeros((2, num_buckets), dtype=np.int64)
+    stats[0] = np.bincount(h, minlength=num_buckets)
+    stats[1] = np.bincount(h, weights=_frame_row_bytes(b),
+                           minlength=num_buckets).astype(np.int64)
+    return (*(sb.iloc[bounds[i]:bounds[i + 1]]
+              for i in range(num_buckets)), stats)
 
 
 @ray.remote
@@ -487,10 +819,32 @@ def _join_bucket_task(on: str, right_cols: list, how: str,
     return merged
 
 
+def _stream_split_waves(ds: rd.Dataset, on: str, B: int) -> list:
+    """Launch ``_split_by_bucket`` tasks over ``ds``'s blocks as its
+    execution streams them out, dropping the driver's input refs right
+    after each chunk is scheduled (blocks are freed as split tasks
+    consume them).  Returns the list of wave handles (each ``B + 1``
+    refs: B pieces + stats)."""
+    waves, chunk, chunk_bytes = [], [], 0
+    split = _split_by_bucket.options(num_returns=B + 1)
+    for ref, nb in _iter_block_refs(ds):
+        chunk.append(ref)
+        chunk_bytes += nb
+        if (chunk_bytes >= _SPLIT_CHUNK_BYTES
+                or len(chunk) >= _SPLIT_CHUNK_BLOCKS):
+            waves.append(split.remote(list(chunk), on, B))
+            chunk, chunk_bytes = [], 0
+    if chunk:
+        waves.append(split.remote(list(chunk), on, B))
+    return waves
+
+
 def task_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
-                   right_cols: Iterable[str], num_buckets: int = 32,
+                   right_cols: Iterable[str],
+                   num_buckets: Optional[int] = 32,
                    how: str = "inner",
-                   restore_dtypes: Optional[dict] = None) -> rd.Dataset:
+                   restore_dtypes: Optional[dict] = None,
+                   target_bucket_bytes: Optional[int] = None) -> rd.Dataset:
     """Single-pass raw-task hash shuffle join — the at-scale plan behind
     ``bucketed_hash_join(plan='adaptive')``.
 
@@ -498,43 +852,84 @@ def task_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     through TWO all-to-all exchanges and pays the sort machinery on a
     NaN-widened union schema; measured at 40M⨝100k rows that is ~460 s
     of remote CPU for ~60 s of kernel work (scripts/join_probe.py).
-    Here each side's pinned blocks are split ONCE into ``num_buckets``
-    hash pieces (one wave of tasks, ``num_returns=B``), and one join
-    task per bucket concatenates its pieces in block order and runs the
-    local pandas merge — one data movement, no sort, no union schema,
-    each side keeps its own dtypes (no NaN upcasts).  Object count is
-    O(blocks × buckets), one round — far below the B² per-round regime
-    the graph experiments showed matters.
+    Here each side's blocks are split ONCE into ``num_buckets`` hash
+    pieces (one wave of tasks, ``num_returns=B+1`` — pieces + stats),
+    and one join task per bucket concatenates its pieces in block order
+    and runs the local pandas merge — one data movement, no sort, no
+    union schema, each side keeps its own dtypes (no NaN upcasts).
+    Object count is O(blocks × buckets), one round — far below the B²
+    per-round regime the graph experiments showed matters.
 
-    Inputs are materialized first (the all-to-all barrier exists in any
-    plan; blocks stay distributed in the spillable object store).
-    Output: one block per bucket via ``from_pandas_refs``, bucket order —
-    deterministic end to end."""
-    left = left.materialize()
-    right = right.materialize()
-    # zero-row blocks lose their columns entirely (a repartitioned tiny
-    # frame yields columnless empties whose b[on] would raise) — skip
-    # them by metadata; a side with NO non-empty blocks falls back to the
-    # dataset plan, which handles empty inputs for every `how`.
-    l_refs = _nonempty_block_refs(left)
-    r_refs = _nonempty_block_refs(right)
+    Round 4: inputs are STREAMED into the split wave (blocks freed as
+    consumed — no full materialize), ``num_buckets=None`` auto-sizes B
+    from the left side's measured bytes (``TARGET_BUCKET_BYTES`` per
+    bucket), and any bucket whose combined left+right bytes exceed the
+    guard is re-split by a secondary key hash into ~target-sized
+    sub-buckets, one join task each (same key -> same sub-bucket on
+    both sides, so every join flavour stays exact).
+    Output: one block per (sub-)bucket via ``from_pandas_refs``, bucket
+    order — deterministic end to end."""
     right_cols = list(right_cols)
-    if not l_refs or not r_refs:
+    target = target_bucket_bytes or TARGET_BUCKET_BYTES
+    guard = int(target * _GUARD_FACTOR)
+    if num_buckets is None:
+        # observe the left (big) side first to size B, holding its refs
+        l_pending = list(_iter_block_refs(left))
+        total = sum(nb for _, nb in l_pending)
+        B = _auto_bucket_count(total, target)
+        split = _split_by_bucket.options(num_returns=B + 1)
+        lp, chunk, cb = [], [], 0
+        for ref, nb in l_pending:
+            chunk.append(ref)
+            cb += nb
+            if cb >= _SPLIT_CHUNK_BYTES or len(chunk) >= _SPLIT_CHUNK_BLOCKS:
+                lp.append(split.remote(list(chunk), on, B))
+                chunk, cb = [], 0
+        if chunk:
+            lp.append(split.remote(list(chunk), on, B))
+        del l_pending
+    else:
+        B = num_buckets
+        lp = _stream_split_waves(left, on, B)
+    rp = _stream_split_waves(right, on, B)
+    if not lp or not rp:
+        # a side with NO non-empty blocks: the dataset plan handles
+        # empty inputs for every `how`
         return bucketed_hash_join(left, right, on=on, right_cols=right_cols,
-                                  num_buckets=max(1, num_buckets // 2),
+                                  num_buckets=max(1, (B or 2) // 2),
                                   how=how, restore_dtypes=restore_dtypes,
                                   plan="dataset")
-    B = num_buckets
-    split = _split_by_bucket.options(num_returns=B) if B > 1 \
-        else _split_by_bucket
-
-    lp = [split.remote(c, on, B) for c in _chunk_refs(l_refs)]
-    rp = [split.remote(c, on, B) for c in _chunk_refs(r_refs)]
-    if B == 1:
-        lp, rp = [[p] for p in lp], [[p] for p in rp]
-    out = [_join_bucket_task.remote(on, right_cols, how, restore_dtypes,
-                                    [p[b] for p in lp], [p[b] for p in rp])
-           for b in range(B)]
+    lstats = np.sum(ray.get([w[B] for w in lp]), axis=0)
+    rstats = np.sum(ray.get([w[B] for w in rp]), axis=0)
+    out = []
+    for b in range(B):
+        if lstats[0][b] == 0 and rstats[0][b] == 0:
+            continue  # no rows on either side: empty for every `how`
+        lpieces = [p[b] for p in lp]
+        rpieces = [p[b] for p in rp]
+        bucket_bytes = int(lstats[1][b] + rstats[1][b])
+        bucket_rows = int(lstats[0][b] + rstats[0][b])
+        if bucket_bytes > guard and bucket_rows > 1:
+            k = int(min(64, -(-bucket_bytes // target)))
+            rs = _resplit_piece.options(num_returns=k + 1)
+            lrw = [rs.remote(p, [on], k) for p in lpieces]
+            rrw = [rs.remote(p, [on], k) for p in rpieces]
+            lss = np.sum(ray.get([r[k] for r in lrw]), axis=0)
+            rss = np.sum(ray.get([r[k] for r in rrw]), axis=0)
+            for j in range(k):
+                if lss[0][j] == 0 and rss[0][j] == 0:
+                    continue
+                out.append(_join_bucket_task.remote(
+                    on, right_cols, how, restore_dtypes,
+                    [r[j] for r in lrw], [r[j] for r in rrw]))
+        else:
+            out.append(_join_bucket_task.remote(
+                on, right_cols, how, restore_dtypes, lpieces, rpieces))
+    if not out:
+        return bucketed_hash_join(left, right, on=on, right_cols=right_cols,
+                                  num_buckets=1, how=how,
+                                  restore_dtypes=restore_dtypes,
+                                  plan="dataset")
     return rd.from_pandas_refs(out)
 
 
@@ -575,10 +970,15 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                               num_buckets=max(num_buckets, 32), how=how,
                               restore_dtypes=restore_dtypes)
     if plan == "adaptive":
+        # byte-based auto sizing (round 4): B = ceil(measured bytes /
+        # TARGET_BUCKET_BYTES) observed from the streamed blocks, with
+        # the caller's num_buckets as the floor so tuned call sites keep
+        # their minimum reduce parallelism
         left = left.materialize()
         right = right.materialize()
-        total = left.count() + right.count()
-        B = max(num_buckets, 32, min(512, total // 2_000_000))
+        total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        B = max(num_buckets, 32,
+                _auto_bucket_count(total, TARGET_BUCKET_BYTES))
         return task_hash_join(left, right, on=on, right_cols=right_cols,
                               num_buckets=int(B), how=how,
                               restore_dtypes=restore_dtypes)
@@ -648,8 +1048,9 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         l_refs = _nonempty_block_refs(left)
         r_refs = _nonempty_block_refs(right)
         if l_refs and r_refs:
-            B = max(num_buckets, 32,
-                    min(512, (left.count() + right.count()) // 2_000_000))
+            B = max(num_buckets, 32, _auto_bucket_count(
+                (left.size_bytes() or 0) + (right.size_bytes() or 0),
+                TARGET_BUCKET_BYTES))
             split = _split_salted.options(num_returns=B) if B > 1 \
                 else _split_salted
             lp = [split.remote(c, on, B, salts, 0)
@@ -928,7 +1329,8 @@ def global_exact_quantiles(ds: rd.Dataset, col: str,
 
 
 def global_row_number(ds: rd.Dataset, value_col: str, id_col: str,
-                      parts: int = 32):
+                      parts: Optional[int] = None,
+                      target_rows: int = 2_000_000):
     """Range-partitioned global sort with exact global row numbers over
     ``(value_col, id_col)`` — the distributed ROW_NUMBER() core shared by
     the global-sort and NTILE queries (queries.q_global_sort documents
@@ -936,14 +1338,20 @@ def global_row_number(ds: rd.Dataset, value_col: str, id_col: str,
     dataset has columns ``[id_col, value_col, 'rn']`` (rn is 1-based and
     dense: ties broken by id_col, so the numbering is deterministic).
 
-      1. deterministic per-block stride sample -> parts-1 split points
-      2. count pass: rows per range partition -> rank offsets (+ total N)
+      1. deterministic per-block stride sample -> a FINE grid of up to
+         1024 candidate split points
+      2. count pass: exact rows per fine bin -> fine bins grouped into
+         ``parts`` coarse ranges of ~N/parts MEASURED rows (not sampled
+         guesses) -> rank offsets (+ total N).  ``parts=None`` (round 4)
+         auto-sizes to ceil(N / target_rows) so the same call is right
+         at any input size.
       3. shuffle on the partition id, per-partition mergesort,
          rn = partition offset + local position.
 
-    Skew: sample-based splits bound partition size to ~N/parts except
-    under heavy key duplication, where equal keys co-locate by
-    construction (side='right' searchsorted keeps equal keys together)."""
+    Skew: coarse boundaries are placed on measured counts, so partition
+    size is bounded by ~N/parts + one fine bin except under heavy key
+    duplication, where equal keys co-locate by construction
+    (side='right' searchsorted keeps equal keys together)."""
 
     def stride_sample(b: pd.DataFrame) -> pd.DataFrame:
         step = max(1, len(b) // 64)
@@ -951,32 +1359,48 @@ def global_row_number(ds: rd.Dataset, value_col: str, id_col: str,
 
     samp = np.sort(ds.map_batches(stride_sample, batch_format="pandas")
                    .to_pandas()[value_col].to_numpy())
-    idx = np.linspace(0, len(samp) - 1, parts + 1).astype(np.int64)[1:-1]
-    splits_ref = ray.put(samp[idx])
+    nf = int(min(1024, max(1, len(samp))))
+    idx = np.linspace(0, len(samp) - 1, nf + 1).astype(np.int64)[1:-1] \
+        if len(samp) else np.array([], dtype=np.int64)
+    fine_splits = samp[idx] if len(samp) else np.array([])
+    splits_ref = ray.put(fine_splits)
 
-    def count_parts(b: pd.DataFrame) -> pd.DataFrame:
+    def count_fine(b: pd.DataFrame) -> pd.DataFrame:
         sp = ray.get(splits_ref)
         p = np.searchsorted(sp, b[value_col].to_numpy(), side="right")
-        c = np.bincount(p, minlength=parts)
-        return pd.DataFrame({"part": np.arange(parts, dtype=np.int64),
+        c = np.bincount(p, minlength=nf)
+        return pd.DataFrame({"part": np.arange(nf, dtype=np.int64),
                              "n": c.astype(np.int64)})
 
-    cdf = ds.map_batches(count_parts, batch_format="pandas",
-                         batch_size=None).to_pandas() \
-        .groupby("part")["n"].sum().reindex(range(parts), fill_value=0)
-    counts = cdf.to_numpy()
-    total = int(counts.sum())
+    cdf = ds.map_batches(count_fine, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    fine_counts = (cdf.groupby("part")["n"].sum()
+                   .reindex(range(nf), fill_value=0).to_numpy()
+                   if "part" in cdf.columns else np.zeros(nf, np.int64))
+    total = int(fine_counts.sum())
+    if parts is None:
+        parts = int(min(1024, max(1, -(-total // max(target_rows, 1)))))
+    parts = int(min(parts, nf)) or 1
+    # group fine bins into `parts` contiguous coarse ranges by MEASURED
+    # cumulative rows (a fine bin never splits, so equal values stay in
+    # one coarse partition)
+    starts = np.cumsum(fine_counts) - fine_counts
+    part_of_fine = np.minimum((starts * parts) // max(total, 1),
+                              parts - 1).astype(np.int64)
+    counts = np.bincount(part_of_fine, weights=fine_counts,
+                         minlength=parts).astype(np.int64)
     offsets = np.zeros(parts, dtype=np.int64)
     offsets[1:] = np.cumsum(counts)[:-1]
     off_ref = ray.put(offsets)
+    mapping_ref = ray.put(part_of_fine)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         sp = ray.get(splits_ref)
+        fine = np.searchsorted(sp, b[value_col].to_numpy(), side="right")
         return pd.DataFrame({
             id_col: b[id_col].astype("int64"),
             value_col: b[value_col].astype("float64"),
-            "part": np.searchsorted(sp, b[value_col].to_numpy(),
-                                    side="right").astype(np.int64)})
+            "part": ray.get(mapping_ref)[fine]})
 
     with_part = ds.map_batches(add_part, batch_format="pandas") \
         .materialize()

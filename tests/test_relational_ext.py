@@ -689,17 +689,21 @@ ray.shutdown(); os._exit(0)
         assert len(os.listdir(marker2)) == 8 - completed
 
 
-def test_flagship_stage_and_shuffle_resume_compose(ray_session, tmp_path):
+def test_flagship_stage_and_shuffle_resume_compose(ray_session, tmp_path,
+                                                   monkeypatch):
     """run_flagship_checkpointed: the assignment stage's cell-match
     shuffle checkpoints per bucket UNDER the stage checkpoint — losing
     the stage output (crash after the shuffle, before the stage commit)
     rebuilds the stage from the completed shuffle buckets without
-    recomputing a single one."""
+    recomputing a single one; and once the stage DOES commit, the
+    shuffle checkpoint dir is garbage-collected (round-4 ADVICE: no
+    disk growth / stale payloads across reruns)."""
     import shutil
 
     from cqi_ray.pipelines.flagship import run_flagship_checkpointed
 
     out_dir = str(tmp_path / "ck")
+    monkeypatch.setenv("CQI_KEEP_SHUFFLE_CKPT", "1")
     _, a1, _ = run_flagship_checkpointed("/root/testdata/sf0.001", out_dir,
                                          n_ways=32)
     a1 = a1.to_pandas()
@@ -720,3 +724,11 @@ def test_flagship_stage_and_shuffle_resume_compose(ray_session, tmp_path):
     after = {f: os.path.getmtime(os.path.join(shuf, f))
              for f in os.listdir(shuf)}
     assert after == sides  # every shuffle bucket reused, none recomputed
+
+    # default behavior: the committed stage GCs the shuffle scratch dir
+    monkeypatch.delenv("CQI_KEEP_SHUFFLE_CKPT")
+    _, a3, _ = run_flagship_checkpointed("/root/testdata/sf0.001", out_dir,
+                                         n_ways=32)
+    a3 = a3.to_pandas().sort_values(list(a1.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(a1, a3)
+    assert not os.path.exists(shuf)
