@@ -1,12 +1,23 @@
 """Multimodal column handling: audio / video payloads as opaque binary with
 typed metadata, processed by actor-pool stages.
 
-The Ray-side plumbing — schemas, batch sizing, actor signatures, output
-layout — is real and tested; the codec internals for audio/video are
-STUBBED behind ``NotImplementedError`` with a deterministic fake container
-(this environment ships no media libraries), exactly like the JPEG path
-in :mod:`cqi_ray.images.codec`.  A deployment plugs ffmpeg/soundfile into
-the two ``_decode_real_*`` hooks without touching the pipeline shape.
+Round 4: the codec internals are REAL (the round-3 stubs are gone).
+
+* **Audio** — canonical RIFF/WAVE parse + write (PCM16, public format):
+  ``wav_encode`` / ``wav_decode``; time-domain features (RMS, zero
+  crossings, duration) in :class:`AudioFeatures`; FFT spectral features
+  (dominant bin, 85% rolloff bin) in :class:`AudioSpectral` — integer
+  outputs so the DuckDB naive-DFT oracle can replay them exactly
+  (queries.q_audio_spectral).
+* **Video** — an MJPEG-style container over the engine's own baseline
+  JPEG codec (images/jpeg.py): length-indexed concatenated JFIF frames.
+  The offset index makes frame sampling a SEEK, not a full decode —
+  :class:`VideoFrameSample` touches only every ``every_n``-th frame's
+  bytes, which is the property that matters when a clip is minutes long
+  and the pipeline wants 1 fps.
+
+The legacy deterministic fake containers (FAUD/FVID) remain accepted for
+fixtures that predate the real codecs.
 
 Schemas:
   audio: (clip_id:string, bytes:binary, sample_rate:int32, n_samples:int64,
@@ -17,42 +28,141 @@ Schemas:
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 
 _FAKE_AUDIO_MAGIC = b"FAUD"
 _FAKE_VIDEO_MAGIC = b"FVID"
+_MJPG_MAGIC = b"MJPG"
 
 
-def fake_audio_bytes(samples: np.ndarray) -> bytes:
-    """Deterministic stand-in container: int16 PCM behind a magic prefix."""
-    return _FAKE_AUDIO_MAGIC + np.ascontiguousarray(
-        samples, dtype="<i2").tobytes()
+# --------------------------------------------------------------------------
+# audio: RIFF/WAVE (PCM16) parse + write
 
 
-def fake_video_bytes(frames: np.ndarray) -> bytes:
-    """(n, h, w, 3) uint8 frames behind a magic prefix."""
-    return _FAKE_VIDEO_MAGIC + np.ascontiguousarray(
-        frames, dtype=np.uint8).tobytes()
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE, PCM16 little-endian.
+    ``samples``: (n, channels) int16."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                   byte_rate, ch * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE bytes -> ((n, channels) int16, sample_rate).
+    Chunk-order tolerant; unknown chunks (LIST, fact, ...) skipped."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if code != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (format={code}, bits={bits})")
+            fmt = (ch, sr)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    ch, sr = fmt
+    arr = np.frombuffer(pcm, dtype="<i2")
+    return arr.reshape(-1, ch), sr
 
 
 def decode_audio(data: bytes, n_samples: int, channels: int) -> np.ndarray:
     if data[:4] == _FAKE_AUDIO_MAGIC:
         return np.frombuffer(data[4:], dtype="<i2").reshape(n_samples, channels)
-    raise NotImplementedError(
-        "no audio codec in this environment; plug soundfile/ffmpeg here")
+    if data[:4] == b"RIFF":
+        pcm, _ = wav_decode(data)
+        if pcm.shape != (n_samples, channels):
+            raise ValueError(
+                f"WAV shape {pcm.shape} != metadata ({n_samples}, {channels})")
+        return pcm
+    raise ValueError("unrecognized audio payload (not RIFF/FAUD)")
+
+
+# --------------------------------------------------------------------------
+# video: MJPEG-style container over the engine's baseline JPEG codec
+
+
+def mjpeg_encode(frames: np.ndarray, quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 -> MJPG container: magic | w u16 | h u16 |
+    n u32 | offsets u32[n+1] | concatenated baseline-JFIF frames."""
+    from . import jpeg
+
+    n, h, w, _ = frames.shape
+    blobs = [jpeg.jpeg_encode(frames[i], quality=quality) for i in range(n)]
+    offs = np.zeros(n + 1, dtype="<u4")
+    offs[1:] = np.cumsum([len(b) for b in blobs])
+    return (_MJPG_MAGIC + struct.pack("<HHI", w, h, n)
+            + offs.tobytes() + b"".join(blobs))
+
+
+def _mjpeg_index(data: bytes) -> tuple[int, int, int, np.ndarray, int]:
+    if data[:4] != _MJPG_MAGIC:
+        raise ValueError("not an MJPG stream")
+    w, h, n = struct.unpack("<HHI", data[4:12])
+    offs = np.frombuffer(data[12:12 + 4 * (n + 1)], dtype="<u4")
+    return w, h, n, offs, 12 + 4 * (n + 1)
+
+
+def mjpeg_decode_indices(data: bytes, indices) -> np.ndarray:
+    """Decode ONLY the requested frames via the offset index — the other
+    frames' bytes are never parsed (seek, not scan)."""
+    from . import jpeg
+
+    w, h, n, offs, base = _mjpeg_index(data)
+    out = np.empty((len(indices), h, w, 3), dtype=np.uint8)
+    for j, fi in enumerate(indices):
+        if not 0 <= fi < n:
+            raise IndexError(f"frame {fi} out of range 0..{n - 1}")
+        out[j] = jpeg.jpeg_decode(
+            data[base + int(offs[fi]):base + int(offs[fi + 1])])
+    return out
 
 
 def decode_video_frames(data: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
     if data[:4] == _FAKE_VIDEO_MAGIC:
         return np.frombuffer(data[4:], dtype=np.uint8).reshape(n_frames, h, w, 3)
-    raise NotImplementedError(
-        "no video codec in this environment; plug ffmpeg here")
+    if data[:4] == _MJPG_MAGIC:
+        return mjpeg_decode_indices(data, range(n_frames))
+    raise ValueError("unrecognized video payload (not MJPG/FVID)")
+
+
+def fake_audio_bytes(samples: np.ndarray) -> bytes:
+    """Legacy deterministic stand-in container: int16 PCM behind a magic
+    prefix (kept for pre-round-4 fixtures)."""
+    return _FAKE_AUDIO_MAGIC + np.ascontiguousarray(
+        samples, dtype="<i2").tobytes()
+
+
+def fake_video_bytes(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 frames behind a magic prefix (legacy)."""
+    return _FAKE_VIDEO_MAGIC + np.ascontiguousarray(
+        frames, dtype=np.uint8).tobytes()
 
 
 class AudioFeatures:
-    """Actor-pool stage: decode -> per-clip features (RMS energy, zero
-    crossings, duration).  Batches should stay small — payloads dominate."""
+    """Actor-pool stage: decode -> per-clip time-domain features (RMS
+    energy, zero crossings, duration).  Batches should stay small —
+    payloads dominate."""
 
     def __init__(self):
         pass  # real deployments: load codec / feature model once here
@@ -72,9 +182,44 @@ class AudioFeatures:
         return batch
 
 
+class AudioSpectral:
+    """Actor-pool stage: decode -> rFFT -> integer spectral features.
+
+    ``dominant_bin`` (argmax power over bins 1..n/2) and ``rolloff_bin``
+    (first bin where cumulative power reaches ``rolloff`` of the total,
+    DC excluded) are INTEGER summaries, robust to float summation order
+    — which is what lets the DuckDB oracle replay them with a naive
+    O(n·k) DFT (queries.q_audio_spectral) even though numpy's FFT sums
+    in a different order."""
+
+    def __init__(self, rolloff: float = 0.85):
+        self.rolloff = rolloff
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dom, roll, nb = [], [], []
+        for row in batch.itertuples(index=False):
+            pcm = decode_audio(row.bytes, row.n_samples, row.channels)
+            x = pcm[:, 0].astype(np.float64)
+            power = np.abs(np.fft.rfft(x)) ** 2
+            p = power[1:]  # exclude DC
+            dom.append(int(np.argmax(p)) + 1)
+            c = np.cumsum(p)
+            roll.append(int(np.searchsorted(c, self.rolloff * c[-1])) + 1)
+            nb.append(len(power))
+        batch = batch.drop(columns=["bytes"]).copy()
+        batch["dominant_bin"] = np.array(dom, dtype=np.int64)
+        batch["rolloff_bin"] = np.array(roll, dtype=np.int64)
+        batch["n_bins"] = np.array(nb, dtype=np.int64)
+        return batch
+
+
 class VideoFrameSample:
     """Actor-pool stage: sample ``every_n``-th frame, emit one image row per
-    sampled frame (fan-out), ready for the image assignment pipeline."""
+    sampled frame (fan-out), ready for the image assignment pipeline.
+
+    MJPG containers are sampled through the offset index — only the
+    sampled frames' bytes are Huffman-decoded; at 1-in-N sampling the
+    decode work drops by ~N regardless of clip length."""
 
     def __init__(self, every_n: int = 10):
         self.every_n = every_n
@@ -85,11 +230,16 @@ class VideoFrameSample:
         out = {"video_id": [], "frame_no": [], "bytes": [], "w": [], "h": [],
                "fmt": [], "caption": []}
         for row in batch.itertuples(index=False):
-            frames = decode_video_frames(row.bytes, row.w, row.h, row.n_frames)
-            for fi in range(0, row.n_frames, self.every_n):
+            idxs = list(range(0, row.n_frames, self.every_n))
+            if row.bytes[:4] == _MJPG_MAGIC:
+                frames = mjpeg_decode_indices(row.bytes, idxs)
+            else:
+                frames = decode_video_frames(
+                    row.bytes, row.w, row.h, row.n_frames)[idxs]
+            for j, fi in enumerate(idxs):
                 out["video_id"].append(row.video_id)
                 out["frame_no"].append(fi)
-                out["bytes"].append(codec.png_encode(frames[fi]))
+                out["bytes"].append(codec.png_encode(frames[j]))
                 out["w"].append(row.w)
                 out["h"].append(row.h)
                 out["fmt"].append("png")
@@ -102,7 +252,8 @@ def synth_audio_table(n: int, seed: int = 42, sample_rate: int = 8000,
     """Deterministic synthetic clips: an INTEGER triangle wave (period
     sr/freq, amplitude ±12000) — exactly reproducible in ANSI SQL, which
     is what makes the audio-feature pipeline DuckDB-oracle-checkable
-    (float sin would leave the pcm samples 1-ulp platform-dependent)."""
+    (float sin would leave the pcm samples 1-ulp platform-dependent).
+    Payloads are REAL RIFF/WAVE since round 4 (fmt='wav')."""
     rows = {"clip_id": [], "bytes": [], "sample_rate": [], "n_samples": [],
             "channels": [], "fmt": [], "caption": []}
     idx = np.arange(n_samples, dtype=np.int64)
@@ -112,17 +263,47 @@ def synth_audio_table(n: int, seed: int = 42, sample_rate: int = 8000,
         wave = (np.abs(phase - sample_rate // 2) * (48000 // sample_rate)
                 - 12000).astype("<i2")[:, None]
         rows["clip_id"].append(f"clip_{i:08d}")
-        rows["bytes"].append(fake_audio_bytes(wave))
+        rows["bytes"].append(wav_encode(wave, sample_rate))
         rows["sample_rate"].append(sample_rate)
         rows["n_samples"].append(n_samples)
         rows["channels"].append(1)
-        rows["fmt"].append("pcm16")
+        rows["fmt"].append("wav")
         rows["caption"].append(f"synthetic tone clip {i} at {freq} Hz")
     return pd.DataFrame(rows)
 
 
+def synth_tone_table(n: int = 32, sample_rate: int = 2048,
+                     n_samples: int = 256) -> pd.DataFrame:
+    """Integer triangle tones whose frequency is an EXACT DFT bin
+    (freq = k * sr / n_samples, integer k): the analysis window holds a
+    whole number of cycles, so the spectrum is leakage-free and the
+    spectral-feature oracle's integer outputs have wide margins.
+    pcm_t = |(t*freq) mod sr - sr/2| * 24 - 12288 — exact int16 both in
+    numpy and in SQL."""
+    rows = {"clip_id": [], "bytes": [], "sample_rate": [], "n_samples": [],
+            "channels": [], "fmt": [], "caption": []}
+    idx = np.arange(n_samples, dtype=np.int64)
+    step = sample_rate // n_samples  # Hz per bin
+    for i in range(n):
+        k = 5 + (i * 3) % 20  # fundamental bin
+        freq = k * step
+        phase = (idx * freq) % sample_rate
+        wave = (np.abs(phase - sample_rate // 2) * 24 - 12288) \
+            .astype("<i2")[:, None]
+        rows["clip_id"].append(f"tone_{i:08d}")
+        rows["bytes"].append(wav_encode(wave, sample_rate))
+        rows["sample_rate"].append(sample_rate)
+        rows["n_samples"].append(n_samples)
+        rows["channels"].append(1)
+        rows["fmt"].append("wav")
+        rows["caption"].append(f"tone {i} bin {k}")
+    return pd.DataFrame(rows)
+
+
 def synth_video_table(n: int, seed: int = 42, w: int = 16, h: int = 16,
-                      n_frames: int = 30) -> pd.DataFrame:
+                      n_frames: int = 30, quality: int = 90) -> pd.DataFrame:
+    """Deterministic synthetic clips in the REAL MJPG container (baseline
+    JFIF frames behind an offset index) since round 4."""
     from . import synth as _synth
 
     rows = {"video_id": [], "bytes": [], "w": [], "h": [], "n_frames": [],
@@ -131,11 +312,11 @@ def synth_video_table(n: int, seed: int = 42, w: int = 16, h: int = 16,
         frames = np.stack([_synth._pixels_for(seed + i * 100 + f, w, h)
                            for f in range(n_frames)])
         rows["video_id"].append(f"vid_{i:08d}")
-        rows["bytes"].append(fake_video_bytes(frames))
+        rows["bytes"].append(mjpeg_encode(frames, quality=quality))
         rows["w"].append(w)
         rows["h"].append(h)
         rows["n_frames"].append(n_frames)
         rows["fps"].append(10.0)
-        rows["fmt"].append("rawseq")
+        rows["fmt"].append("mjpg")
         rows["caption"].append(f"synthetic street clip {i}")
     return pd.DataFrame(rows)

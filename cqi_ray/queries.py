@@ -1290,15 +1290,69 @@ feat AS (
   GROUP BY i, freq)
 SELECT printf('clip_%08d', i) AS clip_id,
        8000 AS sample_rate, 4000 AS n_samples, 1 AS channels,
-       'pcm16' AS fmt,
+       'wav' AS fmt,
        printf('synthetic tone clip %d at %d Hz', i, freq) AS caption,
        rms, zero_crossings, 0.5 AS duration_sec
 FROM feat
 """
 
 
+def q_audio_spectral(sf_dir: str):
+    """FFT spectral features over real RIFF/WAVE payloads (round 4 —
+    the audio codec internals are no longer stubbed).  The tone table's
+    frequencies sit on exact DFT bins (whole cycles per window, no
+    leakage), and the stage's outputs are INTEGER summaries (dominant
+    bin, 85% rolloff bin) with wide power margins — so a naive O(n·k)
+    DFT in DuckDB replays them exactly even though numpy's FFT sums in
+    a different order (images/multimodal.AudioSpectral)."""
+    import ray.data as rd
+    from .images.multimodal import AudioSpectral, synth_tone_table
+
+    clips = rd.from_pandas(synth_tone_table(32))
+    out = clips.map_batches(AudioSpectral, batch_format="pandas",
+                            batch_size=8, concurrency=(1, 4))
+    return out.map_batches(
+        lambda b: b[["clip_id", "dominant_bin", "rolloff_bin", "n_bins"]],
+        batch_format="pandas")
+
+
+Q_AUDIO_SPECTRAL_SQL = """
+WITH clip AS (
+  SELECT i, 5 + (i * 3) % 20 AS k
+  FROM (SELECT unnest(range(0, 32)) AS i)),
+samp AS (
+  SELECT c.i, c.k, s.t,
+         CAST(abs((s.t * c.k * 8) % 2048 - 1024) * 24 - 12288 AS DOUBLE)
+           AS pcm
+  FROM clip c, (SELECT unnest(range(0, 256)) AS t) s),
+dft AS (
+  SELECT s.i, b.f,
+         sum(s.pcm * cos(2 * pi() * b.f * s.t / 256.0)) AS re,
+         sum(s.pcm * sin(2 * pi() * b.f * s.t / 256.0)) AS im
+  FROM samp s CROSS JOIN (SELECT unnest(range(1, 129)) AS f) b
+  GROUP BY s.i, b.f),
+pw AS (SELECT i, f, re * re + im * im AS p FROM dft),
+cum AS (
+  SELECT i, f, p,
+         sum(p) OVER (PARTITION BY i ORDER BY f) AS cp,
+         sum(p) OVER (PARTITION BY i) AS tp
+  FROM pw),
+dom AS (
+  SELECT i, f AS dominant_bin FROM (
+    SELECT i, f, row_number() OVER (PARTITION BY i ORDER BY p DESC, f)
+      AS rn FROM pw) WHERE rn = 1),
+roll AS (
+  SELECT i, min(f) AS rolloff_bin FROM cum WHERE cp >= 0.85 * tp GROUP BY i)
+SELECT printf('tone_%08d', d.i) AS clip_id,
+       d.dominant_bin, r.rolloff_bin, 129 AS n_bins
+FROM dom d JOIN roll r ON d.i = r.i
+"""
+
+
 def q_video_frames(sf_dir: str):
-    """Video frame-sampling fan-out stage (codec stubbed, plumbing real)."""
+    """Video frame-sampling fan-out stage over the REAL MJPG container
+    (offset-indexed baseline-JFIF frames, images/multimodal.py — round 4;
+    sampling decodes only the selected frames via the index)."""
     import ray.data as rd
     from .images.multimodal import VideoFrameSample, synth_video_table
 
@@ -11445,6 +11499,7 @@ QUERIES = {
     "dedup_phash_cc": q_dedup_phash_cc,
     "dedup_embedding": q_dedup_embedding,
     "audio_features": q_audio_features,
+    "audio_spectral": q_audio_spectral,
     "video_frames": q_video_frames,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -11618,6 +11673,7 @@ ORACLES = {
     "dedup_phash_cc": Q_DEDUP_PHASH_CLUSTERS_SQL,  # same semantics, CC plan
     "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "audio_features": Q_AUDIO_FEATURES_SQL,
+    "audio_spectral": Q_AUDIO_SPECTRAL_SQL,
     "video_frames": Q_VIDEO_FRAMES_SQL,
     "ann_topk": Q_ANN_TOPK_SQL,
     "ann_lsh": Q_ANN_TOPK_SQL,  # default probes every bucket => exact

@@ -34,11 +34,65 @@ class TestAudioVideo:
         px = codec.png_decode(frames["bytes"].iloc[0])
         assert px.shape == (16, 16, 3)
 
-    def test_real_codec_is_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            mm.decode_audio(b"RIFFrealwav", 100, 1)
-        with pytest.raises(NotImplementedError):
+    def test_wav_roundtrip_bit_exact(self):
+        """Real RIFF/WAVE codec (round 4): PCM16 survives encode/decode
+        bit-for-bit, stereo included."""
+        rng = np.random.RandomState(3)
+        mono = rng.randint(-32768, 32768, size=(500, 1)).astype(np.int16)
+        pcm, sr = mm.wav_decode(mm.wav_encode(mono, 8000))
+        assert sr == 8000 and np.array_equal(pcm, mono)
+        stereo = rng.randint(-32768, 32768, size=(300, 2)).astype(np.int16)
+        pcm2, sr2 = mm.wav_decode(mm.wav_encode(stereo, 44100))
+        assert sr2 == 44100 and np.array_equal(pcm2, stereo)
+
+    def test_wav_skips_unknown_chunks(self):
+        wav = mm.wav_encode(np.arange(10, dtype=np.int16)[:, None], 8000)
+        # splice a LIST chunk between header and fmt's sibling chunks
+        spliced = wav[:12] + b"LIST\x04\x00\x00\x00INFO" + wav[12:]
+        import struct as st
+        spliced = (spliced[:4]
+                   + st.pack("<I", len(spliced) - 8) + spliced[8:])
+        pcm, sr = mm.wav_decode(spliced)
+        assert np.array_equal(pcm[:, 0], np.arange(10))
+
+    def test_unsupported_audio_rejected(self):
+        with pytest.raises(ValueError):
+            mm.decode_audio(b"OggSvorbis...", 100, 1)
+        with pytest.raises(ValueError):
             mm.decode_video_frames(b"\x00\x00\x01\xba mpeg", 8, 8, 2)
+
+    def test_mjpeg_index_seek_decodes_only_sampled(self):
+        """The MJPG offset index: sampling must not parse unsampled
+        frames (corrupting them is invisible to an index seek)."""
+        from cqi_ray.images import synth
+
+        frames = np.stack([synth._pixels_for(i, 16, 16) for i in range(6)])
+        blob = bytearray(mm.mjpeg_encode(frames, quality=90))
+        w, h, n, offs, base = mm._mjpeg_index(bytes(blob))
+        # corrupt frame 1's payload entirely
+        blob[base + int(offs[1]):base + int(offs[2])] = \
+            b"\x00" * (int(offs[2]) - int(offs[1]))
+        sampled = mm.mjpeg_decode_indices(bytes(blob), [0, 2, 4])
+        assert sampled.shape == (3, 16, 16, 3)
+        from cqi_ray.images import codec, jpeg
+        # and the sampled frames decode to the true content (lossy codec)
+        full = mm.mjpeg_decode_indices(mm.mjpeg_encode(frames, 90), [0])
+        assert codec.psnr(full[0], frames[0]) > 28
+
+    def test_spectral_features_exact_bins(self, ray_session):
+        """AudioSpectral on leakage-free tones: the dominant bin equals
+        the planted fundamental; rolloff sits on the fundamental too
+        (a triangle wave carries ~98.5% of its power there)."""
+        import ray.data as rd
+
+        tones = mm.synth_tone_table(12)
+        out = rd.from_pandas(tones).map_batches(
+            mm.AudioSpectral, batch_format="pandas", batch_size=4,
+            concurrency=1).to_pandas().sort_values("clip_id")
+        planted = [5 + (i * 3) % 20 for i in range(12)]
+        assert list(out["dominant_bin"]) == planted
+        assert list(out["rolloff_bin"]) == planted
+        assert (out["n_bins"] == 129).all()
 
 
 class TestPhashDedup:
