@@ -113,10 +113,16 @@ def build_images(sf_dir: str, limit: Optional[int] = None,
     # small text table fans out into heavy image synthesis: spread it over
     # a fixed block count so generation/decoding parallelizes fully and the
     # work layout is identical at every cluster size (scaling
-    # comparability).  256 blocks keep the straggler tail under ~2% of the
-    # wall at 32 CPUs (8 waves; measured per-task skew is ~1.8x from the
-    # png/raw/jpeg format mix) while per-task compute stays >1 s.
-    return docs.repartition(256).map_batches(
+    # comparability).  The count scales with the per-doc fan-out: at
+    # per_doc=1 the old 256 keeps per-task compute >1 s, but at
+    # per_doc=256 a 256-block layout is 8 waves of ~9 core-s tasks whose
+    # ~1.8x format-mix skew leaves an ~11% straggler tail at 32 CPUs
+    # (vs 4% at 8 — measured round 4; exactly the asymmetry a scaling
+    # ratio is most sensitive to).  Scaling blocks with per_doc holds
+    # per-task compute roughly constant instead.
+    blocks = int(os.environ.get(
+        "GRAFT_IMAGE_BLOCKS", str(256 * min(4, max(1, per_doc // 64)))))
+    return docs.repartition(blocks).map_batches(
         lambda b: images_from_documents(b, size_px=size_px, per_doc=per_doc),
         batch_format="pandas", batch_size=None)
 

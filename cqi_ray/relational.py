@@ -268,22 +268,45 @@ def _chunk_refs(refs: list, max_tasks: int = 64) -> list:
     return [refs[i:i + step] for i in range(0, len(refs), step)]
 
 
-def _frame_row_bytes(b: pd.DataFrame) -> np.ndarray:
-    """Per-row byte estimate (int64[n]): fixed-width columns contribute a
-    constant, object columns their element lengths (the payload-skew
-    signal the bucket byte guard needs).  O(n) over object cells only."""
-    n = len(b)
-    per = np.zeros(n, dtype=np.int64)
-    fixed = 0
-    for col in b.columns:
-        s = b[col]
+def _bucket_bytes(g: np.ndarray, frame: pd.DataFrame,
+                  minlength: int) -> np.ndarray:
+    """Per-bucket byte estimate for the oversized-bucket guard:
+    fixed-width columns contribute rows x itemsize exactly; object
+    columns (strings/bytes payloads — the skew signal) contribute their
+    element lengths, measured EXACTLY up to 2^18 rows and by an unbiased
+    1-in-stride row sample above (the python-level len() walk costs as
+    much as the split sort itself at millions of rows, and the guard
+    only needs accuracy on buckets big enough to matter — which a
+    proportional sample covers by construction)."""
+    n = len(frame)
+    counts = np.bincount(g, minlength=minlength).astype(np.int64)
+    total = np.zeros(minlength, dtype=np.int64)
+    obj_cols = []
+    for col in frame.columns:
+        s = frame[col]
         if s.dtype == object:
-            per += np.fromiter(
-                (len(v) if isinstance(v, (bytes, str)) else 16
-                 for v in s.to_numpy()), dtype=np.int64, count=n)
+            obj_cols.append(col)
         else:
-            fixed += s.dtype.itemsize
-    return per + fixed
+            # extension dtypes (category, nullable Int64, ...) have no
+            # itemsize; 8 is the right order of magnitude for the guard
+            total += counts * getattr(s.dtype, "itemsize", 8)
+    if not obj_cols or n == 0:
+        return total
+    if n > (1 << 18):
+        stride = n // (1 << 17)
+        idx = np.arange(0, n, stride)
+    else:
+        stride = 1
+        idx = np.arange(n)
+    per = np.zeros(len(idx), dtype=np.int64)
+    for col in obj_cols:
+        vals = frame[col].to_numpy()[idx]
+        per += np.fromiter(
+            (len(v) if isinstance(v, (bytes, str)) else 16 for v in vals),
+            dtype=np.int64, count=len(vals))
+    total += (np.bincount(g[idx], weights=per, minlength=minlength)
+              * stride).astype(np.int64)
+    return total
 
 
 def _keyhash(b: pd.DataFrame, key_cols: list) -> np.ndarray:
@@ -313,8 +336,7 @@ def _split_by_keyhash(refs: list, key_cols: list, num_buckets: int):
     sb = b.take(order)
     stats = np.zeros((2, num_buckets), dtype=np.int64)
     stats[0] = np.bincount(gb, minlength=num_buckets)
-    stats[1] = np.bincount(gb, weights=_frame_row_bytes(b),
-                           minlength=num_buckets).astype(np.int64)
+    stats[1] = _bucket_bytes(gb, b, num_buckets)
     return (*(sb.iloc[bounds[i]:bounds[i + 1]]
               for i in range(num_buckets)), stats)
 
@@ -334,8 +356,7 @@ def _resplit_piece(piece: pd.DataFrame, key_cols: list, k: int):
     sb = piece.take(order)
     stats = np.zeros((2, k), dtype=np.int64)
     stats[0] = np.bincount(g, minlength=k)
-    stats[1] = np.bincount(g, weights=_frame_row_bytes(piece),
-                           minlength=k).astype(np.int64)
+    stats[1] = _bucket_bytes(g, piece, k)
     return (*(sb.iloc[bounds[i]:bounds[i + 1]] for i in range(k)), stats)
 
 
@@ -728,8 +749,7 @@ def _split_by_bucket(refs: list, on: str, num_buckets: int):
     sb = b.take(order)
     stats = np.zeros((2, num_buckets), dtype=np.int64)
     stats[0] = np.bincount(h, minlength=num_buckets)
-    stats[1] = np.bincount(h, weights=_frame_row_bytes(b),
-                           minlength=num_buckets).astype(np.int64)
+    stats[1] = _bucket_bytes(h, b, num_buckets)
     return (*(sb.iloc[bounds[i]:bounds[i + 1]]
               for i in range(num_buckets)), stats)
 

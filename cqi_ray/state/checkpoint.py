@@ -9,10 +9,13 @@ same fingerprint short-circuits to ``read_parquet`` — the batch meaning
 of "resume mid-shuffle": completed stages (and with partition columns,
 completed partitions) are never recomputed.
 
-Lance would be the target format on a real deployment (column projection
-over huge binary payloads); this environment has no lance wheel, so the
-writer is Parquet with the identical layout — swap ``_write``/``_read``
-to ``write_lance``/``read_lance`` when available (import-gated below).
+Lance is the target format on a real deployment (column projection over
+huge binary payloads); ray.data ships ``write_lance``/``read_lance`` and
+``_write``/``_read`` branch to them whenever the lance wheel imports
+(``HAVE_LANCE`` gate below — this environment has no wheel, so the
+branch falls back to Parquet with the identical layout; the manifest
+records which format a checkpoint was written in so resume reads it
+back correctly either way).
 """
 
 from __future__ import annotations
@@ -35,10 +38,25 @@ MANIFEST = "_manifest.json"
 
 
 def _write(ds: rd.Dataset, path: str, partition_cols: Optional[list[str]]):
+    """Stage sink: Lance when the wheel is importable (ray.data ships
+    write_lance/read_lance; only the lance wheel is missing in this
+    environment), Parquet otherwise.  The branch — not just the flag —
+    is what tests/test_io.py's gate test pins."""
+    if HAVE_LANCE and not partition_cols:
+        # lance datasets are self-partitioned (fragments); partitioned
+        # layouts keep the directory-per-key parquet form for resume
+        ds.write_lance(path)
+        return
     if partition_cols:
         ds.write_parquet(path, partition_cols=partition_cols)
     else:
         ds.write_parquet(path)
+
+
+def _read(path: str, fmt: str) -> rd.Dataset:
+    if fmt == "lance":
+        return rd.read_lance(path)
+    return rd.read_parquet(path, file_extensions=["parquet"])
 
 
 def manifest_path(path: str) -> str:
@@ -92,7 +110,7 @@ def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
     are recorded in the manifest for lineage inspection."""
     existing = load_manifest(path)
     if existing and existing.get("complete") and existing.get("fingerprint") == fingerprint:
-        return rd.read_parquet(path, file_extensions=["parquet"])
+        return _read(path, existing.get("format", "parquet"))
 
     # stale or partial output: rebuild atomically (write to tmp, swap)
     tmp = path.rstrip("/") + ".tmp"
@@ -111,7 +129,8 @@ def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
             if os.path.isdir(full) and "=" in entry:
                 n_files = len([f for f in os.listdir(full) if f.endswith(".parquet")])
                 partitions.append({"key": entry, "files": n_files})
-    out = rd.read_parquet(tmp, file_extensions=["parquet"])
+    fmt = "lance" if (HAVE_LANCE and not partition_cols) else "parquet"
+    out = _read(tmp, fmt)
     row_count = out.count()
 
     import uuid
@@ -127,11 +146,11 @@ def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
         "inputs": inputs or [],
         "wall_time_sec": round(elapsed, 3),
         "metrics": metrics or {},
-        "format": "parquet",  # lance on deployments with the wheel
+        "format": fmt,  # lance on deployments with the wheel
     }
     with open(os.path.join(tmp, MANIFEST), "w") as fh:
         json.dump(doc, fh, indent=1)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
-    return rd.read_parquet(path, file_extensions=["parquet"])
+    return _read(path, fmt)

@@ -2,12 +2,18 @@
 # Multi-node launch path (north rule: "run via ray job submit on a
 # fixed-size multi-node Ray cluster at two cluster sizes, N and 4N").
 #
-# NOT runnable in the single-node sandbox (no ray cluster / dashboard);
-# it is the exact command a real deployment uses.  The sandbox evidence
-# for the two-cluster-size criterion is `python bench.py --scaling`,
-# which runs the same entrypoint at num_cpus=8 vs 32 in fresh processes
-# and reports throughput at both plus the scaling efficiency
-# (recorded in BASELINE.md).
+# NOT runnable verbatim in the sandbox: the `ray job` CLI/SDK requires
+# the ray[default] extra (HTTP job server), which this image does not
+# ship and cannot install (verified: `ray job list` raises RuntimeError
+# asking for ray[default]).  It is the exact command a real deployment
+# uses.  The sandbox exercises the launch mode underneath it with
+# scripts/cluster_scaling.py: a STANDING cluster via `ray start --head`
+# plus a separate attached driver process (RAY_ADDRESS /
+# ray.init(address='auto')) — which is precisely what a submitted job's
+# entrypoint runs as once the HTTP wrapper has placed it on the head
+# node — at 8 and 32 CPUs in fresh clusters, reporting both throughputs
+# plus the scaling efficiency.  `python bench.py --scaling` is the
+# in-process variant of the same protocol (recorded in BASELINE.md).
 #
 # Usage:
 #   RAY_ADDRESS=http://<head>:8265 ./scripts/submit_job.sh flagship \

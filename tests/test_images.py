@@ -54,12 +54,20 @@ class TestCodec:
         px = synth._pixels_for(9, 16, 16)
         assert np.array_equal(codec.raw_decode(codec.raw_encode(px), 16, 16), px)
 
-    def test_jpeg_stub(self):
+    def test_jpeg_payload_routing(self):
+        """fmt='jpeg' routes by magic: legacy FJPG container, the
+        engine's LJPG, and REAL baseline JFIF (round 4 — images/jpeg.py
+        replaced the former NotImplementedError stub); truncated JFIF
+        still fails loudly."""
         px = synth._pixels_for(1, 8, 8)
         blob = b"FJPG" + codec.raw_encode(px)
         assert np.array_equal(codec.decode_image(blob, "jpeg", 8, 8), px)
-        with pytest.raises(NotImplementedError):
-            codec.decode_image(b"\xff\xd8\xff\xe0real", "jpeg", 8, 8,
+        from cqi_ray.images import jpeg as _jpeg
+
+        real = _jpeg.jpeg_encode(synth._pixels_for(2, 16, 16), quality=95)
+        assert codec.decode_image(real, "jpeg", 16, 16).shape == (16, 16, 3)
+        with pytest.raises(ValueError):
+            codec.decode_image(b"\xff\xd8\xff\xe0truncated", "jpeg", 8, 8,
                                allow_fake_jpeg=True)
 
     def test_lossy_roundtrip_psnr(self):
