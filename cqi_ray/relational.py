@@ -71,6 +71,20 @@ def _auto_bucket_count(total_bytes: int, target: int) -> int:
                    max(_AUTO_BUCKET_MIN, -(-total_bytes // max(target, 1)))))
 
 
+def _concat_parts(parts: list) -> pd.DataFrame:
+    """Concat pieces, dropping zero-row frames first: empty pieces are
+    routine (a chunk with no rows for a bucket), and pandas both warns
+    on and (in future versions) changes dtype semantics for empty/all-NA
+    entries in a concat — excluding them up front keeps today's dtypes,
+    silences a per-task FutureWarning flood, and skips useless copies."""
+    nonempty = [p for p in parts if len(p)]
+    if not nonempty:
+        return parts[0]
+    if len(nonempty) == 1:
+        return nonempty[0]
+    return pd.concat(nonempty, ignore_index=True)
+
+
 def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
                         num_buckets: Optional[int] = None,
                         whole_bucket: bool = False,
@@ -327,7 +341,7 @@ def _split_by_keyhash(refs: list, key_cols: list, num_buckets: int):
     bucket split guard.  Pieces keep the '__gb' column so the shared
     per_bucket closure drops it as usual."""
     parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    b = _concat_parts(parts)
     gb = (_keyhash(b, key_cols) % np.uint64(num_buckets)).astype(np.int64)
     b = b.copy()
     b["__gb"] = gb
@@ -367,7 +381,7 @@ def _ckpt_commit_concat(refs: list, ckpt_dir: str, key: str, key_cols: list,
     output size, not input size) and commit them as that bucket's single
     checkpoint payload + sidecar."""
     parts = ray.get(list(refs))
-    out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    out = _concat_parts(parts)
     _ckpt_write_payload(ckpt_dir, key, key_cols, num_buckets, b, out, sec)
     return out
 
@@ -523,7 +537,7 @@ def _apply_bucket_task(fn, pieces: list) -> pd.DataFrame:
     """Concatenate one bucket's pieces in block order and apply ``fn``
     (the per_bucket closure — pickled by value with each task)."""
     parts = ray.get(list(pieces))
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    b = _concat_parts(parts)
     return fn(b)
 
 
@@ -705,8 +719,7 @@ def _apply_bucket_task_ckpt(fn, pieces: list, ckpt_dir: str, key: str,
     exists AND its payload row count matches, so a crash between the two
     writes just recomputes that bucket."""
     parts = ray.get(list(pieces))
-    frame = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
-        else parts[0]
+    frame = _concat_parts(parts)
     t0 = time.monotonic()
     out = fn(frame)
     sec = time.monotonic() - t0
@@ -721,7 +734,7 @@ def _split_by_int_col(refs: list, col: str, num_buckets: int):
     no-hash split for shuffles whose partition id is already a column
     (range partitioning, pre-computed cells)."""
     parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    b = _concat_parts(parts)
     h = np.clip(b[col].to_numpy(dtype=np.int64), 0, num_buckets - 1)
     order = np.argsort(h, kind="stable")
     bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
@@ -742,7 +755,7 @@ def _split_by_bucket(refs: list, on: str, num_buckets: int):
     put a ~5 s floor under the whole join; ~64 split tasks keep the
     piece count ~2k regardless of input block count."""
     parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    b = _concat_parts(parts)
     h = _hash_bucket(b[on].to_numpy(), num_buckets)
     order = np.argsort(h, kind="stable")
     bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
@@ -761,7 +774,7 @@ def _split_salted(refs: list, on: str, num_buckets: int, salts: int,
     salt = position % salts; right rows (side=1) are replicated once
     per salt.  Pieces bucket on hash(key) ^ salt and carry '__salt'."""
     parts = [_block_to_pandas(b) for b in ray.get(list(refs))]
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    b = _concat_parts(parts)
     if side == 0:
         salt = (np.arange(len(b)) % salts).astype(np.uint64)
         b = b.copy()
@@ -787,7 +800,7 @@ def _rank_range_task(part: int, pieces: list, off, value_col: str,
     ``off`` arrives resolved (top-level ObjectRef args dematerialize);
     ``pieces`` arrive as refs (refs nested in a list do not)."""
     parts = ray.get(list(pieces))
-    b = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    b = _concat_parts(parts)
     gs = b.sort_values([value_col, id_col], kind="mergesort")
     return pd.DataFrame({
         id_col: gs[id_col].to_numpy(),
@@ -806,12 +819,10 @@ def _join_bucket_task(on: str, right_cols: list, how: str,
     skew-spreading salted plan)."""
     lparts = ray.get(list(left_pieces))
     rparts = ray.get(list(right_pieces))
-    lhs = pd.concat(lparts, ignore_index=True) if len(lparts) > 1 \
-        else lparts[0]
+    lhs = _concat_parts(lparts)
     keep_r = list(right_cols) + ([salt_col] if salt_col else [])
     if rparts:
-        rhs = pd.concat(rparts, ignore_index=True) if len(rparts) > 1 \
-            else rparts[0]
+        rhs = _concat_parts(rparts)
         rhs = rhs[[c for c in keep_r if c in rhs.columns]]
     else:
         rhs = pd.DataFrame(columns=keep_r)
