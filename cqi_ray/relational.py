@@ -442,14 +442,24 @@ def _run_task_shuffle(ds: rd.Dataset, key_cols: list, per_bucket,
     waves = []
     chunk: list = []
     chunk_bytes = 0
+    chunk_target = _SPLIT_CHUNK_BYTES
+    chunk_blocks = _SPLIT_CHUNK_BLOCKS
 
     def _flush():
-        nonlocal chunk, chunk_bytes
+        nonlocal chunk, chunk_bytes, chunk_target, chunk_blocks
         if chunk:
             split = _split_by_keyhash.options(num_returns=B + 1)
             waves.append(split.remote(list(chunk), key_cols, B))
             chunk = []
             chunk_bytes = 0
+            if len(waves) % 64 == 0:
+                # piece-object count is waves x B; unbounded chunk count
+                # at huge inputs would reintroduce the 4096+-object
+                # scheduling floor _chunk_refs was built to avoid —
+                # grow the chunk granularity geometrically instead, so
+                # waves stay O(64 log(input/64*chunk)) at any size
+                chunk_target *= 2
+                chunk_blocks *= 2
 
     if B is None:
         # auto sizing: observe the whole stream first (refs held until
@@ -462,8 +472,7 @@ def _run_task_shuffle(ds: rd.Dataset, key_cols: list, per_bucket,
         for ref, nb in pending:
             chunk.append(ref)
             chunk_bytes += nb
-            if (chunk_bytes >= _SPLIT_CHUNK_BYTES
-                    or len(chunk) >= _SPLIT_CHUNK_BLOCKS):
+            if chunk_bytes >= chunk_target or len(chunk) >= chunk_blocks:
                 _flush()
         _flush()
         del pending
@@ -474,8 +483,7 @@ def _run_task_shuffle(ds: rd.Dataset, key_cols: list, per_bucket,
         for ref, nb in _iter_block_refs(ds):
             chunk.append(ref)
             chunk_bytes += nb
-            if (chunk_bytes >= _SPLIT_CHUNK_BYTES
-                    or len(chunk) >= _SPLIT_CHUNK_BLOCKS):
+            if chunk_bytes >= chunk_target or len(chunk) >= chunk_blocks:
                 _flush()
         _flush()
     if not waves:
@@ -857,14 +865,17 @@ def _stream_split_waves(ds: rd.Dataset, on: str, B: int) -> list:
     consume them).  Returns the list of wave handles (each ``B + 1``
     refs: B pieces + stats)."""
     waves, chunk, chunk_bytes = [], [], 0
+    target, blocks = _SPLIT_CHUNK_BYTES, _SPLIT_CHUNK_BLOCKS
     split = _split_by_bucket.options(num_returns=B + 1)
     for ref, nb in _iter_block_refs(ds):
         chunk.append(ref)
         chunk_bytes += nb
-        if (chunk_bytes >= _SPLIT_CHUNK_BYTES
-                or len(chunk) >= _SPLIT_CHUNK_BLOCKS):
+        if chunk_bytes >= target or len(chunk) >= blocks:
             waves.append(split.remote(list(chunk), on, B))
             chunk, chunk_bytes = [], 0
+            if len(waves) % 64 == 0:
+                target *= 2  # bound wave count at any input size
+                blocks *= 2
     if chunk:
         waves.append(split.remote(list(chunk), on, B))
     return waves
@@ -910,12 +921,16 @@ def task_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         B = _auto_bucket_count(total, target)
         split = _split_by_bucket.options(num_returns=B + 1)
         lp, chunk, cb = [], [], 0
+        tgt, blk = _SPLIT_CHUNK_BYTES, _SPLIT_CHUNK_BLOCKS
         for ref, nb in l_pending:
             chunk.append(ref)
             cb += nb
-            if cb >= _SPLIT_CHUNK_BYTES or len(chunk) >= _SPLIT_CHUNK_BLOCKS:
+            if cb >= tgt or len(chunk) >= blk:
                 lp.append(split.remote(list(chunk), on, B))
                 chunk, cb = [], 0
+                if len(lp) % 64 == 0:
+                    tgt *= 2
+                    blk *= 2
         if chunk:
             lp.append(split.remote(list(chunk), on, B))
         del l_pending
