@@ -158,6 +158,10 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # Drop consumed bits: without this the accumulator grows into an
+        # unbounded bigint over the whole entropy-coded segment and decode
+        # degrades to O(scan_bytes^2).
+        self.acc &= (1 << self.nbits) - 1
         return out
 
     def decode_symbol(self, table: _HuffTable) -> int:
@@ -365,6 +369,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # Drop emitted bits so the accumulator stays a machine int
+        # (unmasked it grows O(stream) and encode turns quadratic).
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:

@@ -267,7 +267,7 @@ def embedding_lsh_pairs(ds, threshold: float = 0.9, n_tables: int = 8,
     banded = ds.map_batches(band, batch_format="pandas")
     cands = grouped_map_buckets(banded, ["table", "bucket"], bucket_pairs,
                                 num_buckets=num_buckets, whole_bucket=True)
-    cands = distinct_rows(cands, ["a", "b"], num_buckets=16)
+    cands = distinct_rows(cands, ["a", "b"])
 
     # vectors travel the pair joins as raw float32 bytes: the join's
     # union shuffle NaN-fills the other side's columns, which Ray's

@@ -65,7 +65,7 @@ def _key_hash(sub: pd.Series, la: int, seg: int) -> np.ndarray:
     return _splitmix64(h ^ np.uint64(la * 131 + seg)).astype(np.int64)
 
 
-def collapse_piles(pref: rd.Dataset, num_buckets: int = 16):
+def collapse_piles(pref: rd.Dataset, num_buckets=None):
     """(doc_id, prefix, plen) -> (reps, members): one representative row
     per distinct prefix (min doc_id), plus the full (rep_id, doc_id)
     pile map.  ONE bucketed shuffle on the prefix."""
@@ -182,11 +182,11 @@ def passjoin_rep_pairs(reps: rd.Dataset, k: int, min_len: int,
                                    whole_bucket=True)
     # a pair can match on several segment keys (different buckets):
     # one global DISTINCT collapses the identical (id_a, id_b, dist) rows
-    return distinct_rows(verified, ["id_a", "id_b", "dist"], num_buckets=8)
+    return distinct_rows(verified, ["id_a", "id_b", "dist"])
 
 
 def expand_pile_pairs(rep_pairs: rd.Dataset, piles: rd.Dataset,
-                      num_buckets: int = 16) -> rd.Dataset:
+                      num_buckets=None) -> rd.Dataset:
     """rep-level (id_a, id_b, dist) -> member-level pairs: cross-pile
     pairs via two bucketed hash joins on the pile map, plus the
     all-pairs (dist 0) inside every pile of size > 1."""

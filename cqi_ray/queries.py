@@ -268,7 +268,7 @@ def q_sessionize(sf_dir: str, gap_sec: int = 1800):
     # bucket shuffle stays Arrow-native: measured 3.7x faster than forcing
     # pandas blocks through the sort (scripts/shuffle_experiment.py)
     return grouped_map_buckets(events, ["user_id"], sessions,
-                               num_buckets=32, whole_bucket=True,
+                               num_buckets=None, whole_bucket=True,
                                shuffle_format="pyarrow")
 
 
@@ -365,7 +365,7 @@ def q_grouped_topn(sf_dir: str, n: int = 2):
 
     pruned = orders.map_batches(partial, batch_format="pandas")
     return grouped_map_buckets(pruned, ["o_custkey"], topn,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_GROUPED_TOPN_SQL = """
@@ -384,7 +384,7 @@ def q_count_distinct(sf_dir: str):
     partial counts -> tiny global sum.  No driver-side set, no global
     sort."""
     events = _pq(sf_dir, "events", columns=["event_type", "user_id"])
-    uniq = distinct_rows(events, ["event_type", "user_id"], num_buckets=16)
+    uniq = distinct_rows(events, ["event_type", "user_id"], num_buckets=None)
     agg = partial_then_global_sum(uniq, keys=["event_type"], sums={},
                                   counts="n_users")
     return agg.map_batches(lambda b: b.astype({"n_users": "int64"}),
@@ -486,7 +486,7 @@ def q_group_quantiles(sf_dir: str):
         return pd.DataFrame(out)
 
     return grouped_map_buckets(li, ["l_returnflag"], quantiles,
-                               num_buckets=8, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_GROUP_QUANTILES_SQL = """
@@ -677,7 +677,7 @@ def q_delta_dedup(sf_dir: str):
         lambda b: b.loc[b["doc_id"] % 5 != 0, ["content_md5"]],
         batch_format="pandas")
     out = bucketed_anti_join(incoming, corpus, on="content_md5",
-                             num_buckets=16)
+                             num_buckets=None)
     # the anti join's union shuffle NaN-fills the right side's missing
     # doc_id, upcasting it to float64 — restore the key dtype
     return out.map_batches(
@@ -825,7 +825,7 @@ def minhash_near_dup_pairs(docs: rd.Dataset, bands: int = 16,
                                 bucket_pairs, num_buckets=64,
                                 whole_bucket=True)
     # same pair can surface from several bands -> distinct before the joins
-    cands = distinct_rows(cands, ["a", "b"], num_buckets=16)
+    cands = distinct_rows(cands, ["a", "b"], num_buckets=None)
 
     # attach both texts via co-partitioned joins (documents shuffled once
     # per side, pruned to (doc_id, text))
@@ -954,7 +954,7 @@ def q_dedup_ngram(sf_dir: str, n: int = 3, threshold: float = 0.5):
 
     return grouped_map_buckets(
         docs.map_batches(bucketize, batch_format="pandas"),
-        ["bucket"], verify, num_buckets=32)
+        ["bucket"], verify, num_buckets=None)
 
 
 Q_DEDUP_NGRAM_SQL = """
@@ -1096,7 +1096,7 @@ def q_dedup_phash_images(sf_dir: str, max_hamming: int = 10):
         images.map_batches(to_bands, batch_format="pandas"),
         ["band_id", "band_hash"], verify_bucket, num_buckets=64,
         whole_bucket=True)
-    return distinct_rows(pairs, ["a", "b"], num_buckets=16)
+    return distinct_rows(pairs, ["a", "b"], num_buckets=None)
 
 
 Q_DEDUP_PHASH_SQL = f"""
@@ -1935,7 +1935,7 @@ def q_asof_join(sf_dir: str):
     clicks = _event_side(sf_dir, "click", kind=1)
     purchases = _event_side(sf_dir, "purchase", kind=0)
     out = grouped_map_buckets(clicks.union(purchases), ["key"],
-                              asof_last_prior, num_buckets=32,
+                              asof_last_prior, num_buckets=None,
                               whole_bucket=True)
     return out.map_batches(
         lambda b: b.rename(columns={"row_id": "event_id",
@@ -1964,7 +1964,7 @@ def q_range_join(sf_dir: str, window_s: int = 3600):
     out = grouped_map_buckets(
         clicks.union(views), ["key"],
         lambda b: range_count(b, window_us=window_s * 1_000_000),
-        num_buckets=32, whole_bucket=True)
+        num_buckets=None, whole_bucket=True)
     return out.map_batches(
         lambda b: b.rename(columns={"row_id": "event_id",
                                     "n_in_window": "n_views_1h"}),
@@ -2237,7 +2237,7 @@ def q_hex_bin(sf_dir: str, limit: int = 500, size_m: float = 100.0):
 
     counts = partial_then_global_sum(
         docs.map_batches(cells_partial, batch_format="pandas"),
-        keys=["cell"], sums={"n": "n_images"}, num_buckets=8)
+        keys=["cell"], sums={"n": "n_images"}, num_buckets=None)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         cell = b["cell"].to_numpy(dtype=np.int64)
@@ -2452,7 +2452,7 @@ def q_window_running(sf_dir: str):
         return b[["event_id", "user_id", "run_cents", "rn"]]
 
     return grouped_map_buckets(events, ["user_id"], running,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_WINDOW_RUNNING_SQL = """
@@ -2475,7 +2475,7 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
 
     li = _pq(sf_dir, "lineitem", columns=["l_partkey"])
     counts = partial_then_global_sum(li, keys=["l_partkey"], sums={},
-                                     counts="cnt", num_buckets=16)
+                                     counts="cnt", num_buckets=None)
 
     def block_head(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
@@ -2542,7 +2542,7 @@ def q_pivot_counts(sf_dir: str):
                  columns=["o_orderpriority", "o_orderstatus"])
     agg = partial_then_global_sum(
         orders, keys=["o_orderpriority", "o_orderstatus"], sums={},
-        counts="n", num_buckets=4).to_pandas()
+        counts="n", num_buckets=None).to_pandas()
     wide = agg.pivot_table(index="o_orderpriority", columns="o_orderstatus",
                            values="n", fill_value=0, aggfunc="sum")
     wide = wide.reindex(columns=["F", "O", "P"], fill_value=0)
@@ -2601,7 +2601,7 @@ def q_string_agg(sf_dir: str):
         return out.rename(columns={"s_name": "names"})
 
     return grouped_map_buckets(sup, ["s_nationkey"], agg,
-                               num_buckets=8, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_STRING_AGG_SQL = """
@@ -2777,7 +2777,7 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
                           batch_size=None)
     df = partial_then_global_sum(
         tf.map_batches(lambda b: b[["term"]], batch_format="pandas"),
-        keys=["term"], sums={}, counts="df", num_buckets=16)
+        keys=["term"], sums={}, counts="df", num_buckets=None)
     scored = bucketed_hash_join(tf, df, on="term",
                                 right_cols=["term", "df"], num_buckets=16)
 
@@ -2813,7 +2813,7 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
 
     pruned = scored.map_batches(head, batch_format="pandas")
     return grouped_map_buckets(pruned, ["doc_id"], topk,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_TFIDF_TOPK_SQL = """
@@ -2926,7 +2926,7 @@ def q_window_rank(sf_dir: str, n: int = 2):
 
     pruned = li.map_batches(partial, batch_format="pandas")
     return grouped_map_buckets(pruned, ["l_suppkey"], rank_bucket,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_WINDOW_RANK_SQL = """
@@ -3019,7 +3019,7 @@ def q_group_mode(sf_dir: str):
         return b
 
     return grouped_map_buckets(counts, ["o_custkey"], argmax,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_GROUP_MODE_SQL = """
@@ -3223,7 +3223,7 @@ def q_lag_diff(sf_dir: str):
         return b[["event_id", "user_id", "delta_cents"]]
 
     return grouped_map_buckets(events, ["user_id"], lag,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_LAG_DIFF_SQL = """
@@ -3258,7 +3258,7 @@ def q_rolling_mean(sf_dir: str, window: int = 4):
         return b[["event_id", "user_id", "roll_mean"]]
 
     return grouped_map_buckets(events, ["user_id"], roll,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ROLLING_MEAN_SQL = """
@@ -3297,7 +3297,7 @@ def q_label_centroids(sf_dir: str):
                             batch_size=None)
     agg = partial_then_global_sum(parts, keys=["label", "dim"],
                                   sums={"vsum": "vsum", "n": "n"},
-                                  num_buckets=8)
+                                  num_buckets=None)
     return agg.map_batches(
         lambda b: pd.DataFrame({
             "label": b["label"].astype("int64"),
@@ -3682,9 +3682,9 @@ def q_dedup_orientation(sf_dir: str, limit: int = 200, max_hamming: int = 6):
 
     pairs = grouped_map_buckets(
         union.map_batches(to_bands, batch_format="pandas"),
-        ["band_id", "band_hash"], verify_bucket, num_buckets=32,
+        ["band_id", "band_hash"], verify_bucket, num_buckets=None,
         whole_bucket=True)
-    return distinct_rows(pairs, ["aug", "orig"], num_buckets=8)
+    return distinct_rows(pairs, ["aug", "orig"], num_buckets=None)
 
 
 def q_shards_roundtrip(sf_dir: str, limit: int = 256,
@@ -3835,7 +3835,7 @@ def q_passage_dedup(sf_dir: str, passage_words: int = 8):
         return win.drop(columns=["_ord"])
 
     kept = grouped_map_buckets(occ, ["passage"], keep_first,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
     def reassemble(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
@@ -3853,7 +3853,7 @@ def q_passage_dedup(sf_dir: str, passage_words: int = 8):
         })
 
     return grouped_map_buckets(kept, ["doc_id"], reassemble,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_PASSAGE_DEDUP_SQL = """
@@ -4231,7 +4231,7 @@ def q_arg_extremum(sf_dir: str):
 
     parts = ev.map_batches(partial, batch_format="pandas")
     return grouped_map_buckets(parts, ["user_id"], merge_bucket,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ARG_EXTREMUM_SQL = """
@@ -4442,7 +4442,7 @@ def q_bigram_counts(sf_dir: str, k: int = 20):
 
     parts = docs.map_batches(partial, batch_format="pandas")
     cand = grouped_map_buckets(parts, ["bg"], bucket_sum,
-                               num_buckets=32, whole_bucket=True).to_pandas()
+                               num_buckets=None, whole_bucket=True).to_pandas()
     top = cand.sort_values(["n", "bg"], ascending=[False, True],
                            kind="mergesort").head(k).reset_index(drop=True)
     top["n"] = top["n"].astype("int64")
@@ -4629,7 +4629,7 @@ def q_funnel(sf_dir: str, window_h: int = 24):
         return out.groupby("user_id", as_index=False)["min_lag_us"].min()
 
     return grouped_map_buckets(ev, ["user_id"], fold,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_FUNNEL_SQL = """
@@ -4678,7 +4678,7 @@ def q_rolling_time(sf_dir: str, window_h: int = 1):
                              "roll_mean_1h": np.round(mean, 6)})
 
     return grouped_map_buckets(events, ["user_id"], roll,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ROLLING_TIME_SQL = """
@@ -4712,7 +4712,7 @@ def q_transitions(sf_dir: str):
                              "to_type": nxt[keep]})
 
     p = grouped_map_buckets(events, ["user_id"], pairs,
-                            num_buckets=32, whole_bucket=True)
+                            num_buckets=None, whole_bucket=True)
     return partial_then_global_sum(p, keys=["from_type", "to_type"],
                                    sums={}, counts="n")
 
@@ -4753,7 +4753,7 @@ def q_retention(sf_dir: str):
 
     first = grouped_map_buckets(
         events.map_batches(first_partial, batch_format="pandas"),
-        ["user_id"], first_reduce, num_buckets=16,
+        ["user_id"], first_reduce, num_buckets=None,
         whole_bucket=True).to_pandas()  # O(distinct users): bounded
     lut = pd.DataFrame({
         "user_id": first["user_id"].to_numpy(),
@@ -4772,7 +4772,7 @@ def q_retention(sf_dir: str):
 
     triples = distinct_rows(
         joined.map_batches(cells, batch_format="pandas"),
-        ["user_id", "cohort_week", "week_offset"], num_buckets=16)
+        ["user_id", "cohort_week", "week_offset"], num_buckets=None)
     return partial_then_global_sum(
         triples, keys=["cohort_week", "week_offset"],
         sums={}, counts="n_users")
@@ -4817,7 +4817,7 @@ def q_debounce(sf_dir: str, gap_s: int = 300):
         return out
 
     return grouped_map_buckets(events, ["user_id"], debounce,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_DEBOUNCE_SQL = """
@@ -4894,7 +4894,7 @@ def q_resample(sf_dir: str):
             "week": w, "value": vals})
 
     return grouped_map_buckets(events, ["user_id"], resample,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_RESAMPLE_SQL = """
@@ -4941,7 +4941,7 @@ def q_group_mad(sf_dir: str):
         return agg
 
     return grouped_map_buckets(events, ["user_id"], fold,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_GROUP_MAD_SQL = """
@@ -4991,7 +4991,7 @@ def q_anomalies(sf_dir: str, window_h: int = 1, sigma: float = 1.1):
                              "user_id": b["user_id"].to_numpy()[hot]})
 
     return grouped_map_buckets(events, ["user_id"], detect,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ANOMALIES_SQL = """
@@ -5085,7 +5085,7 @@ def q_pca(sf_dir: str, k: int = 2):
                             batch_size=None)
     agg = partial_then_global_sum(parts, keys=["i", "j"],
                                   sums={"val": "val"},
-                                  num_buckets=8).to_pandas()
+                                  num_buckets=None).to_pandas()
     n = float(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "val"].iloc[0])
     srows = agg[(agg["i"] == -1) & (agg["j"] >= 0)].sort_values("j")
     mu = srows["val"].to_numpy() / n
@@ -5147,7 +5147,7 @@ def q_inverted_index(sf_dir: str):
             "df": g.size().to_numpy(dtype=np.int64)})
 
     return grouped_map_buckets(pairs, ["term"], fold,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_INVERTED_INDEX_SQL = """
@@ -5325,7 +5325,7 @@ def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
         lambda b: pd.DataFrame({"src": b["l_suppkey"].astype("int64"),
                                 "dst": b["dst"].astype("int64")}),
         batch_format="pandas")
-    edges = distinct_rows(edges, ["src", "dst"], num_buckets=16)
+    edges = distinct_rows(edges, ["src", "dst"], num_buckets=None)
 
     def _node_col(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate(
@@ -5333,7 +5333,7 @@ def q_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
              b["dst"].to_numpy(dtype=np.int64)])})
 
     nodes = distinct_rows(edges.map_batches(_node_col, batch_format="pandas"),
-                          ["node"], num_buckets=8).materialize()
+                          ["node"], num_buckets=None).materialize()
     n_nodes = nodes.count()
     teleport = (1.0 - damping) / n_nodes
 
@@ -5522,7 +5522,7 @@ def q_bfs_hops(sf_dir: str, max_hops: int = 3):
              b["b"].to_numpy(dtype=np.int64)])})
 
     nodes = distinct_rows(edges.map_batches(_node_col, batch_format="pandas"),
-                          ["node"], num_buckets=8)
+                          ["node"], num_buckets=None)
     node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
     n = len(node_arr)
     nref = ray.put(node_arr)
@@ -5657,7 +5657,7 @@ def q_zonal_stats(sf_dir: str):
 
     partials = events.map_batches(partial, batch_format="pandas")
     return grouped_map_buckets(partials, ["cell"], combine,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ZONAL_STATS_SQL = f"""
@@ -5741,7 +5741,7 @@ def q_window_lead(sf_dir: str):
                   "first_cents", "last_cents"]]
 
     return grouped_map_buckets(events, ["user_id"], lead,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_WINDOW_LEAD_SQL = """
@@ -5794,13 +5794,13 @@ def q_edit_distance(sf_dir: str, k: int = 2, prefix_chars: int = 24):
 
     pref = docs.map_batches(prefixes, batch_format="pandas")
     longs = pref.filter(expr=f"plen >= {min_len}")
-    both = collapse_piles(longs, num_buckets=16).materialize()
+    both = collapse_piles(longs, num_buckets=None).materialize()
     reps = both.filter(expr="is_rep == True") \
         .select_columns(["rep_id", "prefix", "plen"])
     piles = both.select_columns(["rep_id", "doc_id"])
     rep_pairs = passjoin_rep_pairs(reps, k=k, min_len=min_len,
                                    num_buckets=32)
-    main = expand_pile_pairs(rep_pairs, piles, num_buckets=16)
+    main = expand_pile_pairs(rep_pairs, piles, num_buckets=None)
 
     # degenerate short prefixes: bounded set, broadcast vs every doc
     shorts = pref.filter(expr=f"plen < {min_len}").to_pandas()
@@ -5842,7 +5842,7 @@ def q_edit_distance(sf_dir: str, k: int = 2, prefix_chars: int = 24):
 
     extra = distinct_rows(
         pref.map_batches(ShortVerify(), batch_format="pandas"),
-        ["id_a", "id_b", "dist"], num_buckets=4)
+        ["id_a", "id_b", "dist"], num_buckets=None)
     return main.union(extra)
 
 
@@ -5878,7 +5878,7 @@ def q_rolling_max(sf_dir: str, window: int = 4):
         return b[["event_id", "user_id", "roll_max_cents"]]
 
     return grouped_map_buckets(events, ["user_id"], roll,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ROLLING_MAX_SQL = """
@@ -5972,7 +5972,7 @@ def q_cell_kring(sf_dir: str):
 
     counts = partial_then_global_sum(
         events.map_batches(to_cells, batch_format="pandas"),
-        keys=["ix", "iy"], sums={}, counts="n", num_buckets=8)
+        keys=["ix", "iy"], sums={}, counts="n", num_buckets=None)
 
     def fan9(b: pd.DataFrame) -> pd.DataFrame:
         ix = b["ix"].to_numpy(dtype=np.int64)
@@ -5987,7 +5987,7 @@ def q_cell_kring(sf_dir: str):
 
     ring = partial_then_global_sum(
         counts.map_batches(fan9, batch_format="pandas"),
-        keys=["ix", "iy"], sums={"n": "kring_n"}, num_buckets=8)
+        keys=["ix", "iy"], sums={"n": "kring_n"}, num_buckets=None)
     # keep only occupied cells: co-partitioned join on (cell id)
     occ = counts.map_batches(
         lambda b: pd.DataFrame({
@@ -6128,7 +6128,7 @@ def q_segment_join(sf_dir: str, cell: int = 64):
                              "s_suppkey": np.concatenate(out_s)})
 
     return grouped_map_buckets(fanned, ["cx", "cy"], per_cell,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_SEGMENT_JOIN_SQL = """
@@ -6184,10 +6184,10 @@ def q_od_flows(sf_dir: str):
             .rename(columns={"size": "n_trips"})
 
     trips = grouped_map_buckets(events, ["user_id"], lagged,
-                                num_buckets=32, whole_bucket=True)
+                                num_buckets=None, whole_bucket=True)
     return partial_then_global_sum(trips, keys=["from_cell", "to_cell"],
                                    sums={"n_trips": "n_trips"},
-                                   num_buckets=8)
+                                   num_buckets=None)
 
 
 Q_OD_FLOWS_SQL = f"""
@@ -6239,7 +6239,7 @@ def q_interval_overlap(sf_dir: str, window_min: int = 30):
         return out[out["n_overlaps"] > 0]
 
     return grouped_map_buckets(events, ["user_id"], count,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_INTERVAL_OVERLAP_SQL = """
@@ -6260,7 +6260,7 @@ def q_group_entropy(sf_dir: str):
     one bucketed pass, rounded to 6 dp on both engines."""
     events = _pq(sf_dir, "events", columns=["user_id", "event_type"])
     counts = partial_then_global_sum(events, keys=["user_id", "event_type"],
-                                     sums={}, counts="c", num_buckets=16)
+                                     sums={}, counts="c", num_buckets=None)
 
     def entropy(bucket: pd.DataFrame) -> pd.DataFrame:
         if not len(bucket):
@@ -6277,7 +6277,7 @@ def q_group_entropy(sf_dir: str):
                                 6)})
 
     return grouped_map_buckets(counts, ["user_id"], entropy,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_GROUP_ENTROPY_SQL = """
@@ -6356,7 +6356,7 @@ def q_join_anti(sf_dir: str):
     keys = urgent.map_batches(
         lambda b: pd.DataFrame({"c_custkey": b["o_custkey"].astype("int64")}),
         batch_format="pandas")
-    return bucketed_anti_join(customer, keys, on="c_custkey", num_buckets=16)
+    return bucketed_anti_join(customer, keys, on="c_custkey", num_buckets=None)
 
 
 Q_JOIN_ANTI_SQL = """
@@ -6402,10 +6402,10 @@ def q_pmi_pairs(sf_dir: str, min_support: int = 2):
                                       np.full(len(sizes), -1, np.int64)])})
 
     rows = grouped_map_buckets(li, ["l_orderkey"], emit,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
     counts = partial_then_global_sum(rows, keys=["part_a", "part_b"],
                                      sums={}, counts="n",
-                                     num_buckets=16).materialize()
+                                     num_buckets=None).materialize()
     n_orders = int(counts.filter(expr="part_a == -1 and part_b == -1")
                    .to_pandas()["n"].iloc[0])
     marg = counts.filter(expr="part_a >= 0 and part_b == -1") \
@@ -6612,7 +6612,7 @@ def q_ewma(sf_dir: str, alpha: float = 0.5):
             "ewma": out[urow, pos]})
 
     return grouped_map_buckets(events, ["user_id"], scan,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_EWMA_SQL = """
@@ -6668,7 +6668,7 @@ def q_islands(sf_dir: str):
             "n_events": sizes.astype(np.int64)})
 
     return grouped_map_buckets(events, ["user_id"], islands,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ISLANDS_SQL = """
@@ -6719,7 +6719,7 @@ def q_naive_bayes(sf_dir: str, vocab_cap: int = 1_000_000):
 
     model_ds = partial_then_global_sum(
         docs.map_batches(lt_counts, batch_format="pandas"),
-        keys=["lang", "token"], sums={"tf": "tf"}, num_buckets=16)
+        keys=["lang", "token"], sums={"tf": "tf"}, num_buckets=None)
     model, _ = cap_token_table(model_ds, keys=["lang"], cap=vocab_cap,
                                token_col="token", weight_col="tf")
 
@@ -6842,7 +6842,7 @@ def q_chi2_terms(sf_dir: str, k: int = 10):
 
     pres = partial_then_global_sum(
         docs.map_batches(presence, batch_format="pandas"),
-        keys=["lang", "token"], sums={"a": "a"}, num_buckets=16) \
+        keys=["lang", "token"], sums={"a": "a"}, num_buckets=None) \
         .materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -6851,7 +6851,7 @@ def q_chi2_terms(sf_dir: str, k: int = 10):
 
     dfs = partial_then_global_sum(
         pres.map_batches(df_partial, batch_format="pandas"),
-        keys=["token"], sums={"df": "df"}, num_buckets=16)
+        keys=["token"], sums={"df": "df"}, num_buckets=None)
 
     nd = docs.map_batches(
         lambda b: b.groupby("lang", as_index=False, sort=False).size()
@@ -7009,7 +7009,7 @@ def q_raster_cc(sf_dir: str, width: int = 256, tile: int = 64):
 
     eq = grouped_map_buckets(
         rows.filter(expr="kind > 0"), ["a"], pair_bucket,
-        num_buckets=16, whole_bucket=True).to_pandas()
+        num_buckets=None, whole_bucket=True).to_pandas()
     rootmap = merge_equivalences(
         zip(eq["u"], eq["v"]) if "u" in eq.columns else ())
 
@@ -7097,7 +7097,7 @@ def q_dedup_keep_best(sf_dir: str):
                              "keep_id": keep_id.astype("int64")})
 
     return grouped_map_buckets(j, ["component"], keep,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_DEDUP_KEEP_BEST_SQL = """
@@ -7198,7 +7198,7 @@ def q_group_regression(sf_dir: str):
         keys=["p_brand"],
         sums={"n": "n", "sx": "sx", "sy": "sy", "sxx": "sxx",
               "sxy": "sxy"},
-        num_buckets=8)
+        num_buckets=None)
 
     def fit(b: pd.DataFrame) -> pd.DataFrame:
         n = b["n"].to_numpy(dtype=np.float64)
@@ -7259,7 +7259,7 @@ def q_target_encode(sf_dir: str):
     stats = partial_then_global_sum(
         orders.map_batches(cents_partial, batch_format="pandas"),
         keys=["o_orderpriority"], sums={"s_cents": "s_cents", "n": "n"},
-        num_buckets=4).to_pandas()
+        num_buckets=None).to_pandas()
     stats["s_cents"] = stats["s_cents"].astype("int64")
     stats["n"] = stats["n"].astype("int64")
     ref = ray.put(stats)
@@ -7337,7 +7337,7 @@ def q_twa(sf_dir: str):
             "n_segments": (sizes[keep] - 1).astype(np.int64)})
 
     return grouped_map_buckets(events, ["user_id"], twa,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_TWA_SQL = """
@@ -7400,7 +7400,7 @@ def q_bearing_stats(sf_dir: str):
             "n_moves": n[keep]})
 
     return grouped_map_buckets(events, ["user_id"], bearings,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_BEARING_STATS_SQL = """
@@ -7462,11 +7462,11 @@ def q_profile_table(sf_dir: str):
 
     uniq = partial_then_global_sum(
         li.map_batches(distinct_partial, batch_format="pandas"),
-        keys=["col", "v"], sums={}, counts="cnt", num_buckets=16)
+        keys=["col", "v"], sums={}, counts="cnt", num_buckets=None)
     nd = partial_then_global_sum(
         uniq.select_columns(["col"]).map_batches(
             lambda b: b.assign(one=np.int64(1)), batch_format="pandas"),
-        keys=["col"], sums={"one": "n_distinct"}, num_buckets=4) \
+        keys=["col"], sums={"one": "n_distinct"}, num_buckets=None) \
         .to_pandas()
 
     out = stats.merge(nd[["col", "n_distinct"]], on="col") \
@@ -7528,7 +7528,7 @@ def q_surprisal(sf_dir: str, vocab_cap: int = 1_000_000):
 
     counts_ds = partial_then_global_sum(
         docs.map_batches(tok_counts, batch_format="pandas"),
-        keys=["token"], sums={"n": "n"}, num_buckets=16)
+        keys=["token"], sums={"n": "n"}, num_buckets=None)
     counts, _ = cap_token_table(counts_ds, keys=[], cap=vocab_cap,
                                 token_col="token", weight_col="n")
     total = float(counts["n"].sum())
@@ -7601,7 +7601,7 @@ def q_quadtree(sf_dir: str, cap: int = 6):
 
     counts = partial_then_global_sum(
         events.map_batches(fan, batch_format="pandas"),
-        keys=["level", "cx", "cy"], sums={"n": "n"}, num_buckets=16)
+        keys=["level", "cx", "cy"], sums={"n": "n"}, num_buckets=None)
 
     def add_top(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -7634,7 +7634,7 @@ def q_quadtree(sf_dir: str, cap: int = 6):
     return grouped_map_buckets(counts.map_batches(add_top,
                                                   batch_format="pandas"),
                                ["top_key"], split_rule,
-                               num_buckets=16, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_QUADTREE_SQL = """
@@ -7819,7 +7819,7 @@ def q_bbox_join(sf_dir: str, cell: int = 64):
             else pd.DataFrame(_OUT)
 
     return grouped_map_buckets(rows, ["cell_id"], per_cell,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_BBOX_JOIN_SQL = """
@@ -7893,7 +7893,7 @@ def q_hull(sf_dir: str):
             "area": np.asarray(out["area"], dtype=np.float64)})
 
     return grouped_map_buckets(events, ["user_id"], hulls,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 # Convex hull replay in exact integer arithmetic: (a,b) is a directed
@@ -8035,7 +8035,7 @@ def q_cusum(sf_dir: str):
                              "dev": dev})
 
     return grouped_map_buckets(events, ["user_id"], cusum,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_CUSUM_SQL = """
@@ -8101,7 +8101,7 @@ def q_feature_snapshot(sf_dir: str):
         return wide
 
     return grouped_map_buckets(events, ["user_id"], snap,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_FEATURE_SNAPSHOT_SQL = """
@@ -8153,7 +8153,7 @@ def q_source_drift(sf_dir: str, vocab_cap: int = 1_000_000):
 
     counts_ds = partial_then_global_sum(
         docs.map_batches(st_counts, batch_format="pandas"),
-        keys=["source", "token"], sums={"n": "n"}, num_buckets=16)
+        keys=["source", "token"], sums={"n": "n"}, num_buckets=None)
     counts, _ = cap_token_table(counts_ds, keys=["source"], cap=vocab_cap,
                                 token_col="token", weight_col="n")
     sources = sorted(counts["source"].unique())
@@ -8231,7 +8231,7 @@ def q_rolling_median(sf_dir: str, k: int = 5):
             "med": med})
 
     return grouped_map_buckets(events, ["user_id"], roll,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_ROLLING_MEDIAN_SQL = """
@@ -8263,7 +8263,7 @@ def q_wow_change(sf_dir: str):
 
     agg = partial_then_global_sum(
         events.map_batches(fan, batch_format="pandas"),
-        keys=["event_type", "week"], sums={"n": "n"}, num_buckets=8) \
+        keys=["event_type", "week"], sums={"n": "n"}, num_buckets=None) \
         .to_pandas().sort_values(["event_type", "week"]) \
         .reset_index(drop=True)
     prev = agg.groupby("event_type", sort=False)["n"].shift(1)
@@ -8471,7 +8471,7 @@ def q_interval_sweep(sf_dir: str):
 
     rows = events.map_batches(iv, batch_format="pandas")
     return grouped_map_buckets(rows, ["event_type"], sweep,
-                               num_buckets=8, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_INTERVAL_SWEEP_SQL = """
@@ -8546,7 +8546,7 @@ def q_checksums(sf_dir: str, buckets: int = 64):
 
     parts = orders.map_batches(partial, batch_format="pandas")
     return grouped_map_buckets(parts, ["bucket"], reduce_bucket,
-                               num_buckets=8, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_CHECKSUMS_SQL = """
@@ -8582,7 +8582,7 @@ def q_wilson_rate(sf_dir: str, thresh: float = 50.0, z: float = 1.96):
     agg = partial_then_global_sum(
         events.map_batches(partial, batch_format="pandas"),
         keys=["event_type"], sums={"succ": "succ", "n": "n"},
-        num_buckets=4)
+        num_buckets=None)
 
     def wilson(b: pd.DataFrame) -> pd.DataFrame:
         s = b["succ"].to_numpy(dtype=np.float64)
@@ -8657,7 +8657,7 @@ def q_proximity_raster(sf_dir: str, radius: int = 3):
 
     rows = events.map_batches(fan, batch_format="pandas")
     return grouped_map_buckets(rows, ["cell"], min_reduce,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_PROXIMITY_RASTER_SQL = """
@@ -8709,11 +8709,11 @@ def q_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
 
     bg = partial_then_global_sum(
         docs.map_batches(bg_counts, batch_format="pandas"),
-        keys=["a", "b"], sums={"n_ab": "n_ab"}, num_buckets=16) \
+        keys=["a", "b"], sums={"n_ab": "n_ab"}, num_buckets=None) \
         .materialize()
     uni = partial_then_global_sum(
         docs.map_batches(uni_counts, batch_format="pandas"),
-        keys=["u"], sums={"c": "c"}, num_buckets=16).to_pandas()
+        keys=["u"], sums={"c": "c"}, num_buckets=None).to_pandas()
     nu = float(uni["c"].sum())
     nb_total = bg.map_batches(
         lambda t: pd.DataFrame({"s": [t["n_ab"].sum()]}),
@@ -8842,7 +8842,7 @@ def q_join5_revenue(sf_dir: str, region: str = "ASIA"):
 
     agg = partial_then_global_sum(
         lj.map_batches(revenue_partial, batch_format="pandas"),
-        keys=["n_name"], sums={"rev_c": "rev_c"}, num_buckets=4)
+        keys=["n_name"], sums={"rev_c": "rev_c"}, num_buckets=None)
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -8890,7 +8890,7 @@ def q_sssp(sf_dir: str, max_hops: int = 3):
 
     nodes = distinct_rows(edges.map_batches(_node_col,
                                             batch_format="pandas"),
-                          ["node"], num_buckets=8)
+                          ["node"], num_buckets=None)
     node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
     n = len(node_arr)
     nref = ray.put(node_arr)
@@ -8979,7 +8979,7 @@ def q_home_cell(sf_dir: str):
             "n_visits": top["n"].astype("int64")})
 
     return grouped_map_buckets(events, ["user_id"], home,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_HOME_CELL_SQL = """
@@ -9017,7 +9017,7 @@ def q_embed_dims(sf_dir: str):
     m = partial_then_global_sum(
         emb.map_batches(partial, batch_format="pandas"),
         keys=["dim"], sums={"sx": "sx", "sxx": "sxx", "n": "n"},
-        num_buckets=4)
+        num_buckets=None)
 
     def close(b: pd.DataFrame) -> pd.DataFrame:
         sx = b["sx"].to_numpy(dtype=np.float64)
@@ -9107,7 +9107,7 @@ def q_zipf_fit(sf_dir: str):
 
     counts = partial_then_global_sum(
         docs.map_batches(tok_counts, batch_format="pandas"),
-        keys=["token"], sums={"n": "n"}, num_buckets=16).to_pandas() \
+        keys=["token"], sums={"n": "n"}, num_buckets=None).to_pandas() \
         .sort_values(["n", "token"], ascending=[False, True],
                      kind="mergesort").reset_index(drop=True)
     x = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
@@ -9174,7 +9174,7 @@ def q_robust_scale(sf_dir: str):
         return pd.DataFrame(out)
 
     qt = grouped_map_buckets(events, ["event_type"], quants,
-                             num_buckets=8, whole_bucket=True).to_pandas()
+                             num_buckets=None, whole_bucket=True).to_pandas()
     ref = ray.put(qt)
 
     def scale(b: pd.DataFrame) -> pd.DataFrame:
@@ -9232,7 +9232,7 @@ def q_winsorize(sf_dir: str):
         return pd.DataFrame(out)
 
     qt = grouped_map_buckets(events, ["event_type"], quants,
-                             num_buckets=8, whole_bucket=True).to_pandas()
+                             num_buckets=None, whole_bucket=True).to_pandas()
     ref = ray.put(qt)
 
     def clip(b: pd.DataFrame) -> pd.DataFrame:
@@ -9280,7 +9280,7 @@ def q_autocorr(sf_dir: str):
 
     agg = partial_then_global_sum(
         events.map_batches(fan, batch_format="pandas"),
-        keys=["event_type", "day"], sums={"n": "n"}, num_buckets=8) \
+        keys=["event_type", "day"], sums={"n": "n"}, num_buckets=None) \
         .to_pandas()
     lo, hi = int(agg["day"].min()), int(agg["day"].max())
     grid = np.arange(lo, hi + 1, dtype=np.int64)
@@ -9352,7 +9352,7 @@ def q_benford(sf_dir: str):
 
     agg = partial_then_global_sum(
         orders.map_batches(digits, batch_format="pandas"),
-        keys=["digit"], sums={"n": "n"}, num_buckets=4)
+        keys=["digit"], sums={"n": "n"}, num_buckets=None)
 
     def close(b: pd.DataFrame) -> pd.DataFrame:
         d = b["digit"].to_numpy(dtype=np.int64)
@@ -9420,7 +9420,7 @@ def q_fk_audit(sf_dir: str):
         par = _pq(sf_dir, parent, columns=[pkey]).map_batches(
             lambda b, k=pkey: pd.DataFrame({"k": b[k].astype("int64")}),
             batch_format="pandas")
-        orphan_keys = bucketed_anti_join(keys, par, on="k", num_buckets=8)
+        orphan_keys = bucketed_anti_join(keys, par, on="k", num_buckets=None)
         plans.append((name, ch, orphan_keys))
 
     def audit_edge(plan):
@@ -9476,7 +9476,7 @@ def q_diameter(sf_dir: str, max_hops: int = 6):
 
     nodes = distinct_rows(edges.map_batches(_node_col,
                                             batch_format="pandas"),
-                          ["node"], num_buckets=8)
+                          ["node"], num_buckets=None)
     node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
     n = len(node_arr)
     nref = ray.put(node_arr)
@@ -9587,7 +9587,7 @@ def q_cadence(sf_dir: str):
             if out["user_id"] else pd.DataFrame(_OUT)
 
     return grouped_map_buckets(events, ["user_id"], cadence,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_CADENCE_SQL = """
@@ -9620,7 +9620,7 @@ def q_concentration(sf_dir: str, pct: int = 1):
 
     per_cust = partial_then_global_sum(
         orders.map_batches(cents_partial, batch_format="pandas"),
-        keys=["o_custkey"], sums={"cents": "cents"}, num_buckets=16) \
+        keys=["o_custkey"], sums={"cents": "cents"}, num_buckets=None) \
         .materialize()
     n_cust = per_cust.count()
     k = -(-n_cust * pct // 100)  # ceil
@@ -9689,7 +9689,7 @@ def q_fulfillment(sf_dir: str):
 
     first = grouped_map_buckets(
         li.map_batches(min_partial, batch_format="pandas"),
-        ["l_orderkey"], min_reduce, num_buckets=16, whole_bucket=True)
+        ["l_orderkey"], min_reduce, num_buckets=None, whole_bucket=True)
 
     orders = _pq(sf_dir, "orders",
                  columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
@@ -9716,7 +9716,7 @@ def q_fulfillment(sf_dir: str):
     agg = partial_then_global_sum(
         j.map_batches(gap_partial, batch_format="pandas"),
         keys=["o_orderpriority"], sums={"sum_days": "sum_days", "n": "n"},
-        num_buckets=4)
+        num_buckets=None)
 
     def close(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -9782,7 +9782,7 @@ def q_copy_matrix(sf_dir: str):
 
     return partial_then_global_sum(
         j2.map_batches(canon, batch_format="pandas"),
-        keys=["source_a", "source_b"], sums={"n": "n"}, num_buckets=4)
+        keys=["source_a", "source_b"], sums={"n": "n"}, num_buckets=None)
 
 
 Q_COPY_MATRIX_SQL = """
@@ -9882,7 +9882,7 @@ def q_bpe_train(sf_dir: str, num_merges: int = 96, top_v: int = 8192):
     docs = _pq(sf_dir, "documents", columns=["text"])
     wc = partial_then_global_sum(
         docs.map_batches(block_word_counts, batch_format="pandas"),
-        keys=["word"], sums={"n": "n"}, num_buckets=8)
+        keys=["word"], sums={"n": "n"}, num_buckets=None)
 
     def block_topv(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(["n", "word"],
@@ -9972,7 +9972,7 @@ def q_scd2_merge(sf_dir: str):
             "user_id": ku, "event_type": kt, "valid_from_us": kf,
             "valid_to_us": valid_to, "version_no": version})
 
-    return grouped_map_buckets(ev, ["user_id"], collapse, num_buckets=16,
+    return grouped_map_buckets(ev, ["user_id"], collapse, num_buckets=None,
                                whole_bucket=True)
 
 
@@ -10057,7 +10057,7 @@ def q_quota_sample(sf_dir: str, cap: int = 20):
         out["rn"] = rn[rn <= cap].astype("int64").to_numpy()
         return out
 
-    return grouped_map_buckets(docs, ["source"], pick, num_buckets=8,
+    return grouped_map_buckets(docs, ["source"], pick, num_buckets=None,
                                whole_bucket=True)
 
 
@@ -10271,7 +10271,7 @@ def q_quantile_cont(sf_dir: str):
 
     staged = orders.map_batches(cents, batch_format="pandas")
     return grouped_map_buckets(staged, ["o_orderpriority"], quant,
-                               num_buckets=4, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_QUANTILE_CONT_SQL = """
@@ -10437,7 +10437,7 @@ def q_pit_join(sf_dir: str):
             "seg_type": seg[bi],
             "version_no": vno[bi]})
 
-    return grouped_map_buckets(union, ["key"], pit, num_buckets=32,
+    return grouped_map_buckets(union, ["key"], pit, num_buckets=None,
                                whole_bucket=True)
 
 
@@ -10540,7 +10540,7 @@ def q_dedup_snm(sf_dir: str, window: int = 4, threshold: float = 0.5):
 
     res = grouped_map_buckets(
         docs.map_batches(keyed, batch_format="pandas"),
-        ["pfx"], per_prefix, num_buckets=32).materialize()
+        ["pfx"], per_prefix, num_buckets=None).materialize()
 
     pairs = res.map_batches(
         lambda b: b.loc[b["kind"] == 0, ["id_a", "id_b", "sim"]],
@@ -11048,7 +11048,7 @@ def q_dbscan(sf_dir: str, eps: int = 32, minpts: int = 3,
                              "role": role.astype(object)})
 
     return grouped_map_buckets(tagged, ["pid"], finish_bucket,
-                               num_buckets=32, whole_bucket=True)
+                               num_buckets=None, whole_bucket=True)
 
 
 Q_DBSCAN_SQL = """

@@ -644,13 +644,22 @@ def _ckpt_scan(ckpt_dir: str, key: str, key_cols: list,
     filename not keyed to this checkpoint_key, payload missing, or
     payload row count disagreeing with the sidecar — are ignored AND
     deleted (the directory is single-writer per run by contract; purging
-    keeps superseded-key payloads from accumulating across reruns)."""
+    keeps superseded-key payloads from accumulating across reruns).
+
+    Only files that match the checkpoint naming scheme
+    (``bucket_*.parquet`` / ``bucket_*.json`` and their ``.tmp.`` forms)
+    are ever considered for deletion: a caller who points
+    ``checkpoint_dir`` at a directory holding unrelated parquet data
+    must not lose it — the single-writer contract promises exclusive
+    *checkpoint* writes, not an empty directory."""
     done: dict = {}
     if not os.path.isdir(ckpt_dir):
         return done
     kh = _ckpt_keyhash(key)
     stale: list[str] = []
     for name in sorted(os.listdir(ckpt_dir)):
+        if not name.startswith("bucket_"):
+            continue  # foreign file: never touch
         full = os.path.join(ckpt_dir, name)
         if name.endswith(".parquet") and not name.endswith(f"_{kh}.parquet"):
             stale.append(full)  # another key's payload
@@ -658,7 +667,7 @@ def _ckpt_scan(ckpt_dir: str, key: str, key_cols: list,
         if ".tmp." in name:
             stale.append(full)  # interrupted atomic write
             continue
-        if not (name.startswith("bucket_") and name.endswith(".json")):
+        if not name.endswith(".json"):
             continue
         try:
             with open(full) as fh:
@@ -981,7 +990,7 @@ def task_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                        right_cols: Iterable[str],
-                       num_buckets: int = 16, how: str = "inner",
+                       num_buckets: Optional[int] = None, how: str = "inner",
                        restore_dtypes: Optional[dict] = None,
                        plan: str = "adaptive") -> rd.Dataset:
     """Partitioned hash join: one shuffle (groupby bucket) over the union of
@@ -1013,21 +1022,22 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     right_cols = list(right_cols)
     if plan == "tasks":
         return task_hash_join(left, right, on=on, right_cols=right_cols,
-                              num_buckets=max(num_buckets, 32), how=how,
+                              num_buckets=max(num_buckets or 0, 32), how=how,
                               restore_dtypes=restore_dtypes)
     if plan == "adaptive":
         # byte-based auto sizing (round 4): B = ceil(measured bytes /
         # TARGET_BUCKET_BYTES) observed from the streamed blocks, with
-        # the caller's num_buckets as the floor so tuned call sites keep
-        # their minimum reduce parallelism
+        # the caller's num_buckets (if given) as the floor so tuned call
+        # sites keep their minimum reduce parallelism
         left = left.materialize()
         right = right.materialize()
         total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
-        B = max(num_buckets, 32,
+        B = max(num_buckets or 0, 32,
                 _auto_bucket_count(total, TARGET_BUCKET_BYTES))
         return task_hash_join(left, right, on=on, right_cols=right_cols,
                               num_buckets=int(B), how=how,
                               restore_dtypes=restore_dtypes)
+    num_buckets = num_buckets or 16  # dataset plan partitions directly
     right_only = [c for c in right_cols if c != on]
 
     def tag(side: int):
@@ -1068,7 +1078,8 @@ def bucketed_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 
 def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
-                     right_cols: Iterable[str], num_buckets: int = 16,
+                     right_cols: Iterable[str],
+                     num_buckets: Optional[int] = None,
                      salts: int = 8, how: str = "inner",
                      plan: str = "tasks") -> rd.Dataset:
     """Skew-resistant partitioned hash join: a hot join key turns one
@@ -1094,7 +1105,7 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         l_refs = _nonempty_block_refs(left)
         r_refs = _nonempty_block_refs(right)
         if l_refs and r_refs:
-            B = max(num_buckets, 32, _auto_bucket_count(
+            B = max(num_buckets or 0, 32, _auto_bucket_count(
                 (left.size_bytes() or 0) + (right.size_bytes() or 0),
                 TARGET_BUCKET_BYTES))
             split = _split_salted.options(num_returns=B) if B > 1 \
@@ -1112,6 +1123,7 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                    for b in range(B)]
             return rd.from_pandas_refs(out)
         # empty side: the dataset form below handles it for every `how`
+    num_buckets = num_buckets or 16  # dataset plan partitions directly
     right_only = [c for c in right_cols if c != on]
 
     def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1167,12 +1179,14 @@ def _salt_key_hash(values) -> np.ndarray:
 
 
 def distinct_rows(ds: rd.Dataset, cols: list[str],
-                  num_buckets: int = 16) -> rd.Dataset:
+                  num_buckets: Optional[int] = None) -> rd.Dataset:
     """DISTINCT over ``cols`` via ONE bucketed shuffle + per-bucket
     drop_duplicates.  Ray's native groupby sort-shuffles every input
     block into every output partition (O(blocks x partitions) fragments),
     which costs seconds of pure scheduling even for 10^5 rows; hashing
-    into a few coarse buckets first bounds the fragment count."""
+    into a few coarse buckets first bounds the fragment count.
+    ``num_buckets=None`` (default) auto-sizes from measured input
+    bytes — right from sf0.001 to 100 TB with no second guard pass."""
 
     def combiner(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[cols].drop_duplicates()  # combiner before the shuffle
@@ -1186,7 +1200,7 @@ def distinct_rows(ds: rd.Dataset, cols: list[str],
 
 
 def bucketed_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
-                       num_buckets: int = 16) -> rd.Dataset:
+                       num_buckets: Optional[int] = None) -> rd.Dataset:
     """Left rows whose ``on`` value does NOT appear in ``right`` — one
     co-partitioned shuffle (hash bucket on the key), no driver-side
     materialization of either side.  The scale-safe NOT IN for e.g.
@@ -1223,13 +1237,13 @@ def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
         return group.sort_values(order_col, kind="mergesort") \
                     .drop_duplicates(key, keep="first")
 
-    return grouped_map_buckets(ds, [key], per_bucket, num_buckets=64,
+    return grouped_map_buckets(ds, [key], per_bucket, num_buckets=None,
                                whole_bucket=True, presort=False)
 
 
 def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
                             sums: dict[str, str], counts: Optional[str] = None,
-                            num_buckets: int = 16) -> rd.Dataset:
+                            num_buckets: Optional[int] = None) -> rd.Dataset:
     """Pre-aggregate inside map_batches, then a BUCKETED global reduce —
     the scale-correct aggregation shape (combiner before the shuffle).
 
@@ -1264,7 +1278,7 @@ def partial_then_global_sum(ds: rd.Dataset, keys: list[str],
 
 
 def bucketed_set_op(left: rd.Dataset, right: rd.Dataset, on: str,
-                    op: str, num_buckets: int = 32) -> rd.Dataset:
+                    op: str, num_buckets: Optional[int] = None) -> rd.Dataset:
     """Distributed set INTERSECT / EXCEPT over one key column.
 
     Both sides are deduplicated per block (combiner), tagged with a side

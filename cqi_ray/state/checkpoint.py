@@ -63,6 +63,15 @@ def manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
 
 
+def sibling_manifest_path(path: str) -> str:
+    """Manifest location for self-describing formats (Lance): a Lance
+    dataset owns its directory layout, and whether it tolerates a
+    foreign ``_manifest.json`` inside its root is format-internal —
+    so the stage manifest lives NEXT TO the dataset dir, never inside
+    it (round-5 ADVICE)."""
+    return path.rstrip("/") + ".manifest.json"
+
+
 def source_fingerprint(paths) -> str:
     """Stable fingerprint of input files (path, size, mtime_ns) — the
     'input fragment ids' lineage: a changed/replaced source file changes
@@ -89,11 +98,13 @@ def stage_build_id(path: str) -> str:
 
 
 def load_manifest(path: str) -> Optional[dict]:
-    try:
-        with open(manifest_path(path)) as fh:
-            return json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return None
+    for loc in (manifest_path(path), sibling_manifest_path(path)):
+        try:
+            with open(loc) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
 
 
 def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
@@ -148,9 +159,26 @@ def checkpoint_stage(builder: Callable[[], rd.Dataset], path: str, *,
         "metrics": metrics or {},
         "format": fmt,  # lance on deployments with the wheel
     }
-    with open(os.path.join(tmp, MANIFEST), "w") as fh:
-        json.dump(doc, fh, indent=1)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    if fmt == "lance":
+        # sibling manifest: never place a foreign file inside a Lance
+        # dataset root.  Stale sibling removed BEFORE the dir swap so a
+        # crash window leaves payload-without-manifest (=> rebuild),
+        # never new-payload-with-old-manifest.
+        with open(sibling_manifest_path(tmp), "w") as fh:
+            json.dump(doc, fh, indent=1)
+        for stale in (sibling_manifest_path(path),):
+            if os.path.exists(stale):
+                os.remove(stale)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        os.replace(sibling_manifest_path(tmp), sibling_manifest_path(path))
+    else:
+        with open(os.path.join(tmp, MANIFEST), "w") as fh:
+            json.dump(doc, fh, indent=1)
+        if os.path.exists(sibling_manifest_path(path)):
+            os.remove(sibling_manifest_path(path))  # prior lance-format run
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
     return _read(path, fmt)

@@ -144,6 +144,16 @@ class TestLanceGate:
         man = ck.load_manifest(str(tmp_path / "s2"))
         assert man["format"] == "lance"
         assert calls["reads"][-1] == "lance"
+        # the manifest must live NEXT TO the lance dataset dir, never
+        # inside it (lance owns its root layout — round-5 ADVICE)
+        assert os.path.exists(ck.sibling_manifest_path(str(tmp_path / "s2")))
+        assert not os.path.exists(tmp_path / "s2" / ck.MANIFEST)
+        # resume: same fingerprint short-circuits via the sibling manifest
+        calls.clear()
+        out_r = ck.checkpoint_stage(
+            lambda: rd.range(7), str(tmp_path / "s2"),
+            stage="s2", fingerprint="f1")
+        assert out_r.count() == 7 and "write" not in calls
         # partitioned layouts stay parquet even with the gate open
         out2 = ck.checkpoint_stage(
             lambda: rd.range(8).map_batches(

@@ -91,6 +91,28 @@ class TestRoundTrip:
         px = synth._pixels_for(11, 40, 40)
         assert jpeg.jpeg_encode(px, 80) == jpeg.jpeg_encode(px, 80)
 
+    def test_large_noisy_image_linear_time(self):
+        """Regression (round-5 ADVICE): the bit reader/writer
+        accumulators must stay machine-int-sized.  Unmasked they grow
+        into bigints over the whole entropy-coded segment and codec time
+        turns O(scan_bytes^2) — a 512px noise frame (≈0.5 MB scan, the
+        worst case per byte) previously blew a 240 s timeout; bounded
+        accumulators do it in ~2 s.  10x headroom on the bound."""
+        import time
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(512, 512, 3), dtype=np.uint8)
+        t0 = time.monotonic()
+        data = jpeg.jpeg_encode(px, quality=90)
+        enc_s = time.monotonic() - t0
+        assert len(data) > 300_000  # noise really is incompressible
+        t0 = time.monotonic()
+        dec = jpeg.jpeg_decode(data)
+        dec_s = time.monotonic() - t0
+        assert dec.shape == (512, 512, 3)
+        assert enc_s < 20.0, f"encode {enc_s:.1f}s — quadratic regression"
+        assert dec_s < 20.0, f"decode {dec_s:.1f}s — quadratic regression"
+
 
 class TestEngineIntegration:
     def test_decode_image_routes_jfif(self):

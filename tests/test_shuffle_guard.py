@@ -198,6 +198,27 @@ class TestCheckpointRobustness:
         # and the v2 orphan was purged at scan time
         assert not (tmp_path / _ckpt_payload_name("v2", 0)).exists()
 
+    def test_foreign_files_never_deleted(self, ray_session, tmp_path):
+        """Regression (round-5 ADVICE): a checkpoint_dir that already
+        holds unrelated parquet/json data must keep it — only files
+        matching the bucket_* naming scheme are checkpoint-owned and
+        purgeable.  Previously ANY *.parquet not keyed to the current
+        checkpoint_key was deleted on first scan."""
+        foreign_pq = tmp_path / "users_export.parquet"
+        pd.DataFrame({"a": [1, 2, 3]}).to_parquet(foreign_pq)
+        foreign_json = tmp_path / "run_config.json"
+        foreign_json.write_text('{"note": "not a sidecar"}')
+        foreign_tmp = tmp_path / "upload.tmp.part"  # '.tmp.' but foreign
+        foreign_tmp.write_bytes(b"partial")
+        ds, df = _fact(n=2000)
+        want = _group_stats(df)
+        out = self._run(ds, tmp_path, "v1")
+        pd.testing.assert_frame_equal(out, want)
+        assert foreign_pq.exists() and foreign_json.exists() \
+            and foreign_tmp.exists()
+        pd.testing.assert_frame_equal(pd.read_parquet(foreign_pq),
+                                      pd.DataFrame({"a": [1, 2, 3]}))
+
     def test_truncated_payload_recomputed(self, ray_session, tmp_path):
         ds, df = _fact(n=2000)
         want = _group_stats(df)
