@@ -289,17 +289,22 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 def _area_resize(gray: np.ndarray, size: int) -> np.ndarray:
     """Box-average resize to (size, size) — deterministic, fully vectorized
-    via an integral image (no Python-per-pixel loop)."""
+    via two ``np.add.reduceat`` passes (box-row sums, then box-column
+    sums).  Round 5: this replaced the integral-image form — the double
+    cumsum wrote O(h*w) float64 per image where reduceat writes
+    O(size*w), ~2x less memory traffic at 96px frames.  Summation order
+    changed with it, so hash VALUES differ from the round-4 codec; the
+    invariant that matters is batch == scalar (same reduceat order in
+    ``phash64_batch``), which the conformance tests pin.  Degenerate
+    bins (h or w < size: repeated edge indices) follow reduceat's
+    single-element rule, matching the old y1=max(ys[i+1], y0+1) box."""
     h, w = gray.shape
     ys = (np.arange(size + 1) * h // size).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
-    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
-    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
-    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
-    integral[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    total = (integral[np.ix_(y1, x1)] - integral[np.ix_(y0, x1)]
-             - integral[np.ix_(y1, x0)] + integral[np.ix_(y0, x0)])
-    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    rows = np.add.reduceat(gray, ys[:-1], axis=0)
+    total = np.add.reduceat(rows, xs[:-1], axis=1)
+    areas = np.maximum(np.diff(ys), 1)[:, None] \
+        * np.maximum(np.diff(xs), 1)[None, :]
     return total / areas
 
 
@@ -309,13 +314,14 @@ def phash64(pixels: np.ndarray) -> int:
     global _DCT_MAT
     if _DCT_MAT is None:
         _DCT_MAT = _dct_matrix(_DCT_N)
-    # ascontiguousarray: BLAS picks different kernels (different float
-    # summation order) for strided views vs C-contiguous inputs — a rot90/
-    # flip VIEW would hash differently from its contiguous copy by 1-ulp
-    # drift flipping near-median bits.  Canonicalize the layout so the
-    # hash is a function of pixel VALUES only.
-    gray = np.ascontiguousarray(pixels, dtype=np.float64) \
-        @ np.array([0.299, 0.587, 0.114])
+    # Elementwise projection, NOT `@ [0.299, 0.587, 0.114]`: the matvec
+    # kernel's SIMD grouping depends on the slice's byte alignment, so
+    # batched (n,h,w,3) and scalar (h,w,3) inputs drifted by 1 ulp at
+    # odd frame sizes and near-median bits flipped (measured: 1460/4000
+    # hashes at 17px).  a*c0 + b*c1 + c*c2 fixes one summation order
+    # for every layout; ascontiguousarray still canonicalizes views.
+    arr = np.ascontiguousarray(pixels, dtype=np.float64)
+    gray = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
     small = _area_resize(gray, _DCT_N)
     dct = _DCT_MAT.T @ small @ _DCT_MAT
     flat = dct[:8, :8].ravel()[1:]  # drop DC
@@ -506,19 +512,18 @@ def phash64_batch(pixels: np.ndarray) -> np.ndarray:
              for s in range(0, len(pixels), _BATCH_CHUNK)])
     arr = np.ascontiguousarray(pixels, dtype=np.float64)
     n, h, w, _ = arr.shape
-    gray = arr @ np.array([0.299, 0.587, 0.114])
+    # elementwise projection — alignment-invariant; see phash64
+    gray = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
     size = _DCT_N
     ys = (np.arange(size + 1) * h // size).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
-    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
-    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
-    integral = np.zeros((n, h + 1, w + 1), dtype=np.float64)
-    integral[:, 1:, 1:] = np.cumsum(np.cumsum(gray, axis=1), axis=2)
-    total = (integral[:, y1[:, None], x1[None, :]]
-             - integral[:, y0[:, None], x1[None, :]]
-             - integral[:, y1[:, None], x0[None, :]]
-             + integral[:, y0[:, None], x0[None, :]])
-    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    # same reduceat box sums as the scalar _area_resize (per-bin
+    # sequential summation order is identical along the batch axis, so
+    # batch == scalar bit-for-bit)
+    rows = np.add.reduceat(gray, ys[:-1], axis=1)
+    total = np.add.reduceat(rows, xs[:-1], axis=2)
+    areas = np.maximum(np.diff(ys), 1)[:, None] \
+        * np.maximum(np.diff(xs), 1)[None, :]
     small = total / areas
     dct = np.matmul(np.matmul(_DCT_MAT.T, small), _DCT_MAT)
     flat = dct[:, :8, :8].reshape(n, 64)[:, 1:]

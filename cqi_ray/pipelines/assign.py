@@ -47,20 +47,39 @@ def decode_validate_batch(batch: pd.DataFrame, check_phash: bool = True,
     Runs as stateless tasks: the only shared state (the phash DCT matrix)
     is a module-level cache that Ray's long-lived worker processes amortize
     across tasks for free.  Stages with genuinely heavy init (models,
-    codecs with warm-up) use the actor-pool form below."""
-    ok = np.zeros(len(batch), dtype=bool)
-    phash_match = np.zeros(len(batch), dtype=bool)
-    for i, row in enumerate(batch.itertuples(index=False)):
+    codecs with warm-up) use the actor-pool form below.
+
+    Decode stays per-blob (variable-length payloads, numpy-heavy
+    inside), but the perceptual hashes run BATCHED: decoded frames are
+    grouped by (h, w) and each group goes through ``phash64_batch``
+    (one BLAS DCT over the stack) instead of a per-image ``phash64``
+    call — the flagship path's innermost loop (round-5 verdict)."""
+    n = len(batch)
+    ok = np.zeros(n, dtype=bool)
+    phash_match = np.zeros(n, dtype=bool)
+    blobs = batch["bytes"].to_numpy()
+    fmts = batch["fmt"].to_numpy()
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    stored = batch["phash"].to_numpy()
+    groups: dict[tuple, tuple[list, list]] = {}  # (h, w) -> (idx, frames)
+    for i in range(n):
         try:
-            px = codec.decode_image(row.bytes, row.fmt, row.w, row.h,
+            px = codec.decode_image(blobs[i], fmts[i], ws[i], hs[i],
                                     allow_fake_jpeg=allow_fake_jpeg)
         except (NotImplementedError, ValueError):
             continue
-        if px.shape[0] != row.h or px.shape[1] != row.w:
+        if px.shape[0] != hs[i] or px.shape[1] != ws[i]:
             continue
         ok[i] = True
         if check_phash:
-            phash_match[i] = codec.phash64(px) == row.phash
+            idx, frames = groups.setdefault(px.shape[:2], ([], []))
+            idx.append(i)
+            frames.append(px)
+    for (gh, gw), (idx, frames) in groups.items():
+        ii = np.asarray(idx, dtype=np.int64)
+        hashes = codec.phash64_batch(np.stack(frames))
+        phash_match[ii] = hashes == stored[ii].astype(np.int64)
     batch = batch.copy()
     batch["decode_ok"] = ok
     batch["phash_ok"] = phash_match
@@ -120,7 +139,12 @@ def make_way_cell_rows(batch: pd.DataFrame, res: int, pad_m: float,
     ``project`` overrides the lonlat->metric projection (default Karney
     UTM; the SQL-replayable equirect variant powers the planar oracle)."""
     project = project or proj.project_coords
-    out = {c: [] for c in _WAY_CELL_COLS}
+    # per-way work (geometry decode, projection, polyline cover) stays a
+    # row loop — variable-length geometries; the 1->N cell fan-out is
+    # replicated with np.repeat over the whole batch instead of python
+    # list appends per (way, cell) pair (round-5 verdict item 4)
+    cell_lists: list[np.ndarray] = []
+    geom_blobs: list[bytes] = []
     for row in batch.itertuples(index=False):
         blob = getattr(row, geom_col)
         geom_m = _geom_from_bytes(blob)
@@ -129,17 +153,29 @@ def make_way_cell_rows(batch: pd.DataFrame, res: int, pad_m: float,
             geom_m = project(lonlat)
         else:
             lonlat = proj.unproject_coords(geom_m)
-        for cell in cells.cover_polyline(lonlat, res, pad_m=pad_m):
-            out["cell"].append(int(cell))
-            out["kind"].append(1)
-            out["way_id"].append(row.id)
-            out["way_index"].append(
-                None if pd.isna(row.index) else float(row.index))
-            out["way_stress"].append(
-                None if pd.isna(row.stress_level) else float(row.stress_level))
-            out["way_geom"].append(_geom_to_bytes(geom_m))
-    df = pd.DataFrame(out) if out["cell"] else pd.DataFrame(
-        {c: pd.Series(dtype=object) for c in _WAY_CELL_COLS})
+        cell_lists.append(np.asarray(
+            cells.cover_polyline(lonlat, res, pad_m=pad_m), dtype=np.int64))
+        geom_blobs.append(_geom_to_bytes(geom_m))
+    counts = np.array([len(c) for c in cell_lists], dtype=np.int64)
+    if counts.sum():
+        rep = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        idx_v = pd.to_numeric(batch["index"], errors="coerce") \
+            .to_numpy(dtype=np.float64)
+        stress_v = pd.to_numeric(batch["stress_level"], errors="coerce") \
+            .to_numpy(dtype=np.float64)
+        geom_arr = np.empty(len(batch), dtype=object)
+        geom_arr[:] = geom_blobs
+        df = pd.DataFrame({
+            "cell": np.concatenate(cell_lists),
+            "kind": np.ones(len(rep), dtype=np.int64),
+            "way_id": batch["id"].to_numpy()[rep],
+            "way_index": idx_v[rep],
+            "way_stress": stress_v[rep],
+            "way_geom": geom_arr[rep],
+        })
+    else:
+        df = pd.DataFrame({c: pd.Series(dtype=object)
+                           for c in _WAY_CELL_COLS})
     for c in _IMG_CELL_COLS:
         if c not in df.columns:
             df[c] = None

@@ -503,6 +503,21 @@ class TestAugment:
         flipped = px[:, ::-1]
         assert phash64(flipped) == phash64(np.ascontiguousarray(flipped))
 
+    @pytest.mark.parametrize("size", [8, 17, 32, 33, 96])
+    def test_phash_batch_scalar_conformance_all_sizes(self, size):
+        """Batch and scalar phash must agree at EVERY frame size, odd
+        ones included: with a matvec gray projection the SIMD grouping
+        depended on each slice's byte alignment, so (n,17,17,3) batches
+        drifted 1 ulp from their scalar slices and ~37% of hashes
+        flipped a near-median bit (round-5 fix: elementwise
+        projection + reduceat resize, one summation order per layout)."""
+        from cqi_ray.images.codec import phash64, phash64_batch
+
+        px = synth.pixels_for_batch(
+            np.arange(64, dtype=np.int64), size, size)
+        scalar = np.array([phash64(p) for p in px])
+        assert np.array_equal(scalar, phash64_batch(px))
+
     def test_dedup_orientation_exact_geo_recall(self, ray_session):
         """Every purely-geometric re-upload (flip/rot plans, no
         photometric op) must match its own source; photometric and crop

@@ -97,7 +97,13 @@ class TestAudioVideo:
 
 class TestPhashDedup:
     def test_planted_near_dups_found(self, ray_session):
-        from cqi_ray.images.codec import phash64
+        """Band-LSH recall machinery: bands = d + 1 must find a planted
+        pair at hamming d by pigeonhole, whatever d the codec assigns.
+        The planted distance is MEASURED, not assumed — synthetic noise
+        frames have near-degenerate spectra whose median-threshold bits
+        shift with any codec summation-order change, so a hard-coded
+        d would re-break on every legitimate codec change."""
+        from cqi_ray.images.codec import hamming64, phash64
         from cqi_ray.ops.dedup import hash_band_rows, phash_dup_pairs_in_bucket
         from cqi_ray.images.synth import _pixels_for
 
@@ -106,17 +112,17 @@ class TestPhashDedup:
         near = np.clip(px[0].astype(int) + 2, 0, 255).astype(np.uint8)
         hashes = [phash64(p) for p in px] + [phash64(near)]
         ids = [f"im{i}" for i in range(11)]
-        # bands = max_hamming + 1 guarantees recall at hamming <= 8 by
-        # pigeonhole (the planted pair lands at exactly 8 differing bits)
+        d = int(hamming64([hashes[0]], [hashes[10]])[0])
+        assert 0 < d <= 20  # still a near-dup, not identical
         banded = hash_band_rows(np.array(hashes, dtype=np.uint64), ids,
-                                bands=9)
+                                bands=d + 1)
         found = set()
         for _, grp in banded.groupby(["band_id", "band_hash"]):
             if len(grp) > 1:
                 h_by_id = dict(zip(ids, hashes))
                 pairs = phash_dup_pairs_in_bucket(
                     grp["doc_id"].to_numpy(),
-                    [h_by_id[d] for d in grp["doc_id"]], max_hamming=8)
+                    [h_by_id[i] for i in grp["doc_id"]], max_hamming=d)
                 found.update((a, b) for a, b, _ in pairs)
         assert ("im0", "im10") in found
 
