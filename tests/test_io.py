@@ -98,6 +98,45 @@ class TestCLI:
         doc = json.load(open(Args.output))
         assert len(doc["features"]) == 164
 
+    def test_lineage_command(self, ray_session, tmp_path, capsys):
+        """`python -m cqi_ray lineage <dir>` surfaces the per-bucket
+        rows/bytes/sec sidecars of a shuffle checkpoint AND the stage
+        manifest of a checkpoint_stage dir (round-5 verdict item 6)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from cqi_ray.__main__ import cmd_lineage
+        from cqi_ray.relational import grouped_map_buckets
+        from cqi_ray.state.checkpoint import checkpoint_stage
+
+        ck = tmp_path / "shuffle_ck"
+        df = pd.DataFrame({"k": np.arange(500) % 7, "v": np.arange(500)})
+        out = grouped_map_buckets(
+            rd.from_pandas(df), ["k"],
+            lambda g: g.groupby("k", as_index=False)["v"].sum(),
+            num_buckets=4, whole_bucket=True, presort=False,
+            checkpoint_dir=str(ck), checkpoint_key="v1")
+        assert out.count() == 7
+        checkpoint_stage(lambda: rd.range(9), str(tmp_path / "stage1"),
+                         stage="s1", fingerprint="f1")
+
+        class Args:
+            checkpoint_dir = str(tmp_path)
+
+        assert cmd_lineage(Args()) == 0
+        text = capsys.readouterr().out
+        assert "shuffle checkpoint" in text and "num_buckets=4" in text
+        assert "total rows=7" in text and "skew:" in text
+        assert "stage checkpoint" in text and "row_count=9" in text
+        # non-checkpoint dir: reports nothing, exit 1
+        empty = tmp_path / "not_a_ckpt"
+        empty.mkdir()
+
+        class Args2:
+            checkpoint_dir = str(empty)
+
+        assert cmd_lineage(Args2()) == 1
+
 
 class TestLanceGate:
     """The HAVE_LANCE import gate (no lance wheel in this env): the
