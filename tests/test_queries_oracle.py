@@ -84,3 +84,28 @@ def test_query_runs(name, ray_session):
     out = _to_pandas(QUERIES[name](SF_DIR))
     assert len(out) >= 0
     assert len(out.columns) > 0
+
+
+# a shuffle-shape cross-section of the catalog: groupby reduce, bucketed
+# join chain, LSH band shuffle, anti-join, distinct, set op, salted join
+_TINY_TARGET_SAMPLE = ["groupby_agg", "join3_topk", "dedup_minhash",
+                       "dedup_normalized", "distinct", "window_tumbling"]
+
+
+@pytest.mark.parametrize("name", _TINY_TARGET_SAMPLE)
+def test_forced_tiny_bucket_target_output_identical(name, ray_session,
+                                                    duck, monkeypatch):
+    """Round-5 ADVICE: the oversized-bucket secondary split must be
+    output-invariant at EVERY call site.  Forcing a 4 KiB byte target
+    sends every bucket of these representative catalog queries through
+    the auto-sizing + guard-resplit path; the DuckDB oracle must still
+    match exactly.  (The full-catalog version of this check is the
+    CQI_TARGET_BUCKET_BYTES=4096 sweep recorded in BASELINE.md.)"""
+    from cqi_ray import relational
+    from cqi_ray.queries import ORACLES, QUERIES
+
+    monkeypatch.setattr(relational, "TARGET_BUCKET_BYTES", 4096)
+    mine = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    oracle = _normalize(duck.execute(ORACLES[name]).df())
+    assert len(mine) == len(oracle), name
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
