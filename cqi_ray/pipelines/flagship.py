@@ -113,15 +113,14 @@ def build_images(sf_dir: str, limit: Optional[int] = None,
     # small text table fans out into heavy image synthesis: spread it over
     # a fixed block count so generation/decoding parallelizes fully and the
     # work layout is identical at every cluster size (scaling
-    # comparability).  The count scales with the per-doc fan-out: at
-    # per_doc=1 the old 256 keeps per-task compute >1 s, but at
-    # per_doc=256 a 256-block layout is 8 waves of ~9 core-s tasks whose
-    # ~1.8x format-mix skew leaves an ~11% straggler tail at 32 CPUs
-    # (vs 4% at 8 — measured round 4; exactly the asymmetry a scaling
-    # ratio is most sensitive to).  Scaling blocks with per_doc holds
-    # per-task compute roughly constant instead.
+    # comparability).  The count scales with the per-doc fan-out so
+    # per-task compute stays roughly constant; round-5 sweep at 32 CPUs
+    # (1.28M imgs, 96px): 512 blocks 68.3 s, 1024 64.0, 2048 61.1, 4096
+    # 67.4 — finer tasks shorten the last-wave straggler tail until
+    # per-task overhead wins, so the fan-out targets the 2048 point at
+    # per_doc=256 (the 8-CPU leg measured flat across the same sweep).
     blocks = int(os.environ.get(
-        "GRAFT_IMAGE_BLOCKS", str(256 * min(4, max(1, per_doc // 64)))))
+        "GRAFT_IMAGE_BLOCKS", str(256 * min(8, max(1, per_doc // 32)))))
     return docs.repartition(blocks).map_batches(
         lambda b: images_from_documents(b, size_px=size_px, per_doc=per_doc),
         batch_format="pandas", batch_size=None)
