@@ -82,7 +82,16 @@ def _concat_parts(parts: list) -> pd.DataFrame:
         return parts[0]
     if len(nonempty) == 1:
         return nonempty[0]
-    return pd.concat(nonempty, ignore_index=True)
+    import warnings
+
+    with warnings.catch_warnings():
+        # union-schema frames legitimately carry all-NA columns (e.g.
+        # image rows' way columns); pandas emits one FutureWarning per
+        # concat about their future dtype semantics — per shuffle task,
+        # a stderr flood.  Downstream handles None and NaN uniformly,
+        # so the future dtype change is immaterial here.
+        warnings.simplefilter("ignore", FutureWarning)
+        return pd.concat(nonempty, ignore_index=True)
 
 
 def grouped_map_buckets(ds: rd.Dataset, key_cols: list[str], fn,
