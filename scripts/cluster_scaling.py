@@ -248,8 +248,12 @@ def two_node() -> None:
 
 
 def main() -> None:
+    # same leg pair as bench.py --scaling (default 4,16 — both legs
+    # under the VM's frequency-boost threshold; see bench.py.scaling)
+    lo, hi = (int(x) for x in os.environ.get(
+        "GRAFT_SCALING_LEGS", "4,16").split(","))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         subprocess.run(["ray", "stop", "--force"], capture_output=True)
         up = subprocess.run(
             ["ray", "start", "--head", f"--num-cpus={ncpu}",
@@ -268,15 +272,18 @@ def main() -> None:
                 "driver did not attach to the standing cluster"
         finally:
             subprocess.run(["ray", "stop", "--force"], capture_output=True)
-    r8, r32 = results[8]["images_per_sec"], results[32]["images_per_sec"]
+    r_lo = results[lo]["images_per_sec"]
+    r_hi = results[hi]["images_per_sec"]
     doc = {
         "experiment": "standing-cluster launch (ray start --head + "
                       "attached driver, the submitted-job execution mode)",
         "image_px": int(os.environ.get("GRAFT_IMAGE_PX", "96")),
-        "images": results[32]["images"],
-        "sec_8": results[8]["sec"], "sec_32": results[32]["sec"],
-        "images_per_sec_8": r8, "images_per_sec_32": r32,
-        "scaling_efficiency": round((r32 / r8) / 4.0, 3),
+        "images": results[hi]["images"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": results[lo]["sec"], f"sec_{hi}": results[hi]["sec"],
+        f"images_per_sec_{lo}": r_lo, f"images_per_sec_{hi}": r_hi,
+        "scaling_efficiency": round((r_hi / r_lo) / (hi / lo), 3),
     }
     with open(os.path.join(REPO, "cluster_scaling_latest.json"), "w") as fh:
         json.dump(doc, fh)
